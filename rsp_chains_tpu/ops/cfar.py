@@ -1,0 +1,252 @@
+"""CFAR — constant false-alarm-rate detector (SURVEY §2.5).
+
+TPU-native rebuild of the reference's ``AXI4CFARBlock`` (constructor
+``RspChain.scala:45``, ``CFARParams`` at ``RspChainVanillaTester.scala:228-239``).
+The hardware slides guard+reference windows past the cell under test one cell per
+cycle; here the whole frame is processed at once:
+
+* **CA family** (Cell-Averaging / Greatest-Of / Smallest-Of): leading/lagging
+  reference sums come from one exclusive prefix-sum (``cumsum``) and two gathers per
+  side — O(N) work, no windows materialized, divided by the power-of-two ``divSum``
+  register exactly as the hardware shifter does
+  (``RspChainVanillaTester.scala:119-122``).
+* **GOS** (order statistics): per-cell windows of the elaborated maximum size are
+  gathered into a ``[..., N, Wmax]`` tensor, masked to the runtime window size,
+  sorted on the VPU, and the rank registers ``indexLagg``/``indexLead``
+  (``RspChainVanillaTester.scala:137-141``) select the statistics.
+* **CASH** (cell-averaging statistic Hofele, elaborated via ``includeCASH``,
+  ``RspChain.scala:137-138``): sliding sub-window sums of the runtime
+  ``subWindowSize`` within each side's reference window via a second cumsum over
+  the gathered windows; the per-side statistic is the minimum sub-window mean and
+  the two sides combine greatest-of [inferred — submodule not vendored; matches
+  ``golden.models.cfar_golden``].
+
+Runtime register semantics follow the reconstructed map
+(``RspChainVanillaTester.scala:113-146``): all mode/window/rank/scaler fields are
+traced scalars — any of them can change per call with zero recompilation. The
+runtime ``fftSize`` register masks the active frame: cells at index >= n produce
+threshold 0 / no detection and are never read by any window (indices are clamped to
+the active extent, matching a streaming implementation that only ever saw n cells).
+
+Elaboration-time ``CfarConfig.variant`` decides which statistic datapaths are traced
+at all (CACFARType / GOSCFARType / GOSCACFARType), mirroring which variants get
+silicon in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import CfarConfig, CfarVariant, RuntimeConfig
+
+
+class CfarOutput(NamedTuple):
+    """Per-bin CFAR result, the array analog of the 32-bit
+    ``{threshold | bin | peak}`` output beats (``RspChainVanillaTester.scala:164-172``)."""
+
+    threshold: jnp.ndarray  # float32 [..., N]
+    peaks: jnp.ndarray      # bool    [..., N]
+    noise: jnp.ndarray      # float32 [..., N] — pre-scaler noise estimate
+    cut: jnp.ndarray        # float32 [..., N] — cell under test (sendCut support)
+
+
+def _gather_windows(mag, lo, hi, g, w, cfg: CfarConfig):
+    """Gather per-cell lag/lead reference windows into [..., N, Wmax] tensors with
+    validity masks (valid cell range [lo, hi) in local coordinates). Used by the
+    GOS and CASH paths only."""
+    n = mag.shape[-1]
+    wmax = cfg.max_ref_window
+    i = jnp.arange(n, dtype=jnp.int32)[:, None]           # [N, 1]
+    k = jnp.arange(wmax, dtype=jnp.int32)[None, :]        # [1, Wmax]
+
+    lag_pos = i - g - w + k                               # cells i-g-w .. i-g-1
+    lead_pos = i + g + 1 + k                              # cells i+g+1 .. i+g+w
+    lag_valid = (k < w) & (lag_pos >= lo) & (lag_pos < hi)
+    lead_valid = (k < w) & (lead_pos >= lo) & (lead_pos < hi)
+
+    def take(pos):
+        flat = jnp.clip(pos, 0, n - 1).reshape(-1)
+        out = jnp.take(mag, flat, axis=-1)
+        return out.reshape(mag.shape[:-1] + (n, wmax))
+
+    return take(lag_pos), lag_valid, take(lead_pos), lead_valid
+
+
+def _ca_sums(mag, lo, hi, g, w):
+    """Leading/lagging reference-window sums via exclusive prefix sums.
+
+    lag(i)  = sum mag[i-g-w : i-g],  lead(i) = sum mag[i+g+1 : i+g+1+w],
+    window extents clamped to the valid cell range [lo, hi)
+    (EdgePolicy.PARTIAL)."""
+    n = mag.shape[-1]
+    p = jnp.concatenate(
+        [jnp.zeros(mag.shape[:-1] + (1,), mag.dtype), jnp.cumsum(mag, axis=-1)],
+        axis=-1,
+    )  # p[..., j] = sum(mag[..., :j])
+    i = jnp.arange(n, dtype=jnp.int32)
+
+    def psum_at(idx):
+        idx = jnp.clip(idx, lo, hi)
+        return jnp.take_along_axis(
+            p, jnp.broadcast_to(idx, p.shape[:-1] + (n,)), axis=-1
+        )
+
+    lag = psum_at(i - g) - psum_at(i - g - w)
+    lead = psum_at(i + g + 1 + w) - psum_at(i + g + 1)
+    return lag, lead
+
+
+def _gos_stats(lag_win, lag_valid, lead_win, lead_valid, rank_lagg, rank_lead):
+    """Order statistics: k-th smallest valid cell per side (rank registers
+    base+9/+10). Invalid cells sort to +inf; rank clamps to the number of valid
+    cells like the golden (`sorted[min(k, len-1)]`), 0 when the side is empty."""
+    big = jnp.float32(jnp.inf)
+
+    def side(winv, valid, rank):
+        valid = jnp.broadcast_to(valid, winv.shape)  # masks carry no batch dims
+        vals = jnp.where(valid, winv, big)
+        s = jnp.sort(vals, axis=-1)
+        nv = jnp.sum(valid, axis=-1).astype(jnp.int32)      # [..., N]
+        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, s.shape[-1] - 1)
+        got = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        return jnp.where(nv > 0, got, 0.0)
+
+    return side(lag_win, lag_valid, rank_lagg), side(lead_win, lead_valid, rank_lead)
+
+
+def _cash_stat(win, valid, sub_w, wmax):
+    """CASH per-side statistic: min over sliding sub-window means of size sub_w
+    within the (contiguous) valid cells of the reference window."""
+    v = jnp.where(valid, win, 0.0)
+    c = jnp.concatenate(
+        [jnp.zeros(v.shape[:-1] + (1,), v.dtype), jnp.cumsum(v, axis=-1)], axis=-1
+    )
+    cv = jnp.concatenate(
+        [
+            jnp.zeros(valid.shape[:-1] + (1,), jnp.int32),
+            jnp.cumsum(valid.astype(jnp.int32), axis=-1),
+        ],
+        axis=-1,
+    )
+    t = jnp.arange(wmax, dtype=jnp.int32)                  # sub-window start offsets
+    hi = jnp.clip(t + sub_w, 0, wmax)
+    sub_sum = jnp.take(c, hi, axis=-1) - jnp.take(c, t, axis=-1)
+    sub_cnt = jnp.take(cv, hi, axis=-1) - jnp.take(cv, t, axis=-1)
+    ok = (sub_cnt == sub_w) & (t + sub_w <= wmax)
+    means = jnp.where(ok, sub_sum / jnp.maximum(sub_w, 1).astype(v.dtype), jnp.inf)
+    est = jnp.min(means, axis=-1)
+    return jnp.where(jnp.isfinite(est), est, 0.0)
+
+
+def cfar_op(
+    mag: jnp.ndarray,
+    rt: RuntimeConfig,
+    cfg: CfarConfig = CfarConfig(),
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
+) -> CfarOutput:
+    """Run CFAR over the last axis of ``mag`` (float32 [..., N], N = elaborated
+    frame size). All runtime behaviour comes from traced scalars in ``rt``.
+
+    ``active_lo``/``active_hi`` (traced int32 scalars) bound the valid cell range in
+    *local* coordinates. They default to [0, runtime fftSize) — the register
+    semantics of a standalone frame. The range-sharded path
+    (``parallel.sharded``) passes the local-coordinate bounds of the global frame
+    so halo cells beyond the true frame edges are excluded from window statistics
+    exactly as at an unsharded edge."""
+    mag = mag.astype(jnp.float32)
+    n = mag.shape[-1]
+    n_active = jnp.minimum(rt.fft_size, n).astype(jnp.int32)
+    if active_lo is None:
+        active_lo = jnp.int32(0)
+    if active_hi is None:
+        active_hi = n_active
+    g = rt.guard_window_size.astype(jnp.int32)
+    w = jnp.minimum(rt.ref_window_size, cfg.max_ref_window).astype(jnp.int32)
+
+    variant = cfg.variant
+    has_ca = variant in (CfarVariant.CA, CfarVariant.GOSCA)
+    has_gos = variant in (CfarVariant.GOS, CfarVariant.GOSCA)
+    has_cash = cfg.include_cash
+
+    zero = jnp.zeros_like(mag)
+
+    if has_ca:
+        lag_sum, lead_sum = _ca_sums(mag, active_lo, active_hi, g, w)
+        div = jnp.exp2(rt.div_sum.astype(jnp.float32))
+        ca_lag, ca_lead = lag_sum / div, lead_sum / div
+    else:
+        ca_lag = ca_lead = zero
+
+    if has_gos or has_cash:
+        lag_win, lag_valid, lead_win, lead_valid = _gather_windows(
+            mag, active_lo, active_hi, g, w, cfg
+        )
+
+    if has_gos:
+        os_lag, os_lead = _gos_stats(
+            lag_win, lag_valid, lead_win, lead_valid, rt.index_lagg, rt.index_lead
+        )
+    else:
+        os_lag = os_lead = zero
+
+    # per-side statistic select (base+5 CA/GOS register, only if GOSCA elaborated)
+    if variant is CfarVariant.GOSCA:
+        use_gos = (rt.cfar_algorithm == 1)
+        side_lag = jnp.where(use_gos, os_lag, ca_lag)
+        side_lead = jnp.where(use_gos, os_lead, ca_lead)
+    elif variant is CfarVariant.GOS:
+        side_lag, side_lead = os_lag, os_lead
+    else:
+        side_lag, side_lead = ca_lag, ca_lead
+
+    def mode_ca(_):
+        return 0.5 * (side_lag + side_lead)
+
+    def mode_go(_):
+        return jnp.maximum(side_lag, side_lead)
+
+    def mode_so(_):
+        return jnp.minimum(side_lag, side_lead)
+
+    if has_cash:
+        def mode_cash(_):
+            sw = jnp.clip(rt.sub_window_size, cfg.min_sub_window, cfg.max_ref_window)
+            est_lag = _cash_stat(lag_win, lag_valid, sw, cfg.max_ref_window)
+            est_lead = _cash_stat(lead_win, lead_valid, sw, cfg.max_ref_window)
+            return jnp.maximum(est_lag, est_lead)
+    else:
+        mode_cash = mode_ca  # CASH not elaborated -> mode 3 degrades to CA
+
+    noise = jax.lax.switch(
+        jnp.clip(rt.cfar_mode, 0, 3), [mode_ca, mode_go, mode_so, mode_cash], None
+    )
+
+    # linear: multiplicative scaler; log domain: additive (SURVEY §2.5 —
+    # in log domain averaging becomes addition)
+    threshold = jnp.where(
+        rt.log_or_linear == 1,
+        noise * rt.threshold_scaler,
+        noise + rt.threshold_scaler,
+    )
+
+    cell = jnp.arange(n, dtype=jnp.int32)
+    active = (cell >= active_lo) & (cell < active_hi)
+    threshold = jnp.where(active, threshold, 0.0)
+    peaks = (mag > threshold) & active
+
+    # peak grouping (base+4): keep only local maxima of the magnitude; neighbors
+    # outside the valid cell range count as -inf (frame-edge semantics)
+    neg = jnp.float32(-jnp.inf)
+    left = jnp.concatenate([jnp.full(mag.shape[:-1] + (1,), neg), mag[..., :-1]], -1)
+    right = jnp.concatenate([mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), neg)], -1)
+    left = jnp.where(cell - 1 >= active_lo, left, neg)
+    right = jnp.where(cell + 1 < active_hi, right, neg)
+    grouped = peaks & (mag >= left) & (mag >= right)
+    peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
+
+    return CfarOutput(threshold=threshold, peaks=peaks, noise=noise, cut=mag)

@@ -1,0 +1,199 @@
+"""Preset chain topologies — the analogs of the reference's four chain tops and
+their elaboration Apps (SURVEY §2.8-2.11, §L6).
+
+| preset                     | reference top                                      |
+|----------------------------|----------------------------------------------------|
+| ``fft_mag_cfar_chain``     | ``FftMagCfarChainVanilla`` (FftMagCfarChain.scala:31-49) |
+| ``rsp_chain_vanilla``      | ``RspChainVanilla`` (RspChain.scala:39-61)         |
+| ``chain_with_mem``         | ``ChainWithMem`` + MemForTestingFFT ROM (FftMagCfarChainWithMem.scala:21-54) |
+| ``rx_fft_mag_cfar_tx_chain`` | ``RxFftMagCfarTxChain`` UART-looped top (RxFftCfarMagTxChain.scala:24-78) |
+| ``pulse_compression_chain``| BASELINE config 2 (north-star addition)            |
+| ``range_doppler_chain``    | BASELINE config 3 (flagship 2-D CPI chain)         |
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .chain import Chain, Stage
+from .configs import (
+    ChainConfig,
+    DopplerConfig,
+    FftConfig,
+    MatchedFilterConfig,
+    RuntimeConfig,
+)
+from .ops.cfar import cfar_op
+from .ops.doppler import doppler_fft
+from .ops.fft import fft_op
+from .ops.logmag import logmag
+from .ops.matched_filter import matched_filter
+from .ops.nco import nco
+from .ops.plfg import PlfgProgram, chirp_profile
+from . import packing
+
+
+# ---------------------------------------------------------------------------
+# stage factories
+# ---------------------------------------------------------------------------
+
+
+def fft_stage(cfg: ChainConfig) -> Stage:
+    return Stage("fft", lambda x, rt: fft_op(x, rt.log2_fft_size, cfg.fft))
+
+
+def mag_stage(cfg: ChainConfig) -> Stage:
+    return Stage("logmag", lambda x, rt: logmag(x, rt.mag_mode, cfg.mag))
+
+
+def cfar_stage(cfg: ChainConfig) -> Stage:
+    return Stage("cfar", lambda x, rt: cfar_op(x, rt, cfg.cfar), terminal=True)
+
+
+def matched_filter_stage(cfg: ChainConfig, taps: np.ndarray) -> Stage:
+    mf_cfg = cfg.matched_filter or MatchedFilterConfig()
+    taps_j = jnp.asarray(taps, jnp.complex64)
+    return Stage("matched_filter", lambda x, rt: matched_filter(x, taps_j, mf_cfg))
+
+
+def doppler_stage(cfg: ChainConfig) -> Stage:
+    dop_cfg = cfg.doppler or DopplerConfig()
+    return Stage("doppler_fft", lambda x, rt: doppler_fft(x, dop_cfg))
+
+
+def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
+    """Self-stimulus source: PLFG profile + NCO synthesis (``RspChain.scala:57``:
+    ``nco.freq := plfg.streamNode``). The compiled profile holds word offsets; the
+    runtime start value (base+5*bb register) is ``rt.nco_freq_word`` — a traced
+    scalar, so re-steering the chirp never recompiles."""
+    profile = jnp.asarray(chirp_profile(program, cfg.plfg))
+
+    def fn(_, rt: RuntimeConfig):
+        words = profile + rt.nco_freq_word.astype(jnp.float32)
+        return nco(words, cfg.nco, phase_offset=rt.phase_offset)
+
+    return Stage("plfg_nco", fn)
+
+
+# ---------------------------------------------------------------------------
+# preset chains
+# ---------------------------------------------------------------------------
+
+
+def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
+    """``process(iq) -> detections``: the reusable core subchain (SURVEY §2.9).
+    Input: complex [..., max_fft_size] frames. Output: ``CfarOutput``."""
+    cfg = cfg or ChainConfig()
+    return Chain(cfg, [fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
+
+
+def rsp_chain_vanilla(
+    cfg: Optional[ChainConfig] = None, program: Optional[PlfgProgram] = None
+) -> Chain:
+    """Full self-stimulus chain PLFG->NCO->FFT->MAG->CFAR (SURVEY §2.8). Call with
+    ``x = None``; the source generates the signal on-chip, as in the hardware
+    (``RspChain.scala:41-45,57-58``)."""
+    if cfg is None:
+        # the reference elaborates this chain in integer fixed point (binPoint = 0,
+        # RspChain.scala:118); enabling the fidelity mode by default also floors
+        # float numerical noise the way 16-bit truncation does in hardware, so a
+        # pure NCO tone doesn't scatter CFAR detections across the e-4 noise floor
+        from .configs import FixedPointConfig
+
+        cfg = ChainConfig(
+            fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=0)
+        )
+    if program is None:
+        # one constant-frequency chirp segment (<= 2^maxNumOfSamplesWidth samples),
+        # repeated to fill the frame — the repeatedChirpNums mechanism
+        # (RspChainVanillaTester.scala:91)
+        from .ops.plfg import Segment
+
+        seg = 1 << cfg.plfg.max_num_samples_width
+        reps = max(1, cfg.fft.max_size // seg)
+        program = PlfgProgram(
+            chirps=((Segment(num_samples=min(seg, cfg.fft.max_size)),),),
+            repeat_counts=(reps,),
+            chirp_ordinals=(0,),
+        )
+    return Chain(
+        cfg,
+        [plfg_nco_stage(cfg, program), fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)],
+    )
+
+
+def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] = None) -> Chain:
+    """ROM-stimulus test top (SURVEY §2.10): a stored three-tone+noise frame
+    (``MemForTestingFFT``'s tones at relative freqs 1/8, 1/4, 1/2 + noise,
+    ``MemForTesting.scala:27-40``) streamed into the core subchain."""
+    from .golden.fixtures import three_tone_signal
+
+    cfg = cfg or ChainConfig()
+    if rom is None:
+        rom = three_tone_signal(cfg.fft.max_size, shift_range_factor=13)
+    rom_j = jnp.asarray(rom, jnp.complex64)
+    mem = Stage("mem_rom", lambda _, rt: rom_j)
+    return Chain(cfg, [mem, fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
+
+
+def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
+    """Deployment/served top (SURVEY §2.11): packed 32-bit IQ beat words in ->
+    packed CFAR output words out, mirroring the UART-looped
+    ``RxFftMagCfarTxChain`` wire format end to end
+    (``RspChainTesterUtils.scala:105-109`` in; ``RspChainVanillaTester.scala:164-172`` out)."""
+    cfg = cfg or ChainConfig()
+    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq(words))
+    core = fft_mag_cfar_chain(cfg)
+
+    def tx(out, rt):
+        log2n = cfg.fft.log2_max  # word layout uses the elaborated bin width
+        return packing.pack_cfar_words(out.threshold, out.peaks, log2n)
+
+    return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
+
+
+def pulse_compression_chain(
+    cfg: Optional[ChainConfig] = None, taps: Optional[np.ndarray] = None
+) -> Chain:
+    """BASELINE config 2: matched filter -> range FFT -> logmag -> CFAR, per pulse."""
+    cfg = cfg or ChainConfig(
+        fft=FftConfig(max_size=4096),
+        matched_filter=MatchedFilterConfig(fft_size=4096),
+    )
+    if taps is None:
+        from .golden.fixtures import lfm_chirp
+
+        taps = lfm_chirp(cfg.matched_filter.num_taps if cfg.matched_filter else 128)
+    return Chain(
+        cfg,
+        [matched_filter_stage(cfg, taps), fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)],
+    )
+
+
+def range_doppler_chain(
+    cfg: Optional[ChainConfig] = None, taps: Optional[np.ndarray] = None
+) -> Chain:
+    """BASELINE config 3 (flagship): per-CPI 2-D processing.
+
+    Input: complex CPI blocks [..., P, N] (P pulses slow time, N fast-time range
+    samples). Pipeline: matched filter (range) -> Doppler FFT (pulses) -> logmag ->
+    CFAR along range per Doppler bin. One jitted program per CPI."""
+    cfg = cfg or ChainConfig(doppler=DopplerConfig())
+    if taps is None:
+        from .golden.fixtures import lfm_chirp
+
+        n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
+        taps = lfm_chirp(n_taps)
+    return Chain(
+        cfg,
+        [
+            matched_filter_stage(cfg, taps),
+            doppler_stage(cfg),
+            mag_stage(cfg),
+            cfar_stage(cfg),
+        ],
+    )

@@ -1,0 +1,180 @@
+"""CFAR tests: every variant x mode against the golden model, runtime
+reconfiguration, frame masking, packing (register semantics: SURVEY §2.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.configs import (
+    CfarAlgorithm,
+    CfarConfig,
+    CfarMode,
+    CfarVariant,
+    RuntimeConfig,
+)
+from rsp_chains_tpu.ops.cfar import cfar_op
+from rsp_chains_tpu.golden import cfar_golden
+
+
+def _mag(rng, n=256):
+    m = np.abs(rng.randn(n)) * 10 + 1
+    m[40] = 500.0  # a clear target
+    m[41] = 300.0
+    m[200] = 400.0
+    return m.astype(np.float32)
+
+
+CA_CASES = [
+    (CfarMode.CELL_AVERAGING, dict()),
+    (CfarMode.GREATEST_OF, dict()),
+    (CfarMode.SMALLEST_OF, dict()),
+]
+
+
+@pytest.mark.parametrize("mode,extra", CA_CASES)
+@pytest.mark.parametrize("w,g", [(16, 2), (32, 4), (8, 1)])
+def test_ca_family_matches_golden(mode, extra, w, g, rng):
+    mag = _mag(rng)
+    cfg = CfarConfig(max_ref_window=32, max_guard_window=8,
+                     variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode, ref_window_size=w,
+                            guard_window_size=g, threshold_scaler=3.5, **extra)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(
+        mag, ref_window=w, guard_window=g, threshold_scaler=3.5,
+        mode=int(mode), algorithm=0, div_sum=int(np.log2(w)),
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+@pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
+                                  CfarMode.SMALLEST_OF])
+@pytest.mark.parametrize("rank", [3, 12, 24])
+def test_gos_matches_golden(mode, rank, rng):
+    mag = _mag(rng)
+    w, g = 32, 4
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.GOS, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode,
+                            cfar_algorithm=CfarAlgorithm.GOS,
+                            ref_window_size=w, guard_window_size=g,
+                            index_lagg=rank, index_lead=rank, threshold_scaler=3.0)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(
+        mag, ref_window=w, guard_window=g, threshold_scaler=3.0,
+        mode=int(mode), algorithm=1, index_lagg=rank, index_lead=rank,
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+@pytest.mark.parametrize("sw", [4, 8])
+def test_cash_matches_golden(sw, rng):
+    mag = _mag(rng)
+    w, g = 32, 4
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA, include_cash=True)
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=CfarMode.CASH,
+                            ref_window_size=w, guard_window_size=g,
+                            sub_window_size=sw, threshold_scaler=3.0)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(
+        mag, ref_window=w, guard_window=g, threshold_scaler=3.0,
+        mode=3, sub_window=sw,
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_gosca_runtime_algorithm_switch(rng):
+    """GOSCA variant: the base+5 register switches CA vs GOS at runtime
+    (RspChainVanillaTester.scala:124-132) without recompilation."""
+    mag = _mag(rng)
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.GOSCA, include_cash=False)
+    f = jax.jit(lambda m, rt: cfar_op(m, rt, cfg))
+    mj = jnp.asarray(mag)
+    rt_ca = RuntimeConfig.make(fft_size=256, cfar_algorithm=CfarAlgorithm.CA,
+                               ref_window_size=16, guard_window_size=2)
+    rt_gos = RuntimeConfig.make(fft_size=256, cfar_algorithm=CfarAlgorithm.GOS,
+                                ref_window_size=16, guard_window_size=2,
+                                index_lagg=8, index_lead=8)
+    out_ca = f(mj, rt_ca)
+    out_gos = f(mj, rt_gos)
+    assert f._cache_size() == 1
+    thr_ca, _ = cfar_golden(mag, ref_window=16, guard_window=2, threshold_scaler=3.5,
+                            mode=0, algorithm=0, div_sum=4)
+    thr_gos, _ = cfar_golden(mag, ref_window=16, guard_window=2, threshold_scaler=3.5,
+                             mode=0, algorithm=1, index_lagg=8, index_lead=8)
+    np.testing.assert_allclose(np.asarray(out_ca.threshold), thr_ca, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_gos.threshold), thr_gos, rtol=1e-5, atol=1e-3)
+
+
+def test_runtime_fft_size_masks_frame(rng):
+    """The cfar base+0 fftSize register: cells beyond the active size produce no
+    output and are never read by windows."""
+    n, n_active = 256, 128
+    mag = _mag(rng, n)
+    mag[n_active:] = 1e9  # poison inactive region
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n_active, ref_window_size=16, guard_window_size=2)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(mag[:n_active], ref_window=16, guard_window=2,
+                              threshold_scaler=3.5, mode=0, div_sum=4)
+    np.testing.assert_allclose(np.asarray(out.threshold)[:n_active], thr_g,
+                               rtol=1e-5, atol=1e-3)
+    assert np.all(np.asarray(out.threshold)[n_active:] == 0)
+    assert not np.any(np.asarray(out.peaks)[n_active:])
+
+
+def test_peak_grouping(rng):
+    mag = _mag(rng)
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2,
+                            peak_grouping=1)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    _, pk_g = cfar_golden(mag, ref_window=16, guard_window=2, threshold_scaler=3.5,
+                          mode=0, div_sum=4, peak_grouping=1)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+    # bin 41 (shoulder of the 500-peak at bin 40) must be grouped away
+    assert not np.asarray(out.peaks)[41]
+
+
+def test_log_domain_additive_threshold(rng):
+    mag = np.log2(_mag(rng)).astype(np.float32)
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2,
+                            log_or_linear=0, threshold_scaler=2.0)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(mag, ref_window=16, guard_window=2,
+                              threshold_scaler=2.0, mode=0, div_sum=4,
+                              log_or_linear=0)
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_batched_matches_per_row(rng):
+    mags = np.stack([_mag(rng), _mag(rng) * 2, np.abs(rng.randn(256)) + 1]).astype(np.float32)
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.GOSCA, include_cash=True)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2)
+    out = cfar_op(jnp.asarray(mags), rt, cfg)
+    for i in range(3):
+        row = cfar_op(jnp.asarray(mags[i]), rt, cfg)
+        np.testing.assert_allclose(np.asarray(out.threshold[i]),
+                                   np.asarray(row.threshold), rtol=1e-6)
+
+
+def test_runtime_validation_requires():
+    """Ported require() constraints (RspChainVanillaTester.scala:50-61)."""
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(ref_window_size=33)  # not a power of two
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(ref_window_size=4, guard_window_size=8)  # ref <= guard
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(fft_size=1000)  # not a power of two
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(ref_window_size=16, index_lead=16)  # rank >= window
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(ref_window_size=16, sub_window_size=16)
+    with pytest.raises(ValueError):
+        RuntimeConfig.make(ref_window_size=128,
+                           validate_against=CfarConfig(max_ref_window=64))

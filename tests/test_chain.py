@@ -1,0 +1,117 @@
+"""End-to-end chain tests — the analog of the reference's two chain specs, with
+hard asserts the reference lacks (SURVEY §4).
+
+The canonical vector: 1024 samples, three complex tones at f = 1/8, 1/4, 1/2 +
+noise (FftMagCfarChainTester.scala:53) => detections at bins 128, 256, 512."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rsp_chains_tpu import (
+    ChainConfig,
+    CfarConfig,
+    CfarVariant,
+    FftConfig,
+    RuntimeConfig,
+    chain_with_mem,
+    fft_mag_cfar_chain,
+    rx_fft_mag_cfar_tx_chain,
+)
+from rsp_chains_tpu.golden import three_tone_signal, fft_golden, jpl_mag, cfar_golden
+from rsp_chains_tpu import packing
+
+
+def _canonical_cfg():
+    return ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+
+
+def _canonical_rt():
+    # RunTimeRspChainParams defaults (RspChainVanillaTester.scala:35-62)
+    return RuntimeConfig.make(
+        fft_size=1024, ref_window_size=32, guard_window_size=4,
+        threshold_scaler=3.5, div_sum=5, mag_mode=2, log_or_linear=1,
+    )
+
+
+def test_fft_mag_cfar_three_tones_detects_expected_bins():
+    cfg = _canonical_cfg()
+    chain = fft_mag_cfar_chain(cfg)
+    iq = three_tone_signal(1024, shift_range_factor=12)  # binPoint-12 chain scale
+    out = chain.jit()(jnp.asarray(iq, jnp.complex64), _canonical_rt())
+    peaks = np.asarray(out.peaks)
+    for b in (128, 256, 512):
+        assert peaks[b], f"expected detection at bin {b}"
+    # detections are sparse: tones + at most a few noise crossings
+    assert peaks.sum() < 30
+
+
+def test_chain_matches_golden_pipeline():
+    """The full chain output equals golden(FFT/N -> jpl -> CA-CFAR)."""
+    cfg = _canonical_cfg()
+    chain = fft_mag_cfar_chain(cfg)
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    out = chain.jit()(jnp.asarray(iq, jnp.complex64), _canonical_rt())
+
+    spec = fft_golden(iq, scaling="div_n")
+    mag = jpl_mag(spec)
+    thr_g, pk_g = cfar_golden(mag, ref_window=32, guard_window=4,
+                              threshold_scaler=3.5, mode=0, div_sum=5)
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g, rtol=1e-3, atol=0.5)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_chain_with_mem_rom_stimulus():
+    """ChainWithMem analog: stored three-tone ROM (MemForTesting.scala:27-40)."""
+    cfg = _canonical_cfg()
+    chain = chain_with_mem(cfg)
+    out = chain.jit()(None, _canonical_rt())
+    peaks = np.asarray(out.peaks)
+    for b in (128, 256, 512):
+        assert peaks[b]
+
+
+def test_rx_tx_packed_wire_format():
+    """Served topology: 32-bit IQ beats in -> 32-bit CFAR words out, decode
+    contract at RspChainVanillaTester.scala:164-172."""
+    cfg = _canonical_cfg()
+    chain = rx_fft_mag_cfar_tx_chain(cfg)
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    words_in = packing.pack_iq(jnp.asarray(iq, jnp.complex64))
+    words_out = np.asarray(chain.jit()(words_in, _canonical_rt()))
+    thr, bins, pk = packing.unpack_cfar_words(words_out, 10)
+    for b in (128, 256, 512):
+        assert pk[b] == 1
+    np.testing.assert_array_equal(bins, np.arange(1024) & 0x3FF)
+
+
+def test_chain_nesting_composition():
+    """Chains nest by concatenation like NodeHandle chains (SURVEY §2.9->§2.11)."""
+    from rsp_chains_tpu.chain import Chain, Stage
+    from rsp_chains_tpu.presets import fft_stage, mag_stage
+
+    cfg = _canonical_cfg()
+    front = Chain(cfg, [fft_stage(cfg)])
+    back = Chain(cfg, [mag_stage(cfg)])
+    nested = front + back
+    assert nested.stage_names == ("fft", "logmag")
+    iq = jnp.asarray(three_tone_signal(1024), jnp.complex64)
+    rt = _canonical_rt()
+    a = nested(iq, rt)
+    b = back(front(iq, rt), rt)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_batched_frames():
+    """Multi-channel / multi-pulse batching: [channels, pulses, N] frames."""
+    cfg = _canonical_cfg()
+    chain = fft_mag_cfar_chain(cfg)
+    iq = np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s)
+                   for s in (1, 2, 3, 4)]).reshape(2, 2, 1024)
+    out = chain.jit()(jnp.asarray(iq, jnp.complex64), _canonical_rt())
+    assert out.peaks.shape == (2, 2, 1024)
+    assert np.all(np.asarray(out.peaks)[..., 256])

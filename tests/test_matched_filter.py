@@ -1,0 +1,79 @@
+"""Matched filter / pulse compression + Doppler tests (BASELINE configs 2-3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.configs import DopplerConfig, MatchedFilterConfig
+from rsp_chains_tpu.ops.matched_filter import matched_filter, overlap_save_fir
+from rsp_chains_tpu.ops.doppler import doppler_fft
+from rsp_chains_tpu.golden import (
+    lfm_chirp, chirp_with_targets, matched_filter_golden, range_doppler_golden,
+)
+
+
+def test_matched_filter_peak_at_delay():
+    chirp = lfm_chirp(128, 0.0, 0.25)
+    n = 1024
+    delay = 300
+    x = np.zeros(n, np.complex128)
+    x[delay:delay + 128] = chirp
+    y = np.asarray(matched_filter(jnp.asarray(x, jnp.complex64),
+                                  jnp.asarray(chirp, jnp.complex64)))
+    assert np.argmax(np.abs(y)) == delay
+
+
+def test_matched_filter_matches_golden_circular():
+    chirp = lfm_chirp(64)
+    rng = np.random.RandomState(0)
+    x = (rng.randn(2, 512) + 1j * rng.randn(2, 512)).astype(np.complex64)
+    got = np.asarray(matched_filter(jnp.asarray(x), jnp.asarray(chirp, jnp.complex64),
+                                    MatchedFilterConfig(normalize=False)))
+    want = matched_filter_golden(x, chirp, mode="circular")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("t,m,b", [(1000, 33, 256), (4096, 128, None), (700, 16, 128)])
+def test_overlap_save_matches_direct_convolution(t, m, b):
+    rng = np.random.RandomState(1)
+    x = (rng.randn(t) + 1j * rng.randn(t)).astype(np.complex64)
+    taps = (rng.randn(m) + 1j * rng.randn(m)).astype(np.complex64)
+    got = np.asarray(overlap_save_fir(jnp.asarray(x), jnp.asarray(taps), b))
+    want = np.convolve(x, taps, mode="full")[:t]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2 * np.sqrt(m))
+
+
+def test_overlap_save_batched():
+    rng = np.random.RandomState(2)
+    x = (rng.randn(3, 500) + 1j * rng.randn(3, 500)).astype(np.complex64)
+    taps = (rng.randn(17) + 1j * rng.randn(17)).astype(np.complex64)
+    got = np.asarray(overlap_save_fir(jnp.asarray(x), jnp.asarray(taps)))
+    for i in range(3):
+        want = np.convolve(x[i], taps, mode="full")[:500]
+        np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=0.1)
+
+
+def test_doppler_fft_matches_golden():
+    chirp = lfm_chirp(64)
+    cpi = chirp_with_targets(64, 256, chirp, [(50, 1.0, 0.125)], noise_db=-60)
+    cfg = DopplerConfig(num_pulses=64, window="hann", fft_shift=True)
+    got = np.asarray(doppler_fft(jnp.asarray(cpi, jnp.complex64), cfg))
+    from rsp_chains_tpu.ops.windows import window
+    w = window("hann", 64).astype(np.float64)
+    rng_fft = cpi * w[:, None]
+    want = np.fft.fftshift(np.fft.fft(rng_fft, axis=0) / 64, axes=0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_doppler_target_lands_on_expected_bin():
+    chirp = lfm_chirp(64)
+    fd = 0.125  # cycles/pulse -> bin P*fd above center after fftshift
+    p = 64
+    cpi = chirp_with_targets(p, 256, chirp, [(50, 1.0, fd)], noise_db=-80)
+    mf = np.asarray(matched_filter(jnp.asarray(cpi, jnp.complex64),
+                                   jnp.asarray(chirp, jnp.complex64)))
+    dop = np.asarray(doppler_fft(jnp.asarray(mf), DopplerConfig(num_pulses=p, window=None)))
+    mag = np.abs(dop)
+    pulse_bin, range_bin = np.unravel_index(np.argmax(mag), mag.shape)
+    assert range_bin == 50
+    assert pulse_bin == p // 2 + int(fd * p)

@@ -1,0 +1,101 @@
+"""Self-stimulus chain (RspChainVanilla analog): PLFG->NCO->FFT->MAG->CFAR.
+
+Spectral contract: start value s => peak at FFT bin s * N / (4 * tableSize)
+(comment at RspChainVanillaTester.scala:85; s=16, N=1024, tableSize=128 -> bin 32)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu import (
+    ChainConfig, CfarConfig, CfarVariant, FftConfig, NcoConfig, RuntimeConfig,
+    rsp_chain_vanilla,
+)
+from rsp_chains_tpu.ops.nco import nco
+from rsp_chains_tpu.ops.plfg import PlfgProgram, Segment, chirp_profile, lfm_program
+from rsp_chains_tpu.golden import nco_golden
+from rsp_chains_tpu.configs import PlfgConfig
+
+
+def _cfg():
+    return ChainConfig(
+        nco=NcoConfig(table_size=128, phase_width=9),
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA, include_cash=False),
+    )
+
+
+def test_nco_quantized_matches_golden():
+    """Bit-faithful LUT path vs the reference NCO golden
+    (RspChainTesterUtils.scala:174-181): tone at bin 32 of a 1024-pt frame."""
+    cfg = NcoConfig(table_size=128, phase_width=9, quantized_lut=True)
+    # bin 32 <=> word 16: phase step 16/512 = 32/1024 cycles
+    words = jnp.full((1024,), 16.0, jnp.float32)
+    got = np.asarray(nco(words, cfg))
+    want = nco_golden(1024, 32, 1024)
+    np.testing.assert_allclose(got.real, want.real, atol=2)  # +/-2 LSB tolerance
+    np.testing.assert_allclose(got.imag, want.imag, atol=2)
+
+
+def test_nco_float_path_spectral_purity():
+    cfg = NcoConfig(table_size=128, phase_width=9, quantized_lut=False)
+    words = jnp.full((1024,), 16.0, jnp.float32)
+    x = np.asarray(nco(words, cfg))
+    spec = np.abs(np.fft.fft(x))
+    assert np.argmax(spec) == 32
+
+
+@pytest.mark.parametrize("start", [8, 16, 64])
+def test_self_stimulus_peak_bin_contract(start):
+    cfg = _cfg()
+    chain = rsp_chain_vanilla(cfg)
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=3.5, div_sum=5, nco_freq_word=start)
+    out = chain.jit()(None, rt)
+    expected_bin = start * 1024 // (4 * 128)
+    peaks = np.asarray(out.peaks)
+    assert peaks[expected_bin], f"expected peak at bin {expected_bin}"
+    # runtime re-steer (different start value) must not recompile
+    rt2 = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                             threshold_scaler=3.5, div_sum=5,
+                             nco_freq_word=start * 2 if start < 64 else 32)
+    chain.jit()(None, rt2)
+    assert chain.jit()._cache_size() == 1
+
+
+def test_plfg_profile_compiler():
+    """Frames -> chirps -> segments sequencing (register semantics,
+    RspChainVanillaTester.scala:80-94)."""
+    prog = PlfgProgram(
+        chirps=((Segment(4, 0.0), Segment(4, 1.0)), (Segment(8, -0.5),)),
+        repeat_counts=(2, 1),
+        chirp_ordinals=(0, 1),
+        num_frames=2,
+    )
+    prof = chirp_profile(prog, PlfgConfig(max_num_samples_width=8))
+    # chirp0: 4 zeros then ramp 0..3 (level carries): [0,0,0,0, 0,1,2,3]
+    chirp0 = np.array([0, 0, 0, 0, 0, 1, 2, 3], np.float32)
+    chirp1 = -0.5 * np.arange(8, dtype=np.float32)
+    frame = np.concatenate([chirp0, chirp0, chirp1])
+    np.testing.assert_allclose(prof, np.tile(frame, 2))
+
+
+def test_plfg_validation():
+    cfg = PlfgConfig(max_num_segments=2)
+    bad = PlfgProgram(chirps=((Segment(4), Segment(4), Segment(4)),))
+    with pytest.raises(ValueError):
+        bad.validate(cfg)
+
+
+def test_lfm_chirp_spectrum_spreads():
+    """An LFM program sweeps energy across bins (pulse compression front end)."""
+    cfg = _cfg()
+    prog = lfm_program(1024, sweep_words=64.0)
+    chain = rsp_chain_vanilla(cfg, prog)
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=10.0, div_sum=5, nco_freq_word=16)
+    out = chain.jit()(None, rt)
+    # chirp energy spread: no single dominant CFAR detection cluster
+    spec_occupancy = (np.asarray(out.noise) > 0).sum()
+    assert spec_occupancy > 100
