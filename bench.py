@@ -1,0 +1,86 @@
+"""Headline benchmark: Msamples/s/chip through the FFT + logmag + CA-CFAR chain.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline proxy: the reference publishes no numbers (README "Work in progress");
+its architectural throughput is 1 complex sample/cycle/chain (SDF pipeline with
+1-beat/cycle handshake, SURVEY §6). At a representative 250 MHz FPGA clock that is
+250 Msamples/s/chain, which we use as ``vs_baseline`` denominator.
+
+Run on the real TPU chip (default platform). Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MSPS = 250.0  # SDF chain @ 250 MHz, 1 sample/cycle (proxy)
+
+
+def _timeit(fn, *args, iters=50, warmup=5):
+    """Per-call blocking timing. NOTE: on the axon relay platform, queueing N
+    dispatches and blocking only the last under-reports wall time — block every
+    call."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rsp_chains_tpu import (
+        CfarConfig,
+        CfarVariant,
+        ChainConfig,
+        FftConfig,
+        RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    channels, pulses, n = 16, 256, 1024
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                        include_cash=False, max_fft_size=n),
+    )
+    chain = fft_mag_cfar_chain(cfg)
+    f = chain.jit()
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        (rng.randn(channels, pulses, n) + 1j * rng.randn(channels, pulses, n)),
+        jnp.complex64,
+    )
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=3.5, div_sum=5)
+
+    dt = _timeit(lambda a: f(a, rt).threshold, x)
+    samples = channels * pulses * n
+    msps = samples / dt / 1e6
+    print(f"fft+mag+cfar: {dt*1e3:.3f} ms / {samples} samples", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fft_mag_cfar_chain_throughput",
+        "value": round(msps, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / BASELINE_MSPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

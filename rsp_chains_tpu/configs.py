@@ -254,6 +254,7 @@ class CfarConfig:
     include_cash: bool = True
     min_sub_window: int = 2
     send_cut: bool = False       # pack CUT value instead of bin index in out words
+    emit_noise: bool = False     # also emit the pre-scaler noise estimate array
     edge_policy: EdgePolicy = EdgePolicy.PARTIAL
     threshold_bin_point: int = 3  # protoThreshold FixedPoint(16, 3.BP) (":230")
     scaler_bin_point: int = 6     # protoScaler FixedPoint(16, 6.BP) (":231")

@@ -45,12 +45,16 @@ from ..configs import CfarConfig, CfarVariant, RuntimeConfig
 
 class CfarOutput(NamedTuple):
     """Per-bin CFAR result, the array analog of the 32-bit
-    ``{threshold | bin | peak}`` output beats (``RspChainVanillaTester.scala:164-172``)."""
+    ``{threshold | bin | peak}`` output beats (``RspChainVanillaTester.scala:164-172``).
 
-    threshold: jnp.ndarray  # float32 [..., N]
-    peaks: jnp.ndarray      # bool    [..., N]
-    noise: jnp.ndarray      # float32 [..., N] — pre-scaler noise estimate
-    cut: jnp.ndarray        # float32 [..., N] — cell under test (sendCut support)
+    ``noise`` / ``cut`` are ``None`` unless elaborated in (``CfarConfig.emit_noise``
+    / ``send_cut``): every emitted array is an HBM write per frame, and the chain
+    is bandwidth-bound — emit only what the deployment consumes."""
+
+    threshold: jnp.ndarray         # float32 [..., N]
+    peaks: jnp.ndarray             # bool    [..., N]
+    noise: jnp.ndarray | None = None  # float32 [..., N] — pre-scaler noise estimate
+    cut: jnp.ndarray | None = None    # float32 [..., N] — cell under test (sendCut)
 
 
 def _gather_windows(mag, lo, hi, g, w, cfg: CfarConfig):
@@ -249,4 +253,9 @@ def cfar_op(
     grouped = peaks & (mag >= left) & (mag >= right)
     peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
 
-    return CfarOutput(threshold=threshold, peaks=peaks, noise=noise, cut=mag)
+    return CfarOutput(
+        threshold=threshold,
+        peaks=peaks,
+        noise=noise if cfg.emit_noise else None,
+        cut=mag if cfg.send_cut else None,
+    )

@@ -65,8 +65,17 @@ def cfar_halo_shard(
     active_lo = jnp.clip(halo - start, 0, n_ext).astype(jnp.int32)
     active_hi = jnp.clip(rt.fft_size - start + halo, 0, n_ext).astype(jnp.int32)
     out = cfar_op(ext, rt, cfg, active_lo=active_lo, active_hi=active_hi)
-    sl = lambda a: a[..., halo : halo + n_loc]
+    sl = lambda a: None if a is None else a[..., halo : halo + n_loc]
     return CfarOutput(sl(out.threshold), sl(out.peaks), sl(out.noise), sl(out.cut))
+
+
+def _cfar_out_specs(cfg: CfarConfig, spec):
+    """shard_map out_specs matching CfarOutput's elaborated emission set."""
+    return CfarOutput(
+        spec, spec,
+        spec if cfg.emit_noise else None,
+        spec if cfg.send_cut else None,
+    )
 
 
 def range_sharded_mag_cfar(cfg: ChainConfig, mesh: jax.sharding.Mesh):
@@ -82,7 +91,7 @@ def range_sharded_mag_cfar(cfg: ChainConfig, mesh: jax.sharding.Mesh):
         sm = jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(spec, P()),
-            out_specs=CfarOutput(spec, spec, spec, spec),
+            out_specs=_cfar_out_specs(cfg.cfar, spec),
             check_vma=False,
         )
         return sm(spectrum, rt)
@@ -137,7 +146,46 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
         sm = jax.shard_map(
             tail, mesh=mesh,
             in_specs=(spec, P()),
-            out_specs=CfarOutput(spec, spec, spec, spec),
+            out_specs=_cfar_out_specs(cfg.cfar, spec),
+            check_vma=False,
+        )
+        return sm(y, rt)
+
+    return jax.jit(step)
+
+
+def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
+    """Flagship multi-chip step: the 2-D range-Doppler chain over a (ch, rng) mesh
+    in ONE jitted program (BASELINE configs 3-5).
+
+    Input x: [C, P, N] CPI blocks (C channels, P pulses, N fast-time samples),
+    sharded over ``ch``. Per-channel stages (matched filter, Doppler FFT) run with
+    zero communication; a sharding constraint scatters the range axis over ``rng``
+    (XLA emits the ICI all-to-all); the CFAR tail runs under shard_map with
+    ppermute halo exchange at shard edges."""
+    from ..ops.doppler import doppler_fft
+    from ..ops.matched_filter import matched_filter
+
+    taps = jnp.asarray(taps, jnp.complex64)
+    mf_cfg = cfg.matched_filter
+    dop_cfg = cfg.doppler
+
+    def step(x, rt: RuntimeConfig):
+        y = matched_filter(x, taps, mf_cfg) if mf_cfg is not None else x
+        if dop_cfg is not None:
+            y = doppler_fft(y, dop_cfg)
+        nb = y.ndim - 1
+        spec = P(CHANNEL_AXIS, *([None] * (nb - 1)), RANGE_AXIS)
+        y = lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
+
+        def tail(y_local, rt_):
+            mag = logmag(y_local, rt_.mag_mode, cfg.mag)
+            return cfar_halo_shard(mag, rt_, cfg.cfar)
+
+        sm = jax.shard_map(
+            tail, mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=_cfar_out_specs(cfg.cfar, spec),
             check_vma=False,
         )
         return sm(y, rt)

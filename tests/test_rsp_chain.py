@@ -96,6 +96,7 @@ def test_lfm_chirp_spectrum_spreads():
     rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
                             threshold_scaler=10.0, div_sum=5, nco_freq_word=16)
     out = chain.jit()(None, rt)
-    # chirp energy spread: no single dominant CFAR detection cluster
-    spec_occupancy = (np.asarray(out.noise) > 0).sum()
+    # chirp energy spread: the noise-estimate-driven threshold is nonzero across
+    # a wide swath of bins (tone would concentrate it)
+    spec_occupancy = (np.asarray(out.threshold) > 0).sum()
     assert spec_occupancy > 100

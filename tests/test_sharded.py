@@ -1,0 +1,136 @@
+"""Sharded execution tests on the 8-device virtual CPU mesh: every sharded path
+must equal its unsharded op (SURVEY §4: the multi-chip coverage the reference
+lacks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu import (
+    CfarAlgorithm, CfarConfig, CfarMode, CfarVariant, ChainConfig, DopplerConfig,
+    FftConfig, MatchedFilterConfig, RuntimeConfig, fft_mag_cfar_chain,
+)
+from rsp_chains_tpu.golden import three_tone_signal, lfm_chirp
+from rsp_chains_tpu.ops.cfar import cfar_op
+from rsp_chains_tpu.ops.logmag import logmag
+from rsp_chains_tpu.parallel import (
+    make_mesh, make_sharded_pipeline, range_sharded_fir, range_sharded_mag_cfar,
+    channel_sharded,
+)
+from rsp_chains_tpu.parallel.sharded import make_sharded_rd_pipeline
+
+
+def _cfg(variant=CfarVariant.GOSCA, cash=True):
+    return ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8, variant=variant,
+                        include_cash=cash),
+    )
+
+
+def _rt(**kw):
+    base = dict(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                threshold_scaler=3.5, div_sum=5)
+    base.update(kw)
+    return RuntimeConfig.make(**base)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(channels=2, range_shards=4)
+
+
+@pytest.mark.parametrize("rtkw", [
+    dict(),
+    dict(cfar_mode=CfarMode.GREATEST_OF),
+    dict(cfar_algorithm=CfarAlgorithm.GOS, index_lagg=16, index_lead=16),
+    dict(cfar_mode=CfarMode.CASH, sub_window_size=8),
+    dict(fft_size=512),  # runtime frame shrink across shard boundaries
+])
+def test_range_sharded_mag_cfar_equals_unsharded(mesh8, rtkw):
+    cfg = _cfg()
+    rt = _rt(**rtkw)
+    rng = np.random.RandomState(3)
+    spec = (rng.randn(2, 1024) + 1j * rng.randn(2, 1024)).astype(np.complex64)
+
+    sharded = range_sharded_mag_cfar(cfg, mesh8)
+    out_s = sharded(jnp.asarray(spec), rt)
+
+    mag = logmag(jnp.asarray(spec), rt.mag_mode, cfg.mag)
+    out_u = cfar_op(mag, rt, cfg.cfar)
+
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
+
+
+def test_full_sharded_pipeline_equals_chain(mesh8):
+    cfg = _cfg()
+    rt = _rt()
+    iq = np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s)
+                   for s in (1, 2)]).astype(np.complex64)
+    pipe = make_sharded_pipeline(cfg, mesh8)
+    out_s = pipe(jnp.asarray(iq), rt)
+    out_u = fft_mag_cfar_chain(cfg).jit()(jnp.asarray(iq), rt)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
+
+
+def test_range_sharded_fir_equals_convolution(mesh8):
+    rng = np.random.RandomState(5)
+    x = (rng.randn(2, 2048) + 1j * rng.randn(2, 2048)).astype(np.complex64)
+    taps = (rng.randn(33) + 1j * rng.randn(33)).astype(np.complex64)
+    f = range_sharded_fir(taps, mesh8)
+    got = np.asarray(f(jnp.asarray(x)))
+    for i in range(2):
+        want = np.convolve(x[i], taps, mode="full")[:2048]
+        np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=0.1)
+
+
+def test_channel_sharded_chain(mesh8):
+    cfg = _cfg()
+    rt = _rt()
+    iq = np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s)
+                   for s in range(2)]).astype(np.complex64)
+    chain = fft_mag_cfar_chain(cfg)
+    f = channel_sharded(chain.__call__, mesh8, batch_ndim=1)
+    out = f(jnp.asarray(iq), rt)
+    out_u = chain.jit()(jnp.asarray(iq), rt)
+    np.testing.assert_allclose(np.asarray(out.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_rd_pipeline_runs_and_matches(mesh8):
+    n_range, p = 1024, 16
+    chirp = lfm_chirp(64, 0.0, 0.25)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n_range),
+        matched_filter=MatchedFilterConfig(num_taps=64, fft_size=n_range),
+        doppler=DopplerConfig(num_pulses=p),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8,
+                        variant=CfarVariant.GOSCA, include_cash=True),
+    )
+    rt = _rt(threshold_scaler=8.0)
+    rng = np.random.RandomState(7)
+    x = (rng.randn(2, p, n_range) + 1j * rng.randn(2, p, n_range)).astype(np.complex64)
+
+    pipe = make_sharded_rd_pipeline(cfg, mesh8, chirp)
+    out_s = pipe(jnp.asarray(x), rt)
+
+    from rsp_chains_tpu import range_doppler_chain
+    out_u = range_doppler_chain(cfg, taps=chirp).jit()(jnp.asarray(x), rt)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.peaks.shape == args[0].shape
+
+    ge.dryrun_multichip(8)
