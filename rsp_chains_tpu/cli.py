@@ -1,0 +1,145 @@
+"""CLI — the analog of the reference's elaboration ``App`` objects (SURVEY §L6):
+named presets that build, jit, and run a chain, plus the debug register-poke role
+of jtag2mm (SURVEY §2.7) via --set runtime overrides.
+
+Usage examples:
+    python -m rsp_chains_tpu.cli run --preset fft_mag_cfar --input iq.npy
+    python -m rsp_chains_tpu.cli run --preset rsp_vanilla --set nco_freq_word=32
+    python -m rsp_chains_tpu.cli selftest
+    python -m rsp_chains_tpu.cli bench --preset fft_mag_cfar
+    python -m rsp_chains_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+PRESETS = ("fft_mag_cfar", "rsp_vanilla", "chain_with_mem", "rx_tx",
+           "pulse_compression", "range_doppler")
+
+
+def _build_chain(preset: str):
+    from . import presets as P
+
+    return {
+        "fft_mag_cfar": P.fft_mag_cfar_chain,
+        "rsp_vanilla": P.rsp_chain_vanilla,
+        "chain_with_mem": P.chain_with_mem,
+        "rx_tx": P.rx_fft_mag_cfar_tx_chain,
+        "pulse_compression": P.pulse_compression_chain,
+        "range_doppler": P.range_doppler_chain,
+    }[preset]()
+
+
+def _runtime(overrides: list[str]):
+    from .configs import RuntimeConfig
+
+    kw = {}
+    for ov in overrides:
+        k, _, v = ov.partition("=")
+        kw[k] = float(v) if "." in v else int(v)
+    return RuntimeConfig.make(**kw)
+
+
+def cmd_info(args):
+    import jax
+
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    from .io import native
+
+    native._load()
+    print(f"native packing: {'C++' if native.HAVE_NATIVE else 'numpy fallback'}")
+    print(f"presets: {', '.join(PRESETS)}")
+    return 0
+
+
+def cmd_run(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    chain = _build_chain(args.preset)
+    rt = _runtime(args.set or [])
+    if args.input:
+        x = np.load(args.input)
+        x = jnp.asarray(x, jnp.uint32 if args.preset == "rx_tx" else jnp.complex64)
+    elif args.preset in ("rsp_vanilla", "chain_with_mem"):
+        x = None
+    else:
+        from .golden import three_tone_signal
+
+        n = chain.cfg.fft.max_size
+        x = jnp.asarray(three_tone_signal(n, shift_range_factor=12), jnp.complex64)
+        print(f"(no --input: using canonical {n}-pt three-tone fixture)",
+              file=sys.stderr)
+    out = chain.jit()(x, rt)
+    if args.output:
+        arrs = {"threshold": np.asarray(out.threshold)} if hasattr(out, "threshold") \
+            else {"out": np.asarray(out)}
+        if hasattr(out, "peaks"):
+            arrs["peaks"] = np.asarray(out.peaks)
+        np.savez(args.output, **arrs)
+        print(f"wrote {args.output}")
+    if hasattr(out, "peaks"):
+        peaks = np.flatnonzero(np.asarray(out.peaks).reshape(-1))
+        print(f"detections ({peaks.size}): {peaks[:32].tolist()}"
+              + (" ..." if peaks.size > 32 else ""))
+    return 0
+
+
+def cmd_selftest(args):
+    """The RspChainVanilla self-stimulus contract: tone at bin s*N/(4*tableSize)."""
+    import numpy as np
+
+    from .configs import RuntimeConfig
+    from .presets import rsp_chain_vanilla
+
+    chain = rsp_chain_vanilla()
+    start = 16
+    rt = RuntimeConfig.make(nco_freq_word=start, ref_window_size=32,
+                            guard_window_size=4, div_sum=5)
+    out = chain.jit()(None, rt)
+    expected = start * chain.cfg.fft.max_size // (4 * chain.cfg.nco.table_size)
+    peaks = np.flatnonzero(np.asarray(out.peaks))
+    ok = peaks.tolist() == [expected]
+    print(f"selftest: peaks={peaks.tolist()} expected=[{expected}] "
+          f"{'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+def cmd_bench(args):
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rsp_chains_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("info", help="environment and preset info")
+    pi.set_defaults(fn=cmd_info)
+
+    pr = sub.add_parser("run", help="run a preset chain")
+    pr.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
+    pr.add_argument("--input", help=".npy complex IQ (or uint32 words for rx_tx)")
+    pr.add_argument("--output", help=".npz to write threshold/peaks")
+    pr.add_argument("--set", action="append", metavar="REG=VAL",
+                    help="runtime register override (RuntimeConfig.make kwarg)")
+    pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("selftest", help="self-stimulus peak-bin contract check")
+    ps.set_defaults(fn=cmd_selftest)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,12 @@
+from . import native
+from .framing import (
+    FLAG_CONFIG,
+    FLAG_LAST,
+    Frame,
+    FrameDecoder,
+    FrameError,
+    decode_frame,
+    encode_frame,
+    encode_iq_frame,
+)
+from .stream import CpiMetrics, StreamingPipeline, StreamStats

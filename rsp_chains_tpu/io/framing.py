@@ -1,0 +1,114 @@
+"""Byte-framed host link protocol — the functional analog of the reference's UART
+transport (SURVEY §2.6) without the electrical bit timing (explicit non-goal,
+SURVEY §7).
+
+The reference serializes 32-bit chain beats through 8-bit UART frames with width
+adapters (``RxFftCfarMagTxChain.scala:27-46``) and marks end-of-frame with the
+AXI4-Stream ``last`` bit. Here the wire unit is a length-prefixed frame:
+
+    header (16 bytes, little-endian):
+        magic   u32  = 0x52535043 ("RSPC")
+        seq     u32  frame sequence number
+        n_words u32  payload length in 32-bit beat words
+        flags   u16  bit 0 = last (end of CPI), bit 1 = config frame
+        channel u16  channel index
+    payload: n_words x u32 beat words (IQ in, CFAR words out)
+    crc     u32  CRC-32 (IEEE) over header+payload — the parity-error analog
+                 (DSPBlockUART.scala:159-166)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from . import native
+
+MAGIC = 0x52535043
+HEADER = struct.Struct("<IIIHH")
+FLAG_LAST = 1
+FLAG_CONFIG = 2
+
+
+class FrameError(ValueError):
+    """Bad magic or CRC — the sticky parity-error analog."""
+
+
+@dataclass
+class Frame:
+    seq: int
+    words: np.ndarray  # uint32 beat words
+    last: bool = False
+    config: bool = False
+    channel: int = 0
+
+    @property
+    def iq(self) -> np.ndarray:
+        """Payload decoded as complex64 IQ samples."""
+        return native.unpack_iq_c64(self.words)
+
+
+def encode_frame(words: np.ndarray, seq: int, *, last: bool = False,
+                 config: bool = False, channel: int = 0) -> bytes:
+    words = np.ascontiguousarray(words, np.uint32).reshape(-1)
+    flags = (FLAG_LAST if last else 0) | (FLAG_CONFIG if config else 0)
+    hdr = HEADER.pack(MAGIC, seq & 0xFFFFFFFF, words.size, flags, channel)
+    body = hdr + words.tobytes()
+    crc = native.crc32(body)
+    return body + struct.pack("<I", crc)
+
+
+def encode_iq_frame(iq: np.ndarray, seq: int, **kw) -> bytes:
+    """Pack complex IQ samples into beat words and frame them."""
+    return encode_frame(native.pack_iq_c64(iq), seq, **kw)
+
+
+def decode_frame(buf: bytes | memoryview) -> tuple[Frame, int]:
+    """Decode one frame from the head of ``buf``; returns (frame, bytes_consumed).
+    Raises FrameError on bad magic/CRC, needs-more-data as IndexError."""
+    if len(buf) < HEADER.size + 4:
+        raise IndexError("short buffer")
+    magic, seq, n_words, flags, channel = HEADER.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise FrameError(f"bad magic 0x{magic:08x}")
+    total = HEADER.size + 4 * n_words + 4
+    if len(buf) < total:
+        raise IndexError("short buffer")
+    payload = np.frombuffer(buf, np.uint32, n_words, HEADER.size).copy()
+    (crc,) = struct.unpack_from("<I", buf, HEADER.size + 4 * n_words)
+    body = bytes(buf[: HEADER.size + 4 * n_words])
+    if native.crc32(body) != crc:
+        raise FrameError("CRC mismatch")
+    return (
+        Frame(seq=seq, words=payload, last=bool(flags & FLAG_LAST),
+              config=bool(flags & FLAG_CONFIG), channel=channel),
+        total,
+    )
+
+
+class FrameDecoder:
+    """Incremental decoder for a byte stream (socket/file/pipe feed), the RX
+    deserializer analog. Feed arbitrary chunks; yields complete Frames."""
+
+    def __init__(self):
+        self._buf = bytearray()
+
+    def feed(self, chunk: bytes) -> Iterator[Frame]:
+        self._buf.extend(chunk)
+        while True:
+            # bytes copy, not memoryview: the exception traceback would pin a view
+            # of the bytearray and block the resize below
+            buf = bytes(self._buf)
+            try:
+                frame, consumed = decode_frame(buf)
+            except IndexError:
+                return
+            except FrameError:
+                # resync: skip one byte and retry (debounce/framing-error analog)
+                del self._buf[:1]
+                continue
+            del self._buf[:consumed]
+            yield frame

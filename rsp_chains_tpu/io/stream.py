@@ -1,0 +1,167 @@
+"""Streaming/serving harness — the deployment analog of ``RxFftMagCfarTxChain``
+(SURVEY §2.11/§3.5): host ingest -> bounded queue -> jitted chain per CPI ->
+host drain, with watermark callbacks (the UART FIFO watermark-interrupt analog,
+``DSPBlockUART.scala:168-173``) and per-CPI metrics (SURVEY §5.5).
+
+Throughput design: the worker thread overlaps host->device transfer of CPI k+1
+with device compute of CPI k (JAX async dispatch provides the double-buffering the
+hardware got from elastic stream FIFOs); results are fetched asynchronously so the
+device never waits on the host drain."""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+@dataclass
+class CpiMetrics:
+    """Per-CPI observability record (samples/s, detections — SURVEY §5.5)."""
+
+    seq: int
+    samples: int
+    detections: int
+    latency_s: float
+    samples_per_s: float
+
+
+@dataclass
+class StreamStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    frames_dropped: int = 0
+    total_samples: int = 0
+    total_time_s: float = 0.0
+
+    @property
+    def samples_per_s(self) -> float:
+        return self.total_samples / self.total_time_s if self.total_time_s else 0.0
+
+
+class StreamingPipeline:
+    """Continuous multi-CPI execution of a jitted chain.
+
+    Args:
+      fn: jitted ``(x, rt) -> CfarOutput`` chain.
+      rt: RuntimeConfig applied per CPI (swap with ``reconfigure`` between CPIs —
+          config applies at CPI boundaries, mirroring the reference's
+          config-before-enable ordering, SURVEY §3.3).
+      on_result: callback(seq, output, CpiMetrics) on the drain thread.
+      depth: ingest queue depth (the RX FIFO nEntries analog).
+      watermark: (low, high) queue depths; ``on_watermark(level)`` fires on
+          crossings (the txwm/rxwm interrupt analog).
+      drop_on_full: if True, overflow drops newest frame (real-time radar
+          semantics); else ``submit`` blocks.
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        rt,
+        on_result: Optional[Callable[[int, Any, CpiMetrics], None]] = None,
+        depth: int = 8,
+        watermark: tuple[int, int] = (1, 6),
+        on_watermark: Optional[Callable[[str], None]] = None,
+        drop_on_full: bool = False,
+    ):
+        self._fn = fn
+        self._rt = rt
+        self._rt_lock = threading.Lock()
+        self._on_result = on_result
+        self._on_watermark = on_watermark
+        self._wm_low, self._wm_high = watermark
+        self._drop_on_full = drop_on_full
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._outq: queue.Queue = queue.Queue()
+        self.stats = StreamStats()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._drainer = threading.Thread(target=self._drain, daemon=True)
+        self._started = False
+
+    # -- control plane ------------------------------------------------------
+
+    def start(self):
+        if not self._started:
+            self._worker.start()
+            self._drainer.start()
+            self._started = True
+        return self
+
+    def reconfigure(self, rt):
+        """Swap the runtime register file; applies from the next CPI."""
+        with self._rt_lock:
+            self._rt = rt
+
+    def stop(self, wait: bool = True):
+        self._stop.set()
+        if wait and self._started:
+            self._worker.join(timeout=30)
+            self._drainer.join(timeout=30)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- data plane ---------------------------------------------------------
+
+    def submit(self, seq: int, cpi: np.ndarray) -> bool:
+        """Enqueue one CPI block. Returns False if dropped (drop_on_full)."""
+        try:
+            self._q.put((seq, cpi, time.perf_counter()),
+                        block=not self._drop_on_full)
+        except queue.Full:
+            self.stats.frames_dropped += 1
+            return False
+        self.stats.frames_in += 1
+        if self._on_watermark and self._q.qsize() >= self._wm_high:
+            self._on_watermark("high")
+        return True
+
+    def _run(self):
+        import jax
+
+        t_start = None
+        while not self._stop.is_set() or not self._q.empty():
+            try:
+                seq, cpi, t_in = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if self._on_watermark and self._q.qsize() <= self._wm_low:
+                self._on_watermark("low")
+            with self._rt_lock:
+                rt = self._rt
+            x = jax.device_put(cpi)        # overlaps with previous CPI's compute
+            out = self._fn(x, rt)          # async dispatch
+            self._outq.put((seq, out, t_in, int(np.prod(cpi.shape))))
+            if t_start is None:
+                t_start = time.perf_counter()
+            self.stats.total_time_s = time.perf_counter() - (t_start or 0)
+
+    def _drain(self):
+        import jax
+
+        while not self._stop.is_set() or not self._outq.empty():
+            try:
+                seq, out, t_in, n_samples = self._outq.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            out = jax.block_until_ready(out)
+            lat = time.perf_counter() - t_in
+            self.stats.frames_out += 1
+            self.stats.total_samples += n_samples
+            if self._on_result:
+                det = int(np.asarray(out.peaks).sum()) if hasattr(out, "peaks") else 0
+                self._on_result(
+                    seq, out,
+                    CpiMetrics(seq=seq, samples=n_samples, detections=det,
+                               latency_s=lat,
+                               samples_per_s=n_samples / max(lat, 1e-9)),
+                )

@@ -1,0 +1,134 @@
+"""Host I/O tests: native packing, framing protocol, streaming harness."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.io import (
+    Frame, FrameDecoder, FrameError, decode_frame, encode_frame, encode_iq_frame,
+    StreamingPipeline, native,
+)
+from rsp_chains_tpu import packing
+
+
+def test_native_pack_matches_jnp_packing(rng):
+    iq = (rng.randint(-1000, 1000, 256) + 1j * rng.randint(-1000, 1000, 256)).astype(np.complex64)
+    native_words = native.pack_iq_c64(iq)
+    jnp_words = np.asarray(packing.pack_iq(jnp.asarray(iq)))
+    np.testing.assert_array_equal(native_words, jnp_words)
+    back = native.unpack_iq_c64(native_words)
+    np.testing.assert_array_equal(back, iq)
+
+
+def test_native_saturation_and_rounding():
+    iq = np.array([40000.4 + 0.6j, -40000.0 - 2.5j], np.complex64)
+    words = native.pack_iq_c64(iq)
+    re = (words >> 16).astype(np.uint16).view(np.int16)
+    im = (words & 0xFFFF).astype(np.uint16).view(np.int16)
+    assert re[0] == 32767 and re[1] == -32768       # saturate
+    assert im[0] == 1                                # round-half-up 0.6 -> 1
+    assert im[1] == -2                               # floor(-2.5 + 0.5) = -2
+
+
+def test_native_available():
+    native._load()
+    assert native.HAVE_NATIVE, "C++ packing library failed to build/load"
+
+
+def test_frame_roundtrip(rng):
+    iq = (rng.randn(512) * 100 + 1j * rng.randn(512) * 100).astype(np.complex64)
+    buf = encode_iq_frame(iq, seq=7, last=True, channel=3)
+    frame, consumed = decode_frame(buf)
+    assert consumed == len(buf)
+    assert frame.seq == 7 and frame.last and frame.channel == 3
+    np.testing.assert_array_equal(frame.iq, np.round(iq.view(np.float32)).reshape(-1, 2)
+                                  .astype(np.float32).view(np.complex64).reshape(-1))
+
+
+def test_frame_crc_detects_corruption(rng):
+    buf = bytearray(encode_frame(rng.randint(0, 2**32, 64, np.uint32).astype(np.uint32), 0))
+    buf[20] ^= 0xFF
+    with pytest.raises(FrameError):
+        decode_frame(bytes(buf))
+
+
+def test_decoder_resync_after_garbage(rng):
+    words = rng.randint(0, 2**32, 32, np.uint32).astype(np.uint32)
+    good = encode_frame(words, seq=1) + encode_frame(words, seq=2, last=True)
+    stream = b"\x00garbage!" + good
+    dec = FrameDecoder()
+    frames = []
+    # feed in awkward chunk sizes
+    for i in range(0, len(stream), 13):
+        frames.extend(dec.feed(stream[i:i + 13]))
+    assert [f.seq for f in frames] == [1, 2]
+    assert frames[1].last
+
+
+def test_streaming_pipeline_end_to_end():
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8, guard_window_size=2,
+                            threshold_scaler=3.5)
+    results = {}
+    events = []
+
+    pipe = StreamingPipeline(
+        chain.jit(), rt,
+        on_result=lambda seq, out, m: results.__setitem__(seq, (out, m)),
+        depth=4, on_watermark=lambda lvl: events.append(lvl),
+    )
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    with pipe:
+        for s in range(10):
+            pipe.submit(s, iq[None])
+        import time
+        t0 = time.time()
+        while len(results) < 10 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    assert len(results) == 10
+    assert pipe.stats.frames_out == 10
+    out, metrics = results[0]
+    peaks = np.flatnonzero(np.asarray(out.peaks)[0])
+    assert {32, 64, 128} <= set(peaks.tolist())
+    assert metrics.samples == 256 and metrics.detections >= 3
+
+
+def test_streaming_reconfigure_between_cpis():
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt1 = RuntimeConfig.make(fft_size=256, ref_window_size=8, guard_window_size=2)
+    rt2 = RuntimeConfig.make(fft_size=128, ref_window_size=8, guard_window_size=2)
+    results = {}
+    pipe = StreamingPipeline(chain.jit(), rt1,
+                             on_result=lambda s, o, m: results.__setitem__(s, o))
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    import time
+    with pipe:
+        pipe.submit(0, iq[None])
+        t0 = time.time()
+        while 0 not in results and time.time() - t0 < 60:
+            time.sleep(0.01)
+        pipe.reconfigure(rt2)
+        pipe.submit(1, iq[None])
+        while 1 not in results and time.time() - t0 < 60:
+            time.sleep(0.01)
+    # rt2 shrinks the active frame: bins >= 128 are zeroed
+    assert np.all(np.asarray(results[1].threshold)[0, 128:] == 0)
+    assert np.any(np.asarray(results[0].threshold)[0, 128:] != 0)
