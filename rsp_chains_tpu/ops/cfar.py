@@ -40,7 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..configs import CfarConfig, CfarVariant, RuntimeConfig
+from ..configs import CfarConfig, CfarVariant, EdgePolicy, RuntimeConfig
 
 
 class CfarOutput(NamedTuple):
@@ -60,7 +60,11 @@ class CfarOutput(NamedTuple):
 def _gather_windows(mag, lo, hi, g, w, cfg: CfarConfig):
     """Gather per-cell lag/lead reference windows into [..., N, Wmax] tensors with
     validity masks (valid cell range [lo, hi) in local coordinates). Used by the
-    GOS and CASH paths only."""
+    GOS and CASH paths, and by the CA path under EdgePolicy.WRAP.
+
+    WRAP (circular frame, the natural reading of a spectrum as periodic): window
+    positions wrap modulo the active cell count; every in-window cell is valid
+    whenever the active region is non-degenerate."""
     n = mag.shape[-1]
     wmax = cfg.max_ref_window
     i = jnp.arange(n, dtype=jnp.int32)[:, None]           # [N, 1]
@@ -68,8 +72,15 @@ def _gather_windows(mag, lo, hi, g, w, cfg: CfarConfig):
 
     lag_pos = i - g - w + k                               # cells i-g-w .. i-g-1
     lead_pos = i + g + 1 + k                              # cells i+g+1 .. i+g+w
-    lag_valid = (k < w) & (lag_pos >= lo) & (lag_pos < hi)
-    lead_valid = (k < w) & (lead_pos >= lo) & (lead_pos < hi)
+    if cfg.edge_policy is EdgePolicy.WRAP:
+        n_act = jnp.maximum(hi - lo, 1)
+        lag_pos = lo + jnp.mod(lag_pos - lo, n_act)
+        lead_pos = lo + jnp.mod(lead_pos - lo, n_act)
+        lag_valid = jnp.broadcast_to(k < w, lag_pos.shape)
+        lead_valid = jnp.broadcast_to(k < w, lead_pos.shape)
+    else:
+        lag_valid = (k < w) & (lag_pos >= lo) & (lag_pos < hi)
+        lead_valid = (k < w) & (lead_pos >= lo) & (lead_pos < hi)
 
     def take(pos):
         flat = jnp.clip(pos, 0, n - 1).reshape(-1)
@@ -176,20 +187,27 @@ def cfar_op(
     has_ca = variant in (CfarVariant.CA, CfarVariant.GOSCA)
     has_gos = variant in (CfarVariant.GOS, CfarVariant.GOSCA)
     has_cash = cfg.include_cash
+    wrap = cfg.edge_policy is EdgePolicy.WRAP
 
     zero = jnp.zeros_like(mag)
 
+    if has_gos or has_cash or wrap:
+        lag_win, lag_valid, lead_win, lead_valid = _gather_windows(
+            mag, active_lo, active_hi, g, w, cfg
+        )
+
     if has_ca:
-        lag_sum, lead_sum = _ca_sums(mag, active_lo, active_hi, g, w)
+        if wrap:
+            # circular windows cannot come from one linear prefix sum — sum the
+            # gathered (mod-indexed) windows directly
+            lag_sum = jnp.sum(jnp.where(lag_valid, lag_win, 0.0), axis=-1)
+            lead_sum = jnp.sum(jnp.where(lead_valid, lead_win, 0.0), axis=-1)
+        else:
+            lag_sum, lead_sum = _ca_sums(mag, active_lo, active_hi, g, w)
         div = jnp.exp2(rt.div_sum.astype(jnp.float32))
         ca_lag, ca_lead = lag_sum / div, lead_sum / div
     else:
         ca_lag = ca_lead = zero
-
-    if has_gos or has_cash:
-        lag_win, lag_valid, lead_win, lead_valid = _gather_windows(
-            mag, active_lo, active_hi, g, w, cfg
-        )
 
     if has_gos:
         os_lag, os_lead = _gos_stats(

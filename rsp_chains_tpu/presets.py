@@ -54,6 +54,27 @@ def cfar_stage(cfg: ChainConfig) -> Stage:
     return Stage("cfar", lambda x, rt: cfar_op(x, rt, cfg.cfar), terminal=True)
 
 
+def tail_stages(cfg: ChainConfig) -> list[Stage]:
+    """The logmag+CFAR tail: a single fused Pallas kernel when elaborated with
+    ``use_pallas`` and a CA-family-only variant (the sort-based GOS/CASH paths
+    stay on XLA), else the two separate stages."""
+    from .configs import CfarVariant
+
+    if (cfg.cfar.use_pallas and cfg.cfar.variant is CfarVariant.CA
+            and not cfg.cfar.include_cash):
+        import jax
+
+        from .kernels.cfar_pallas import fused_mag_cfar
+
+        interpret = jax.default_backend() != "tpu"
+        return [Stage(
+            "mag_cfar_fused",
+            lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
+            terminal=True,
+        )]
+    return [mag_stage(cfg), cfar_stage(cfg)]
+
+
 def matched_filter_stage(cfg: ChainConfig, taps: np.ndarray) -> Stage:
     mf_cfg = cfg.matched_filter or MatchedFilterConfig()
     taps_j = jnp.asarray(taps, jnp.complex64)
@@ -88,7 +109,7 @@ def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     """``process(iq) -> detections``: the reusable core subchain (SURVEY §2.9).
     Input: complex [..., max_fft_size] frames. Output: ``CfarOutput``."""
     cfg = cfg or ChainConfig()
-    return Chain(cfg, [fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
+    return Chain(cfg, [fft_stage(cfg), *tail_stages(cfg)])
 
 
 def rsp_chain_vanilla(

@@ -1,0 +1,80 @@
+"""Fixed-point fidelity mode (SURVEY §7 hard part (e)): quantized stage
+boundaries reproduce 16-bit hardware-style streams within the reference's
+tolerance / an SNR bound."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu import (
+    ChainConfig, CfarConfig, CfarVariant, FftConfig, FixedPointConfig,
+    RuntimeConfig, fft_mag_cfar_chain,
+)
+from rsp_chains_tpu.configs import Rounding
+from rsp_chains_tpu.numerics import quantize, round_to_int, snr_db
+from rsp_chains_tpu.golden import three_tone_signal, fft_golden, jpl_mag
+
+
+def test_round_half_up_matches_dsptools():
+    x = jnp.asarray([0.5, 1.5, -0.5, -1.5, 2.49, -2.49])
+    got = np.asarray(round_to_int(x, Rounding.HALF_UP))
+    np.testing.assert_array_equal(got, [1, 2, 0, -1, 2, -2])
+
+
+def test_quantize_grid_and_saturation():
+    cfg = FixedPointConfig(enabled=True, width=16, bin_point=12)
+    x = jnp.asarray([0.123456, 100.0, -100.0])
+    q = np.asarray(quantize(x, cfg))
+    assert q[0] == np.floor(0.123456 * 4096 + 0.5) / 4096
+    assert q[1] == 32767 / 4096    # saturated positive
+    assert q[2] == -32768 / 4096   # saturated negative
+
+
+def test_quantize_disabled_is_identity(rng):
+    x = jnp.asarray(rng.randn(32))
+    np.testing.assert_array_equal(np.asarray(quantize(x, FixedPointConfig())), x)
+
+
+def test_fixed_point_chain_snr_vs_float():
+    """The int16/bp-12 pipeline tracks the float pipeline within an SNR bound on
+    the canonical three-tone vector (the fixed-point analog of the reference's
+    +/-2 LSB golden checks).
+
+    Convention: the bp-12 grid represents values in [-8, 8); the reference's
+    integer test vectors (amplitude ~0.4 * 2^12) are raw fixed-point *bits*, so
+    the value-domain signal is bits / 2^12."""
+    iq = three_tone_signal(1024, shift_range_factor=12) / 4096.0
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=3.5, div_sum=5)
+    base = dict(fft=FftConfig(max_size=1024),
+                cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                                include_cash=False))
+    f_float = fft_mag_cfar_chain(ChainConfig(**base)).jit()
+    f_fixed = fft_mag_cfar_chain(ChainConfig(
+        **base, fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=12)
+    )).jit()
+    x = jnp.asarray(iq, jnp.complex64)
+    thr_float = np.asarray(f_float(x, rt).threshold)
+    thr_fixed = np.asarray(f_fixed(x, rt).threshold)
+    assert snr_db(thr_float, thr_fixed) > 40.0
+    # detections at the tone bins survive quantization
+    pk = np.asarray(f_fixed(x, rt).peaks)
+    for b in (128, 256, 512):
+        assert pk[b]
+
+
+def test_fixed_point_mag_within_2lsb_of_integer_golden():
+    """JPL magnitude of a quantized-integer spectrum matches the integer golden
+    within the reference's +/-2 LSB tolerance (RspChainTesterUtils.scala:231-237)."""
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    spec = fft_golden(iq, scaling="div_n")
+    spec_q = np.trunc(spec.real * 4096) / 4096 + 1j * (np.trunc(spec.imag * 4096) / 4096)
+    got = jpl_mag(spec_q) * 4096
+    want = jpl_mag(np.trunc(spec.real * 4096) + 1j * np.trunc(spec.imag * 4096))
+    assert np.max(np.abs(got - want)) <= 2.0
+
+
+def test_snr_helper():
+    ref = np.ones(100)
+    assert snr_db(ref, ref) == np.inf
+    assert 19.9 < snr_db(ref, ref + 0.1) < 20.1

@@ -1,0 +1,98 @@
+"""Fused Pallas mag+CFAR kernel vs the XLA reference path (interpret mode on the
+CPU platform; the same kernel compiles via Mosaic on TPU — exercised by bench)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.configs import (
+    CfarConfig, CfarMode, CfarVariant, ChainConfig, FftConfig, MagMode,
+    RuntimeConfig,
+)
+from rsp_chains_tpu.kernels.cfar_pallas import fused_mag_cfar
+from rsp_chains_tpu.ops.cfar import cfar_op
+from rsp_chains_tpu.ops.logmag import logmag
+
+
+def _spec(rng, shape=(4, 256)):
+    x = (rng.randn(*shape) * 50 + 1j * rng.randn(*shape) * 50).astype(np.complex64)
+    x[..., 40] = 4000 + 100j
+    x[..., 200] = 2500 - 500j
+    return x
+
+
+CFG = CfarConfig(max_ref_window=64, max_guard_window=8, variant=CfarVariant.CA,
+                 include_cash=False, use_pallas=True)
+
+
+def _compare(spec, rt, atol=2e-2):
+    got = fused_mag_cfar(jnp.asarray(spec), rt, CFG, interpret=True)
+    mag = logmag(jnp.asarray(spec), rt.mag_mode)
+    want = cfar_op(mag, rt, CFG)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=atol)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+@pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
+                                  CfarMode.SMALLEST_OF])
+@pytest.mark.parametrize("w,g", [(32, 4), (16, 2), (64, 8), (2, 1)])
+def test_matches_xla_path(mode, w, g, rng):
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode, ref_window_size=w,
+                            guard_window_size=g, threshold_scaler=3.5)
+    _compare(_spec(rng), rt)
+
+
+@pytest.mark.parametrize("mag_mode", [MagMode.ABS, MagMode.SQR, MagMode.JPL,
+                                      MagMode.LOG2])
+def test_mag_modes(mag_mode, rng):
+    rt = RuntimeConfig.make(fft_size=256, mag_mode=mag_mode, ref_window_size=16,
+                            guard_window_size=2,
+                            log_or_linear=0 if mag_mode == MagMode.LOG2 else 1,
+                            threshold_scaler=2.0 if mag_mode == MagMode.LOG2 else 3.5)
+    _compare(_spec(rng), rt, atol=5e-2)
+
+
+def test_runtime_frame_shrink(rng):
+    spec = _spec(rng)
+    spec[..., 128:] = 1e6  # poison the inactive region
+    rt = RuntimeConfig.make(fft_size=128, ref_window_size=16, guard_window_size=2)
+    got = fused_mag_cfar(jnp.asarray(spec), rt, CFG, interpret=True)
+    assert np.all(np.asarray(got.threshold)[..., 128:] == 0)
+    assert not np.any(np.asarray(got.peaks)[..., 128:])
+    _compare(spec, rt)
+
+
+def test_peak_grouping(rng):
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2,
+                            peak_grouping=1)
+    _compare(_spec(rng), rt)
+
+
+def test_frame_padding_non_multiple_of_block(rng):
+    spec = _spec(rng, shape=(3, 256))  # 3 frames -> padded to BLOCK_FRAMES
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2)
+    _compare(spec, rt)
+
+
+def test_chain_integration_fused_tail(rng):
+    from rsp_chains_tpu.presets import fft_mag_cfar_chain
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg_fused = ChainConfig(fft=FftConfig(max_size=1024), cfar=CFG)
+    cfg_ref = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    iq = jnp.asarray(three_tone_signal(1024, shift_range_factor=12), jnp.complex64)
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=3.5, div_sum=5)
+    chain = fft_mag_cfar_chain(cfg_fused)
+    assert chain.stage_names == ("fft", "mag_cfar_fused")
+    out = chain(iq, rt)
+    want = fft_mag_cfar_chain(cfg_ref)(iq, rt)
+    np.testing.assert_allclose(np.asarray(out.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(out.peaks), np.asarray(want.peaks))
