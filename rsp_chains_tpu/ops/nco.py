@@ -14,16 +14,29 @@ Phase contract: a constant word ``s`` yields a phase step of ``s / 2^phase_width
 *after* one accumulation step (the golden model indexes i = 1..N,
 ``RspChainTesterUtils.scala:174-181``).
 
-TPU-first: the serial accumulator becomes ``jnp.cumsum`` over the word stream (an
-O(log T) parallel scan under XLA) and the LUT becomes either an exact complex
-exponential (fast float path — XLA fuses sin/cos into the surrounding pipeline) or
-a quantized table gather (``quantized_lut`` fidelity mode reproducing 16-bit LUT
-outputs)."""
+Feature parity with ``FixedNCOParams``:
+
+* ``phase_acc_enable`` — accumulate words (``jnp.cumsum``, an O(log T) parallel
+  scan under XLA) vs. treat words as absolute phase.
+* ``quantized_lut`` — bit-faithful integer LUT gather (fidelity mode) vs. exact
+  complex exponential (fast float path; XLA fuses sin/cos into the pipeline).
+* ``n_interpolation_terms`` — LUT interpolation: with terms >= 1 the fractional
+  part of the phase linearly interpolates between adjacent LUT entries
+  (suppresses phase-truncation spurs), matching the hardware's interpolated
+  table option. Only meaningful with ``quantized_lut``.
+* ``dither_enable`` — adds +/-0.5-LSB pseudo-random phase dither before
+  truncation (spur decorrelation), seeded deterministically.
+* ``rasterized_mode`` — exact-period mode: the hardware rasterized NCO steps
+  through table entries directly so each period is bit-exact with no phase
+  truncation error; here phase is reduced modulo 2^phase_width in exact integer
+  arithmetic before lookup (vs. float modular reduction on the fast path).
+"""
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +59,7 @@ def nco(
     freq_words: jnp.ndarray,
     cfg: NcoConfig = NcoConfig(),
     phase_offset: jnp.ndarray | float = 0.0,
+    dither_seed: int = 0x5EED,
 ) -> jnp.ndarray:
     """Convert a frequency-word stream into complex IQ samples.
 
@@ -53,8 +67,9 @@ def nco(
       freq_words: [..., T] float32/int32 phase increments (PLFG words, possibly
         including a traced runtime start value).
       cfg: static NCO parameters.
-      phase_offset: ``poffType = Fixed`` phase offset in *phase-accumulator units*
-        (same units as the words).
+      phase_offset: ``poffType = Fixed`` phase offset in *phase-accumulator
+        units* (same units as the words) — ``RuntimeConfig.phase_offset``.
+      dither_seed: seed for the deterministic phase-dither sequence.
 
     Returns complex64 [..., T]: amplitude-2^(table_width-2) IQ samples.
     """
@@ -66,9 +81,32 @@ def nco(
         phase = words
     phase = phase + jnp.asarray(phase_offset, jnp.float32)
 
+    if cfg.rasterized_mode:
+        # exact-period mode: integer phase arithmetic, no float modular error
+        phase = jnp.mod(jnp.round(phase).astype(jnp.int32), int(modulus)).astype(
+            jnp.float32
+        )
+
+    if cfg.dither_enable:
+        key = jax.random.key(dither_seed)
+        dither = jax.random.uniform(key, phase.shape, minval=-0.5, maxval=0.5)
+        phase = phase + dither
+
     if cfg.quantized_lut:
-        idx = jnp.mod(jnp.round(phase), modulus).astype(jnp.int32)
         lut = jnp.asarray(_lut_np(cfg.table_size, cfg.table_width))
+        nlut = 4 * cfg.table_size
+        if cfg.n_interpolation_terms > 0:
+            # linear interpolation between adjacent entries on the phase fraction
+            pm = jnp.mod(phase, modulus)
+            base = jnp.floor(pm)
+            frac = (pm - base).astype(jnp.float32)
+            i0 = jnp.mod(base.astype(jnp.int32), nlut)
+            i1 = jnp.mod(i0 + 1, nlut)
+            v0 = jnp.take(lut, i0, axis=0)
+            v1 = jnp.take(lut, i1, axis=0)
+            out = v0 + (v1 - v0) * frac.astype(jnp.complex64)
+            return out.astype(jnp.complex64)
+        idx = jnp.mod(jnp.round(phase), modulus).astype(jnp.int32)
         return jnp.take(lut, idx, axis=0)
 
     angle = (2.0 * np.pi / modulus) * jnp.mod(phase, modulus)

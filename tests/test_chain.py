@@ -115,3 +115,29 @@ def test_batched_frames():
     out = chain.jit()(jnp.asarray(iq, jnp.complex64), _canonical_rt())
     assert out.peaks.shape == (2, 2, 1024)
     assert np.all(np.asarray(out.peaks)[..., 256])
+
+
+def test_detection_list_compaction():
+    """Top-K sparse detection output (serving egress path)."""
+    from rsp_chains_tpu.ops.detect import compact_detections
+    from rsp_chains_tpu.ops.logmag import logmag
+
+    cfg = _canonical_cfg()
+    chain = fft_mag_cfar_chain(cfg)
+    rt = _canonical_rt()
+    iq = jnp.asarray(three_tone_signal(1024, shift_range_factor=12), jnp.complex64)
+    out = chain.jit()(iq, rt)
+    from rsp_chains_tpu.ops.fft import fft_op
+    mag = logmag(fft_op(iq, rt.log2_fft_size, cfg.fft), rt.mag_mode)
+    det = compact_detections(mag, out, max_detections=16)
+    got_bins = set(np.asarray(det.bins)[np.asarray(det.bins) >= 0].tolist())
+    assert {128, 256, 512} <= got_bins
+    assert int(det.count) == int(np.asarray(out.peaks).sum())
+    # sorted by strength: bin 128 (0.4 tone) first among the three tones
+    order = [b for b in np.asarray(det.bins).tolist() if b in (128, 256, 512)]
+    assert order == [128, 256, 512]
+    # batched
+    out_b = chain.jit()(jnp.stack([iq, iq]), rt)
+    mag_b = jnp.stack([mag, mag])
+    det_b = compact_detections(mag_b, out_b, max_detections=8)
+    assert det_b.bins.shape == (2, 8)

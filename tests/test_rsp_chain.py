@@ -100,3 +100,40 @@ def test_lfm_chirp_spectrum_spreads():
     # a wide swath of bins (tone would concentrate it)
     spec_occupancy = (np.asarray(out.threshold) > 0).sum()
     assert spec_occupancy > 100
+
+
+def test_nco_interpolated_lut_reduces_spurs():
+    """LUT interpolation suppresses phase-truncation spurs: worst spur of the
+    interpolated table is lower than plain truncation for an off-grid tone."""
+    base = dict(table_size=128, phase_width=9, quantized_lut=True)
+    words = jnp.full((4096,), 16.37, jnp.float32)  # off-grid frequency
+    def worst_spur(cfg):
+        x = np.asarray(nco(words, cfg)).astype(np.complex128)
+        spec = np.abs(np.fft.fft(x * np.hanning(len(x))))
+        peak = np.argmax(spec)
+        spec[max(0, peak - 8):peak + 8] = 0
+        return spec.max() / np.abs(np.fft.fft(x * np.hanning(len(x)))).max()
+    plain = worst_spur(NcoConfig(**base, n_interpolation_terms=0))
+    interp = worst_spur(NcoConfig(**base, n_interpolation_terms=1))
+    assert interp < plain
+
+
+def test_nco_rasterized_exact_period():
+    """Rasterized mode: integer phase => every period is bit-identical."""
+    cfg = NcoConfig(table_size=128, phase_width=9, quantized_lut=True,
+                    rasterized_mode=True)
+    words = jnp.full((1024,), 16.0, jnp.float32)  # period = 512/16 = 32 samples
+    x = np.asarray(nco(words, cfg))
+    np.testing.assert_array_equal(x[:32], x[32:64])
+    np.testing.assert_array_equal(x[:32], x[-32:])
+
+
+def test_nco_dither_decorrelates_but_keeps_tone():
+    cfg = NcoConfig(table_size=128, phase_width=9, quantized_lut=True,
+                    dither_enable=True)
+    words = jnp.full((1024,), 16.0, jnp.float32)
+    x = np.asarray(nco(words, cfg))
+    spec = np.abs(np.fft.fft(x))
+    assert np.argmax(spec) == 32  # tone survives
+    x2 = np.asarray(nco(words, cfg, dither_seed=0x5EED))
+    np.testing.assert_array_equal(x, x2)  # deterministic
