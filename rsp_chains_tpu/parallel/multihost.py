@@ -1,0 +1,87 @@
+"""Multi-host (DCN) execution scaffold (SURVEY §2.15 inter-host row; BASELINE
+config 5: continuous multi-CPI streaming on N >= 2 hosts).
+
+The reference's only inter-host story is a UART to a PC; the TPU-native scaling
+model is the JAX distributed runtime: every host runs the same program,
+``jax.distributed.initialize`` wires the cluster over DCN, and a global mesh is
+laid out so the fastest-varying axes stay inside a host's ICI domain while only
+the CPI/time-block axis crosses hosts (halo-free by construction — CPIs are
+independent work units; the CFAR/FIR halos ride ICI inside each host's
+``rng`` axis).
+
+On a single-process environment (CI, one chip) every function degrades to the
+local-device mesh, so the same pipeline code runs everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .mesh import CHANNEL_AXIS, RANGE_AXIS
+
+TIME_AXIS = "cpi"  # CPI/time-block axis — the only axis that crosses DCN
+
+
+def initialize_cluster(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join the JAX distributed runtime (no-op for a single process). Returns
+    the process index."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
+def make_pod_mesh(
+    time_blocks: Optional[int] = None,
+    channels: Optional[int] = None,
+    range_shards: int = 1,
+) -> jax.sharding.Mesh:
+    """A 3-D (cpi, ch, rng) mesh over all global devices.
+
+    Layout rule (the scaling-book recipe): the mesh's *innermost* axes map to
+    devices that share ICI, so ``rng`` (halo exchange) and ``ch`` stay
+    intra-host; ``cpi`` (independent CPI blocks, no collectives) is the axis
+    that spans hosts over DCN. Default: one time block per host."""
+    devs = np.asarray(jax.devices())
+    n = devs.size
+    if time_blocks is None:
+        time_blocks = max(jax.process_count(), 1)
+    if channels is None:
+        channels = n // (time_blocks * range_shards)
+    need = time_blocks * channels * range_shards
+    if need != n:
+        raise ValueError(
+            f"mesh {time_blocks}x{channels}x{range_shards} != {n} devices")
+    grid = devs.reshape(time_blocks, channels, range_shards)
+    return jax.sharding.Mesh(grid, (TIME_AXIS, CHANNEL_AXIS, RANGE_AXIS))
+
+
+def pod_spec(batch_axes: int = 1) -> jax.sharding.PartitionSpec:
+    """PartitionSpec for [cpi_blocks, channels, ..., range] arrays."""
+    P = jax.sharding.PartitionSpec
+    mid = (None,) * (batch_axes - 1)
+    return P(TIME_AXIS, CHANNEL_AXIS, *mid, RANGE_AXIS)
+
+
+def shard_cpi_stream(pipeline_fn, mesh: jax.sharding.Mesh):
+    """Wrap a per-CPI pipeline ``f(x, rt)`` for pod execution: input
+    [T, C, P, N] (T CPI blocks x C channels x P pulses x N range) sharded over
+    (cpi, ch, -, rng). CPI blocks process independently; the inner pipeline's
+    own collectives (range halos) stay within a host's ICI domain."""
+    def run(x, rt):
+        spec = pod_spec(batch_axes=x.ndim - 2)  # [T, C, ..., N]
+        x = jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec))
+        return pipeline_fn(x, rt)
+
+    return jax.jit(run)

@@ -134,3 +134,27 @@ def test_graft_entry_dryrun():
     assert out.peaks.shape == args[0].shape
 
     ge.dryrun_multichip(8)
+
+
+def test_pod_mesh_cpi_sharding():
+    """Multi-host scaffold on the virtual 8-device platform: (cpi, ch, rng)
+    mesh; CPI blocks process independently and match unsharded output."""
+    from rsp_chains_tpu.parallel.multihost import make_pod_mesh, shard_cpi_stream
+
+    mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
+    assert mesh.axis_names == ("cpi", "ch", "rng")
+
+    cfg = _cfg()
+    chain = fft_mag_cfar_chain(cfg)
+    rt = _rt()
+    iq = np.stack([
+        np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s + 10 * t)
+                  for s in range(2)])
+        for t in range(2)
+    ]).astype(np.complex64)  # [T=2, C=2, N]
+    run = shard_cpi_stream(chain.__call__, mesh)
+    out = run(jnp.asarray(iq), rt)
+    want = chain.jit()(jnp.asarray(iq), rt)
+    np.testing.assert_allclose(np.asarray(out.threshold),
+                               np.asarray(want.threshold), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.peaks), np.asarray(want.peaks))
