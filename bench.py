@@ -53,13 +53,15 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     channels, pulses, n = 16, 256, 1024
-    cfg = ChainConfig(
-        fft=FftConfig(max_size=n),
-        cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
-                        include_cash=False, max_fft_size=n),
-    )
-    chain = fft_mag_cfar_chain(cfg)
-    f = chain.jit()
+
+    def build(use_pallas: bool):
+        cfg = ChainConfig(
+            fft=FftConfig(max_size=n),
+            cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                            include_cash=False, max_fft_size=n,
+                            use_pallas=use_pallas),
+        )
+        return fft_mag_cfar_chain(cfg).jit()
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(
@@ -68,11 +70,24 @@ def main():
     )
     rt = RuntimeConfig.make(fft_size=n, ref_window_size=32, guard_window_size=4,
                             threshold_scaler=3.5, div_sum=5)
-
-    dt = _timeit(lambda a: f(a, rt).threshold, x)
     samples = channels * pulses * n
+
+    # fused Pallas mag+CFAR tail is ~5% faster than the XLA tail; fall back if
+    # the Pallas path fails on this runtime
+    try:
+        f = build(use_pallas=True)
+        dt = _timeit(lambda a: f(a, rt).threshold, x)
+        path = "pallas-tail"
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas path failed ({type(e).__name__}); falling back to XLA",
+              file=sys.stderr)
+        f = build(use_pallas=False)
+        dt = _timeit(lambda a: f(a, rt).threshold, x)
+        path = "xla"
+
     msps = samples / dt / 1e6
-    print(f"fft+mag+cfar: {dt*1e3:.3f} ms / {samples} samples", file=sys.stderr)
+    print(f"fft+mag+cfar [{path}]: {dt*1e3:.3f} ms / {samples} samples",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "fft_mag_cfar_chain_throughput",

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..configs import CfarConfig, RuntimeConfig
 from ..ops.cfar import CfarOutput
 
-BLOCK_FRAMES = 8          # f32 sublane tile
+BLOCK_FRAMES = 32         # tile: 32 sublanes so the uint8 peaks output meets the
+                          # int8-family minimum tile of (32, 128)
 MAX_LOG2_W = 6            # dyadic box sums up to 64-cell windows
 PAD = 128                 # lane-aligned zero pad per side; must exceed
                           # max window + guard + 1 and every dynamic shift
