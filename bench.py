@@ -72,18 +72,40 @@ def main():
                             threshold_scaler=3.5, div_sum=5)
     samples = channels * pulses * n
 
-    # fused Pallas mag+CFAR tail is ~5% faster than the XLA tail; fall back if
-    # the Pallas path fails on this runtime
+    # The fused Pallas mag+CFAR tail is ~5% faster than the XLA tail. Use it
+    # only if an on-device scalar-digest comparison against the XLA path
+    # matches (guards against Mosaic miscompilation AND against relay quirks —
+    # this runtime's device->host array fetches are unreliable, so validation
+    # stays on-device and only scalars cross).
+    f_xla = build(use_pallas=False)
+    dt = _timeit(lambda a: f_xla(a, rt).threshold, x)
+    path = "xla"
     try:
-        f = build(use_pallas=True)
-        dt = _timeit(lambda a: f(a, rt).threshold, x)
-        path = "pallas-tail"
+        f_pal = build(use_pallas=True)
+
+        def digests(a, rt):
+            o1 = f_xla(a, rt)
+            o2 = f_pal(a, rt)
+            import jax.numpy as jnp
+
+            return (jnp.max(jnp.abs(o1.threshold - o2.threshold)),
+                    jnp.sum(o1.peaks.astype(jnp.int32)
+                            - o2.peaks.astype(jnp.int32) != 0))
+        import jax
+
+        dthr, dpk = jax.jit(digests)(x, rt)
+        if float(dthr) < 1e-2 and int(dpk) == 0:
+            dt_p = _timeit(lambda a: f_pal(a, rt).threshold, x)
+            if dt_p < dt:
+                dt, path = dt_p, "pallas-tail"
+            print(f"pallas tail validated (dthr={float(dthr):.2e})",
+                  file=sys.stderr)
+        else:
+            print(f"pallas digest mismatch dthr={float(dthr)} dpk={int(dpk)}; "
+                  "using XLA", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"pallas path failed ({type(e).__name__}); falling back to XLA",
+        print(f"pallas path unavailable ({type(e).__name__}); using XLA",
               file=sys.stderr)
-        f = build(use_pallas=False)
-        dt = _timeit(lambda a: f(a, rt).threshold, x)
-        path = "xla"
 
     msps = samples / dt / 1e6
     print(f"fft+mag+cfar [{path}]: {dt*1e3:.3f} ms / {samples} samples",

@@ -13,7 +13,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
-import json
+# 
 import sys
 import time
 
@@ -116,6 +116,49 @@ def cmd_bench(args):
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_plot(args):
+    """Threshold-vs-spectrum plot — the analog of the reference tester's
+    ``ThresholdPlot.pdf`` (``FftMagCfarChainTester.scala:177-192``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .golden import three_tone_signal
+    from .ops.fft import fft_op
+    from .ops.logmag import logmag
+
+    chain = _build_chain(args.preset)
+    rt = _runtime(args.set or [])
+    n = chain.cfg.fft.max_size
+    if args.input:
+        iq = np.load(args.input)
+    else:
+        iq = three_tone_signal(n, shift_range_factor=12)
+    x = jnp.asarray(iq, jnp.complex64)
+    out = chain.jit()(x, rt)
+    mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft), rt.mag_mode))
+    thr = np.asarray(out.threshold)
+    pk = np.asarray(out.peaks)
+
+    fig, ax = plt.subplots(figsize=(10, 4))
+    bins = np.arange(len(mag))
+    ax.plot(bins, mag, label="FFT magnitude", lw=0.8)
+    ax.plot(bins, thr, label="CFAR threshold", lw=0.8)
+    det = np.flatnonzero(pk)
+    ax.plot(det, mag[det], "rv", ms=6, label=f"detections ({det.size})")
+    ax.set_xlabel("Frequency bin")
+    ax.set_ylabel("Amplitude")
+    ax.set_title("Constant False Alarm Rate")
+    ax.legend()
+    path = args.output or "ThresholdPlot.pdf"
+    fig.savefig(path, bbox_inches="tight")
+    print(f"wrote {path}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rsp_chains_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -136,6 +179,13 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("plot", help="threshold-vs-spectrum plot (ThresholdPlot analog)")
+    pp.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
+    pp.add_argument("--input", help=".npy complex IQ frame")
+    pp.add_argument("--output", help="output figure path (default ThresholdPlot.pdf)")
+    pp.add_argument("--set", action="append", metavar="REG=VAL")
+    pp.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -35,6 +35,7 @@ class StreamStats:
     frames_in: int = 0
     frames_out: int = 0
     frames_dropped: int = 0
+    frames_failed: int = 0
     total_samples: int = 0
     total_time_s: float = 0.0
 
@@ -57,6 +58,10 @@ class StreamingPipeline:
           crossings (the txwm/rxwm interrupt analog).
       drop_on_full: if True, overflow drops newest frame (real-time radar
           semantics); else ``submit`` blocks.
+      on_error: callback(seq, exception) for per-CPI failures. The pipeline is
+          elastic (SURVEY §5.3): one failed CPI is counted and skipped, the
+          stream keeps running — the per-frame restartability the hardware gets
+          from its (almost) stateless pipeline.
     """
 
     def __init__(
@@ -68,12 +73,14 @@ class StreamingPipeline:
         watermark: tuple[int, int] = (1, 6),
         on_watermark: Optional[Callable[[str], None]] = None,
         drop_on_full: bool = False,
+        on_error: Optional[Callable[[int, Exception], None]] = None,
     ):
         self._fn = fn
         self._rt = rt
         self._rt_lock = threading.Lock()
         self._on_result = on_result
         self._on_watermark = on_watermark
+        self._on_error = on_error
         self._wm_low, self._wm_high = watermark
         self._drop_on_full = drop_on_full
         self._q: queue.Queue = queue.Queue(maxsize=depth)
@@ -138,8 +145,14 @@ class StreamingPipeline:
                 self._on_watermark("low")
             with self._rt_lock:
                 rt = self._rt
-            x = jax.device_put(cpi)        # overlaps with previous CPI's compute
-            out = self._fn(x, rt)          # async dispatch
+            try:
+                x = jax.device_put(cpi)    # overlaps with previous CPI's compute
+                out = self._fn(x, rt)      # async dispatch
+            except Exception as e:         # noqa: BLE001 — elastic: skip the CPI
+                self.stats.frames_failed += 1
+                if self._on_error:
+                    self._on_error(seq, e)
+                continue
             self._outq.put((seq, out, t_in, int(np.prod(cpi.shape))))
             if t_start is None:
                 t_start = time.perf_counter()
@@ -153,7 +166,13 @@ class StreamingPipeline:
                 seq, out, t_in, n_samples = self._outq.get(timeout=0.05)
             except queue.Empty:
                 continue
-            out = jax.block_until_ready(out)
+            try:
+                out = jax.block_until_ready(out)
+            except Exception as e:         # noqa: BLE001 — deferred device error
+                self.stats.frames_failed += 1
+                if self._on_error:
+                    self._on_error(seq, e)
+                continue
             lat = time.perf_counter() - t_in
             self.stats.frames_out += 1
             self.stats.total_samples += n_samples

@@ -19,7 +19,6 @@ accumulation) with its unsharded op on the 8-device CPU mesh (tests/test_sharded
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

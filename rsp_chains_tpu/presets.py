@@ -13,7 +13,6 @@ their elaboration Apps (SURVEY §2.8-2.11, §L6).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax.numpy as jnp

@@ -132,3 +132,36 @@ def test_streaming_reconfigure_between_cpis():
     # rt2 shrinks the active frame: bins >= 128 are zeroed
     assert np.all(np.asarray(results[1].threshold)[0, 128:] == 0)
     assert np.any(np.asarray(results[0].threshold)[0, 128:] != 0)
+
+
+def test_streaming_elastic_error_recovery():
+    """Fault injection: a CPI with a bad shape fails; the stream keeps running
+    (failure detection / elastic recovery, SURVEY §5.3)."""
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+    import time
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8, guard_window_size=2)
+    results, errors = {}, []
+    pipe = StreamingPipeline(chain.jit(), rt,
+                             on_result=lambda s, o, m: results.__setitem__(s, o),
+                             on_error=lambda s, e: errors.append((s, type(e).__name__)))
+    good = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)[None]
+    bad = np.zeros((1, 100), np.complex64)  # wrong frame length -> assert fails
+    with pipe:
+        pipe.submit(0, good)
+        pipe.submit(1, bad)
+        pipe.submit(2, good)
+        t0 = time.time()
+        while len(results) < 2 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    assert set(results) == {0, 2}
+    assert pipe.stats.frames_failed == 1
+    assert errors and errors[0][0] == 1
