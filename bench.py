@@ -52,7 +52,9 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    channels, pulses, n = 16, 256, 1024
+    # batch large enough that compute dominates the ~100us per-call dispatch
+    # latency of the remote-relay runtime (timings are otherwise latency-floored)
+    channels, pulses, n = 64, 256, 1024
 
     def build(use_pallas: bool):
         cfg = ChainConfig(

@@ -116,6 +116,57 @@ def cmd_bench(args):
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_stream(args):
+    """Continuous streaming run — the served RxFftMagCfarTxChain deployment
+    (SURVEY §2.11/§3.5): framed bytes or synthetic frames -> bounded queue ->
+    jitted chain per CPI -> per-CPI metrics."""
+    import time
+
+    import numpy as np
+
+    from .io import FrameDecoder, StreamingPipeline
+    from .golden import three_tone_signal
+
+    chain = _build_chain(args.preset)
+    rt = _runtime(args.set or [])
+    n = chain.cfg.fft.max_size
+    metrics = []
+
+    pipe = StreamingPipeline(
+        chain.jit(), rt,
+        on_result=lambda s, o, m: metrics.append(m),
+        depth=args.depth,
+        on_error=lambda s, e: print(f"CPI {s} failed: {e}", file=sys.stderr),
+    )
+    n_sub = 0
+    with pipe:
+        if args.input:
+            dec = FrameDecoder()
+            with open(args.input, "rb") as fh:
+                while chunk := fh.read(1 << 16):
+                    for fr in dec.feed(chunk):
+                        pipe.submit(fr.seq, fr.iq.reshape(1, -1))
+                        n_sub += 1
+        else:
+            iq = three_tone_signal(n, shift_range_factor=12).astype(np.complex64)
+            for s in range(args.frames):
+                pipe.submit(s, iq[None])
+                n_sub += 1
+        t0 = time.time()
+        while len(metrics) + pipe.stats.frames_failed < n_sub and time.time() - t0 < 120:
+            time.sleep(0.01)
+    st = pipe.stats
+    print(f"CPIs: {st.frames_out} ok, {st.frames_failed} failed, "
+          f"{st.frames_dropped} dropped; aggregate {st.samples_per_s/1e6:.1f} Msamples/s")
+    if metrics:
+        lat = sorted(m.latency_s for m in metrics)
+        print(f"latency p50 {lat[len(lat)//2]*1e3:.2f} ms, "
+              f"p99 {lat[int(len(lat)*0.99)]*1e3:.2f} ms; "
+              f"detections/CPI median "
+              f"{sorted(m.detections for m in metrics)[len(metrics)//2]}")
+    return 0 if st.frames_failed == 0 else 1
+
+
 def cmd_plot(args):
     """Threshold-vs-spectrum plot — the analog of the reference tester's
     ``ThresholdPlot.pdf`` (``FftMagCfarChainTester.scala:177-192``)."""
@@ -179,6 +230,14 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pst = sub.add_parser("stream", help="continuous streaming run with per-CPI metrics")
+    pst.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
+    pst.add_argument("--input", help="framed byte stream file (io.framing format)")
+    pst.add_argument("--frames", type=int, default=32, help="synthetic frame count")
+    pst.add_argument("--depth", type=int, default=8, help="ingest queue depth")
+    pst.add_argument("--set", action="append", metavar="REG=VAL")
+    pst.set_defaults(fn=cmd_stream)
 
     pp = sub.add_parser("plot", help="threshold-vs-spectrum plot (ThresholdPlot analog)")
     pp.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
