@@ -212,7 +212,16 @@ class FftConfig:
     runtime_size: bool = True
     min_log2_size: int = 3
     scaling: FftScaling = FftScaling.DIV_N
+    # Per-stage growth enables, mirroring FFTParams.expandLogic
+    # (RspChainVanillaTester.scala:213): length log2(max_size); stage k with
+    # expand_logic[k]=0 divides by 2 (the hardware truncates the grown LSB,
+    # keepMSBorLSB=MSB). In float semantics this is an overall factor
+    # 2^-(#zeros among the active stages), which adapts to the runtime size.
+    # Overrides ``scaling`` when set. LSB-keep (wraparound overflow) has no
+    # float analog and is unsupported.
+    expand_logic: Optional[tuple] = None
     use_mxu: bool = True  # 4-step matmul FFT on the MXU vs jnp.fft.fft
+                          # (NOTE: jnp.fft is unavailable on some TPU runtimes)
     window: Optional[str] = None  # optional pre-FFT window fn name
 
     def __post_init__(self):

@@ -66,20 +66,21 @@ def encode_iq_frame(iq: np.ndarray, seq: int, **kw) -> bytes:
     return encode_frame(native.pack_iq_c64(iq), seq, **kw)
 
 
-def decode_frame(buf: bytes | memoryview) -> tuple[Frame, int]:
-    """Decode one frame from the head of ``buf``; returns (frame, bytes_consumed).
-    Raises FrameError on bad magic/CRC, needs-more-data as IndexError."""
-    if len(buf) < HEADER.size + 4:
+def decode_frame(buf: bytes, offset: int = 0) -> tuple[Frame, int]:
+    """Decode one frame starting at ``buf[offset]``; returns
+    (frame, bytes_consumed). Raises FrameError on bad magic/CRC,
+    needs-more-data as IndexError."""
+    if len(buf) - offset < HEADER.size + 4:
         raise IndexError("short buffer")
-    magic, seq, n_words, flags, channel = HEADER.unpack_from(buf, 0)
+    magic, seq, n_words, flags, channel = HEADER.unpack_from(buf, offset)
     if magic != MAGIC:
         raise FrameError(f"bad magic 0x{magic:08x}")
     total = HEADER.size + 4 * n_words + 4
-    if len(buf) < total:
+    if len(buf) - offset < total:
         raise IndexError("short buffer")
-    payload = np.frombuffer(buf, np.uint32, n_words, HEADER.size).copy()
-    (crc,) = struct.unpack_from("<I", buf, HEADER.size + 4 * n_words)
-    body = bytes(buf[: HEADER.size + 4 * n_words])
+    payload = np.frombuffer(buf, np.uint32, n_words, offset + HEADER.size).copy()
+    (crc,) = struct.unpack_from("<I", buf, offset + HEADER.size + 4 * n_words)
+    body = buf[offset : offset + HEADER.size + 4 * n_words]
     if native.crc32(body) != crc:
         raise FrameError("CRC mismatch")
     return (
@@ -98,17 +99,19 @@ class FrameDecoder:
 
     def feed(self, chunk: bytes) -> Iterator[Frame]:
         self._buf.extend(chunk)
-        while True:
-            # bytes copy, not memoryview: the exception traceback would pin a view
-            # of the bytearray and block the resize below
-            buf = bytes(self._buf)
-            try:
-                frame, consumed = decode_frame(buf)
-            except IndexError:
-                return
-            except FrameError:
-                # resync: skip one byte and retry (debounce/framing-error analog)
-                del self._buf[:1]
-                continue
-            del self._buf[:consumed]
-            yield frame
+        # one bytes copy per feed() (not per frame); decoding walks an offset
+        buf = bytes(self._buf)
+        pos = 0
+        try:
+            while True:
+                try:
+                    frame, consumed = decode_frame(buf, pos)
+                except IndexError:
+                    return
+                except FrameError:
+                    pos += 1  # resync: skip one byte (framing-error analog)
+                    continue
+                pos += consumed
+                yield frame
+        finally:
+            self._buf = bytearray(buf[pos:])

@@ -106,7 +106,14 @@ def _fixed_size_fft(x: jnp.ndarray, n: int, cfg: FftConfig) -> jnp.ndarray:
     if cfg.window is not None:
         xa = xa * jnp.asarray(make_window(cfg.window, n))
     y = four_step_fft(xa, n) if cfg.use_mxu else jnp.fft.fft(xa, axis=-1)
-    y = y * _scale_factor(n, cfg.scaling)
+    if cfg.expand_logic is not None:
+        # per-stage growth enables (FFTParams.expandLogic): each active
+        # non-expanding stage halves; only the first log2(n) stages are active
+        # at runtime size n (the hardware bypasses the rest)
+        stages = cfg.expand_logic[: int(np.log2(n))]
+        y = y * float(2.0 ** -sum(1 for e in stages if not e))
+    else:
+        y = y * _scale_factor(n, cfg.scaling)
     pad = x.shape[-1] - n
     if pad:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
@@ -146,3 +153,29 @@ def ifft_op(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
     ifft(x) = conj(fft(conj(x))) / n. Used by the matched filter."""
     n = n if n is not None else x.shape[-1]
     return jnp.conj(four_step_fft(jnp.conj(x), n)) / n
+
+
+def rfft_op(x: jnp.ndarray) -> jnp.ndarray:
+    """Real-input FFT of the last axis (length n, power of two) -> n//2+1 bins.
+
+    Real ADC streams (the reference's ``getTone`` real test vectors,
+    ``RspChainTesterUtils.scala:39-41``) carry no imaginary part; feeding them
+    through the complex path wastes half the HBM bandwidth of the chain's
+    dominant stage. Standard pack trick: treat even/odd samples as one
+    n/2-point complex sequence, transform, untangle with one twiddle pass —
+    ~2x cheaper than the complex FFT of the zero-imag input."""
+    n = x.shape[-1]
+    assert (n & (n - 1)) == 0, "length must be a power of two"
+    h = n // 2
+    z = x[..., 0::2] + 1j * x[..., 1::2].astype(jnp.float32)
+    zf = four_step_fft(z.astype(jnp.complex64), h)
+    # untangle: X[k] = E[k] + e^{-2pi i k / n} O[k]
+    zfc = jnp.conj(jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1))
+    e = 0.5 * (zf + zfc)
+    o = -0.5j * (zf - zfc)
+    k = jnp.arange(h)
+    tw = jnp.exp(-2j * jnp.pi * k / n).astype(jnp.complex64)
+    full = e + tw * o                      # bins 0..h-1
+    nyq = (e[..., :1].real - o[..., :1].real
+           + 0j).astype(jnp.complex64)    # bin h = E[0] - O[0]
+    return jnp.concatenate([full, nyq], axis=-1)

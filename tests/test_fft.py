@@ -70,3 +70,34 @@ def test_mxu_vs_jnp_fft_paths(rng):
     a = fft_op(jnp.asarray(x), None, FftConfig(max_size=1024, runtime_size=False, use_mxu=True))
     b = fft_op(jnp.asarray(x), None, FftConfig(max_size=1024, runtime_size=False, use_mxu=False))
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_expand_logic_per_stage_scaling(rng):
+    """FFTParams.expandLogic parity: stage k with expand=0 halves; arbitrary
+    arrays => overall 2^-(#zeros among active stages), adapting to runtime size."""
+    x = (rng.randn(256) + 1j * rng.randn(256)).astype(np.complex64)
+    # 8 stages: expand the first 3, truncate the remaining 5 -> /32 at n=256
+    el = (1, 1, 1, 0, 0, 0, 0, 0)
+    cfg = FftConfig(max_size=256, runtime_size=True, expand_logic=el)
+    rt = RuntimeConfig.make(fft_size=256)
+    got = np.asarray(fft_op(jnp.asarray(x), rt.log2_fft_size, cfg))
+    np.testing.assert_allclose(got, np.fft.fft(x) / 32, rtol=1e-3, atol=1e-2)
+    # runtime shrink to 16 points: only the first 4 stages active -> /2
+    rt2 = RuntimeConfig.make(fft_size=16)
+    got2 = np.asarray(fft_op(jnp.asarray(x), rt2.log2_fft_size, cfg))
+    np.testing.assert_allclose(got2[:16], np.fft.fft(x[:16]) / 2, rtol=1e-3, atol=1e-2)
+    # all-zero expand logic == DIV_N (the tested reference configuration)
+    cfg0 = FftConfig(max_size=256, runtime_size=False, expand_logic=(0,) * 8)
+    got3 = np.asarray(fft_op(jnp.asarray(x), None, cfg0))
+    np.testing.assert_allclose(got3, np.fft.fft(x) / 256, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [16, 256, 1024])
+def test_rfft_matches_numpy(n, rng):
+    from rsp_chains_tpu.ops.fft import rfft_op
+
+    x = rng.randn(3, n).astype(np.float32)
+    got = np.asarray(rfft_op(jnp.asarray(x)))
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == (3, n // 2 + 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2 * np.sqrt(n))

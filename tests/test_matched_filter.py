@@ -77,3 +77,21 @@ def test_doppler_target_lands_on_expected_bin():
     pulse_bin, range_bin = np.unravel_index(np.argmax(mag), mag.shape)
     assert range_bin == 50
     assert pulse_bin == p // 2 + int(fd * p)
+
+
+def test_range_doppler_golden_consistency():
+    """range_doppler_golden composes fft_golden + windowed Doppler; the op
+    pipeline (matched filter omitted) matches it."""
+    rng = np.random.RandomState(3)
+    cpi = (rng.randn(2, 32, 256) + 1j * rng.randn(2, 32, 256))
+    from rsp_chains_tpu.ops.fft import fft_op
+    from rsp_chains_tpu.configs import FftConfig
+    from rsp_chains_tpu.ops.windows import window
+
+    w = window("hann", 32).astype(np.float64)
+    want = range_doppler_golden(cpi, doppler_window=w, fft_shift=True)
+    rngfft = np.asarray(fft_op(jnp.asarray(cpi, jnp.complex64), None,
+                               FftConfig(max_size=256, runtime_size=False)))
+    dop = np.asarray(doppler_fft(jnp.asarray(rngfft),
+                                 DopplerConfig(num_pulses=32, window="hann")))
+    np.testing.assert_allclose(dop, want, rtol=1e-3, atol=1e-4)
