@@ -167,6 +167,31 @@ def cmd_stream(args):
     return 0 if st.frames_failed == 0 else 1
 
 
+def cmd_serve(args):
+    """Run the TCP chain server (UART-host-link deployment analog)."""
+    import time
+
+    from .io.server import ChainServer
+
+    chain = _build_chain(args.preset)
+    rt = _runtime(args.set or [])
+    srv = ChainServer(chain.jit(), rt, frame_len=chain.cfg.fft.max_size,
+                      log2_fft_size=chain.cfg.fft.log2_max,
+                      host=args.host, port=args.port)
+    with srv:
+        print(f"serving {args.preset} on {args.host}:{srv.port} "
+              f"(frame = {chain.cfg.fft.max_size} IQ samples)", flush=True)
+        try:
+            while True:
+                time.sleep(5)
+                st = srv.stats
+                print(f"  frames ok={st.frames_out} failed={st.frames_failed} "
+                      f"agg={st.samples_per_s/1e6:.1f} Msps", flush=True)
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
 def cmd_plot(args):
     """Threshold-vs-spectrum plot — the analog of the reference tester's
     ``ThresholdPlot.pdf`` (``FftMagCfarChainTester.scala:177-192``)."""
@@ -230,6 +255,13 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    psv = sub.add_parser("serve", help="TCP chain server (framed IQ in, CFAR words out)")
+    psv.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
+    psv.add_argument("--host", default="127.0.0.1")
+    psv.add_argument("--port", type=int, default=7355)
+    psv.add_argument("--set", action="append", metavar="REG=VAL")
+    psv.set_defaults(fn=cmd_serve)
 
     pst = sub.add_parser("stream", help="continuous streaming run with per-CPI metrics")
     pst.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
