@@ -82,32 +82,51 @@ def main():
     f_xla = build(use_pallas=False)
     dt = _timeit(lambda a: f_xla(a, rt).threshold, x)
     path = "xla"
-    try:
-        f_pal = build(use_pallas=True)
 
-        def digests(a, rt):
-            o1 = f_xla(a, rt)
-            o2 = f_pal(a, rt)
-            import jax.numpy as jnp
+    # Validate under a watchdog: scalar fetches on this runtime can hang
+    # outright (not just error) after Pallas execution; the bench must never
+    # deadlock the driver.
+    import threading
 
-            return (jnp.max(jnp.abs(o1.threshold - o2.threshold)),
-                    jnp.sum(o1.peaks.astype(jnp.int32)
-                            - o2.peaks.astype(jnp.int32) != 0))
-        import jax
+    verdict = {}
 
-        dthr, dpk = jax.jit(digests)(x, rt)
-        if float(dthr) < 1e-2 and int(dpk) == 0:
-            dt_p = _timeit(lambda a: f_pal(a, rt).threshold, x)
-            if dt_p < dt:
-                dt, path = dt_p, "pallas-tail"
-            print(f"pallas tail validated (dthr={float(dthr):.2e})",
-                  file=sys.stderr)
-        else:
-            print(f"pallas digest mismatch dthr={float(dthr)} dpk={int(dpk)}; "
-                  "using XLA", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"pallas path unavailable ({type(e).__name__}); using XLA",
+    def _validate():
+        try:
+            f_pal = build(use_pallas=True)
+
+            def digests(a, r):
+                o1 = f_xla(a, r)
+                o2 = f_pal(a, r)
+                import jax.numpy as jnp
+
+                return (jnp.max(jnp.abs(o1.threshold - o2.threshold)),
+                        jnp.sum(o1.peaks.astype(jnp.int32)
+                                - o2.peaks.astype(jnp.int32) != 0))
+            import jax
+
+            dthr, dpk = jax.jit(digests)(x, rt)
+            verdict["dthr"] = float(dthr)
+            verdict["dpk"] = int(dpk)
+            verdict["fn"] = f_pal
+        except Exception as e:  # noqa: BLE001
+            verdict["err"] = type(e).__name__
+
+    t = threading.Thread(target=_validate, daemon=True)
+    t.start()
+    t.join(timeout=240)
+    if t.is_alive() or "err" in verdict:
+        print(f"pallas validation unavailable ({verdict.get('err', 'timeout')}); "
+              "using XLA", file=sys.stderr)
+    elif verdict["dthr"] < 1e-2 and verdict["dpk"] == 0:
+        f_pal = verdict["fn"]
+        dt_p = _timeit(lambda a: f_pal(a, rt).threshold, x)
+        if dt_p < dt:
+            dt, path = dt_p, "pallas-tail"
+        print(f"pallas tail validated (dthr={verdict['dthr']:.2e})",
               file=sys.stderr)
+    else:
+        print(f"pallas digest mismatch dthr={verdict['dthr']} "
+              f"dpk={verdict['dpk']}; using XLA", file=sys.stderr)
 
     msps = samples / dt / 1e6
     print(f"fft+mag+cfar [{path}]: {dt*1e3:.3f} ms / {samples} samples",

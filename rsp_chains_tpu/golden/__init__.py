@@ -10,10 +10,13 @@ from .models import (
     range_doppler_golden,
 )
 from .fixtures import (
+    barker_code,
+    chirp_with_targets,
     complex_tone,
+    frank_code,
+    lfm_chirp,
+    random_signal,
     real_tone,
     three_tone_signal,
-    random_signal,
-    lfm_chirp,
-    chirp_with_targets,
 )
+from . import models

@@ -74,6 +74,29 @@ def lfm_chirp(num_samples: int, f0: float = 0.0, f1: float = 0.25,
     return amplitude * np.exp(1j * phase)
 
 
+BARKER_CODES = {
+    2: [1, -1], 3: [1, 1, -1], 4: [1, 1, -1, 1], 5: [1, 1, 1, -1, 1],
+    7: [1, 1, 1, -1, -1, 1, -1], 11: [1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1],
+    13: [1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1],
+}
+
+
+def barker_code(length: int, chip_samples: int = 1) -> np.ndarray:
+    """Barker phase code (binary-phase pulse compression waveform), optionally
+    oversampled by ``chip_samples``."""
+    if length not in BARKER_CODES:
+        raise ValueError(f"no Barker code of length {length}; "
+                         f"choose from {sorted(BARKER_CODES)}")
+    code = np.asarray(BARKER_CODES[length], np.complex128)
+    return np.repeat(code, chip_samples)
+
+
+def frank_code(m: int) -> np.ndarray:
+    """Frank poly-phase code of length m^2 (the sampled-LFM-like code)."""
+    i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    return np.exp(2j * np.pi * i * j / m).reshape(-1)
+
+
 def chirp_with_targets(
     num_pulses: int,
     num_samples: int,

@@ -171,7 +171,10 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
 
     def tx(out, rt):
         log2n = cfg.fft.log2_max  # word layout uses the elaborated bin width
-        return packing.pack_cfar_words(out.threshold, out.peaks, log2n)
+        # sendCut elaboration: pack the cell-under-test value in the bin field
+        # (CFARParams.sendCut, RspChainVanillaTester.scala:232)
+        cut = out.cut if cfg.cfar.send_cut else None
+        return packing.pack_cfar_words(out.threshold, out.peaks, log2n, cut=cut)
 
     return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
 

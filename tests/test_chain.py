@@ -141,3 +141,21 @@ def test_detection_list_compaction():
     mag_b = jnp.stack([mag, mag])
     det_b = compact_detections(mag_b, out_b, max_detections=8)
     assert det_b.bins.shape == (2, 8)
+
+
+def test_rx_tx_send_cut_mode():
+    """sendCut elaboration: output words carry the CUT value, not bin index."""
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                        include_cash=False, send_cut=True),
+    )
+    chain = rx_fft_mag_cfar_tx_chain(cfg)
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    words_in = packing.pack_iq(jnp.asarray(iq, jnp.complex64))
+    words_out = np.asarray(chain.jit()(words_in, _canonical_rt()))
+    thr, mid, pk = packing.unpack_cfar_words(words_out, 10)
+    # the mid field now holds the (truncated) CUT magnitude, not arange
+    assert not np.array_equal(mid, np.arange(1024) & 0x3FF)
+    spec_mag = jpl_mag(fft_golden(iq))
+    np.testing.assert_array_equal(mid, np.floor(spec_mag).astype(np.int64) & 0x3FF)

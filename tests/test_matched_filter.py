@@ -95,3 +95,27 @@ def test_range_doppler_golden_consistency():
     dop = np.asarray(doppler_fft(jnp.asarray(rngfft),
                                  DopplerConfig(num_pulses=32, window="hann")))
     np.testing.assert_allclose(dop, want, rtol=1e-3, atol=1e-4)
+
+
+def test_barker_code_compression():
+    """Barker-13 pulse compression: peak-to-sidelobe ratio 13 (the defining
+    property), via the same matched-filter op."""
+    from rsp_chains_tpu.golden import barker_code
+
+    code = barker_code(13)
+    y = np.abs(np.asarray(matched_filter(
+        jnp.asarray(np.pad(code, (0, 256 - 13)), jnp.complex64),
+        jnp.asarray(code, jnp.complex64),
+        MatchedFilterConfig(normalize=False))))
+    assert np.argmax(y) == 0
+    assert np.isclose(y.max(), 13.0, atol=1e-3)
+    side = y.copy(); side[0] = 0
+    assert side.max() <= 1.0 + 1e-3   # Barker sidelobe bound
+
+
+def test_frank_code_length():
+    from rsp_chains_tpu.golden import frank_code
+
+    c = frank_code(4)
+    assert len(c) == 16
+    np.testing.assert_allclose(np.abs(c), 1.0)
