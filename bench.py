@@ -8,12 +8,23 @@ its architectural throughput is 1 complex sample/cycle/chain (SDF pipeline with
 1-beat/cycle handshake, SURVEY §6). At a representative 250 MHz FPGA clock that is
 250 Msamples/s/chain, which we use as ``vs_baseline`` denominator.
 
+Timing methodology (this runtime is a remote relay where ``block_until_ready``
+returns before execution completes, so naive wall-clock timing measures dispatch
+latency, not compute): K chain invocations are serialized inside ONE jitted
+``fori_loop`` by threading a scalar derived from each call's output into the
+next call's runtime config (a true data dependency, negligible extra work). The
+per-call time is the slope between two loop lengths, which cancels both the
+dispatch latency and the loop overhead. The final scalar is fetched, which
+forces end-to-end completion.
+
 Run on the real TPU chip (default platform). Extra diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -22,18 +33,37 @@ import numpy as np
 BASELINE_MSPS = 250.0  # SDF chain @ 250 MHz, 1 sample/cycle (proxy)
 
 
-def _timeit(fn, *args, iters=50, warmup=5):
-    """Per-call blocking timing. NOTE: on the axon relay platform, queueing N
-    dispatches and blocking only the last under-reports wall time — block every
-    call."""
-    import jax
+def measure_per_call(f, x, rt, k_lo=6, k_hi=30):
+    """True per-call time of jitted ``f(x, rt)``.
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    Calls are serialized by threading a scalar from each call's output into the
+    next call's runtime config (so the device cannot overlap or elide them),
+    and completion is forced by fetching one scalar at the end. Per-call time =
+    slope between two sequence lengths, cancelling dispatch latency and the
+    final-fetch cost. Only tiny helper jits are compiled (wrapping the whole
+    sequence in one fori_loop would need a heavyweight remote compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    mix = jax.jit(lambda out, base: dataclasses.replace(
+        base, threshold_scaler=base.threshold_scaler
+        + 1e-30 * out.threshold[(0,) * out.threshold.ndim]))
+    digest = jax.jit(lambda out: out.threshold[(0,) * out.threshold.ndim])
+
+    def run(k):
+        rt_i = rt
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = f(x, rt_i)
+            rt_i = mix(out, rt)
+        _ = float(digest(out))  # scalar fetch forces end-to-end completion
+        return time.perf_counter() - t0
+
+    run(2)  # warm every helper
+    t_lo = min(run(k_lo) for _ in range(3))
+    t_hi = min(run(k_hi) for _ in range(3))
+    return max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
 
 
 def main():
@@ -52,9 +82,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    # batch large enough that compute dominates the ~100us per-call dispatch
-    # latency of the remote-relay runtime (timings are otherwise latency-floored)
-    channels, pulses, n = 64, 256, 1024
+    channels, pulses, n = 16, 256, 1024
 
     def build(use_pallas: bool):
         cfg = ChainConfig(
@@ -74,18 +102,14 @@ def main():
                             threshold_scaler=3.5, div_sum=5)
     samples = channels * pulses * n
 
-    # The fused Pallas mag+CFAR tail is ~5% faster than the XLA tail. Use it
-    # only if an on-device scalar-digest comparison against the XLA path
-    # matches (guards against Mosaic miscompilation AND against relay quirks —
-    # this runtime's device->host array fetches are unreliable, so validation
-    # stays on-device and only scalars cross).
     f_xla = build(use_pallas=False)
-    dt = _timeit(lambda a: f_xla(a, rt).threshold, x)
+    dt = measure_per_call(f_xla, x, rt)
     path = "xla"
+    print(f"xla per-call: {dt*1e3:.4f} ms", file=sys.stderr)
 
-    # Validate under a watchdog: scalar fetches on this runtime can hang
-    # outright (not just error) after Pallas execution; the bench must never
-    # deadlock the driver.
+    # The fused Pallas mag+CFAR tail: try it, validated by an on-device scalar
+    # digest (device->host array fetches are unreliable on this runtime, so only
+    # scalars cross). Under a watchdog: a hang must not stall the driver.
     import threading
 
     verdict = {}
@@ -97,39 +121,34 @@ def main():
             def digests(a, r):
                 o1 = f_xla(a, r)
                 o2 = f_pal(a, r)
-                import jax.numpy as jnp
-
                 return (jnp.max(jnp.abs(o1.threshold - o2.threshold)),
                         jnp.sum(o1.peaks.astype(jnp.int32)
                                 - o2.peaks.astype(jnp.int32) != 0))
-            import jax
 
             dthr, dpk = jax.jit(digests)(x, rt)
             verdict["dthr"] = float(dthr)
             verdict["dpk"] = int(dpk)
-            verdict["fn"] = f_pal
+            verdict["dt"] = measure_per_call(f_pal, x, rt)
         except Exception as e:  # noqa: BLE001
             verdict["err"] = type(e).__name__
 
     t = threading.Thread(target=_validate, daemon=True)
     t.start()
-    t.join(timeout=240)
+    t.join(timeout=300)
     if t.is_alive() or "err" in verdict:
         print(f"pallas validation unavailable ({verdict.get('err', 'timeout')}); "
               "using XLA", file=sys.stderr)
     elif verdict["dthr"] < 1e-2 and verdict["dpk"] == 0:
-        f_pal = verdict["fn"]
-        dt_p = _timeit(lambda a: f_pal(a, rt).threshold, x)
-        if dt_p < dt:
-            dt, path = dt_p, "pallas-tail"
-        print(f"pallas tail validated (dthr={verdict['dthr']:.2e})",
-              file=sys.stderr)
+        print(f"pallas tail validated (dthr={verdict['dthr']:.2e}); "
+              f"per-call {verdict['dt']*1e3:.4f} ms", file=sys.stderr)
+        if verdict["dt"] < dt:
+            dt, path = verdict["dt"], "pallas-tail"
     else:
         print(f"pallas digest mismatch dthr={verdict['dthr']} "
               f"dpk={verdict['dpk']}; using XLA", file=sys.stderr)
 
     msps = samples / dt / 1e6
-    print(f"fft+mag+cfar [{path}]: {dt*1e3:.3f} ms / {samples} samples",
+    print(f"fft+mag+cfar [{path}]: {dt*1e3:.4f} ms / {samples} samples",
           file=sys.stderr)
 
     print(json.dumps({
@@ -138,6 +157,11 @@ def main():
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
     }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard-exit: a watchdogged thread may be stuck in a relay fetch, and its
+    # teardown would abort the interpreter (exit code 134) after valid output
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timeit(fn, *args, iters=20, warmup=3):
+    """Blocked wall-clock timing — reliable on CPU. For the real chip use
+    ``bench.measure_per_call`` (the relay's block_until_ready returns early)."""
     import jax
 
     for _ in range(warmup):
@@ -50,6 +52,8 @@ def _emit(name, samples, dt, **extra):
 def chip_suite():
     import jax
     import jax.numpy as jnp
+
+    from bench import measure_per_call
 
     from rsp_chains_tpu import (
         CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
@@ -72,7 +76,7 @@ def chip_suite():
         x = jnp.asarray(rng.randn(16, 256, 1024) + 1j * rng.randn(16, 256, 1024),
                         jnp.complex64)
         try:
-            dt = _timeit(lambda a: f(a, rt).threshold, x)
+            dt = measure_per_call(f, x, rt)
             _emit(f"chain_fft_mag_cfar[{'pallas' if use_pallas else 'xla'}]",
                   x.size, dt)
         except Exception as e:  # noqa: BLE001
@@ -91,7 +95,7 @@ def chip_suite():
                              guard_window_size=4, threshold_scaler=5.0, div_sum=5)
     x2 = jnp.asarray(rng.randn(4, 256, 4096) + 1j * rng.randn(4, 256, 4096),
                      jnp.complex64)
-    dt = _timeit(lambda a: ch2(a, rt2).threshold, x2)
+    dt = measure_per_call(ch2, x2, rt2)
     _emit("pulse_compression_4096", x2.size, dt)
 
     # config 3: 2-D range-Doppler, 256-pulse CPI
@@ -104,7 +108,7 @@ def chip_suite():
     ch3 = range_doppler_chain(cfg3, taps=chirp).jit()
     x3 = jnp.asarray(rng.randn(16, 256, 1024) + 1j * rng.randn(16, 256, 1024),
                      jnp.complex64)
-    dt = _timeit(lambda a: ch3(a, rt).threshold, x3)
+    dt = measure_per_call(ch3, x3, rt)
     maps_per_s = 16 / dt
     _emit("range_doppler_256p", x3.size, dt, rd_maps_per_s=round(maps_per_s, 1))
 

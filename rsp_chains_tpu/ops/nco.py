@@ -95,9 +95,12 @@ def nco(
     if cfg.quantized_lut:
         lut = jnp.asarray(_lut_np(cfg.table_size, cfg.table_width))
         nlut = 4 * cfg.table_size
+        # the top log2(nlut) bits of the phase accumulator index the LUT (the
+        # tested config has 2^phase_width == 4*table_size so the ratio is 1)
+        lut_per_phase = nlut / modulus
         if cfg.n_interpolation_terms > 0:
             # linear interpolation between adjacent entries on the phase fraction
-            pm = jnp.mod(phase, modulus)
+            pm = jnp.mod(phase, modulus) * lut_per_phase
             base = jnp.floor(pm)
             frac = (pm - base).astype(jnp.float32)
             i0 = jnp.mod(base.astype(jnp.int32), nlut)
@@ -106,7 +109,7 @@ def nco(
             v1 = jnp.take(lut, i1, axis=0)
             out = v0 + (v1 - v0) * frac.astype(jnp.complex64)
             return out.astype(jnp.complex64)
-        idx = jnp.mod(jnp.round(phase), modulus).astype(jnp.int32)
+        idx = jnp.mod(jnp.round(phase * lut_per_phase), nlut).astype(jnp.int32)
         return jnp.take(lut, idx, axis=0)
 
     angle = (2.0 * np.pi / modulus) * jnp.mod(phase, modulus)

@@ -137,3 +137,14 @@ def test_nco_dither_decorrelates_but_keeps_tone():
     assert np.argmax(spec) == 32  # tone survives
     x2 = np.asarray(nco(words, cfg, dither_seed=0x5EED))
     np.testing.assert_array_equal(x, x2)  # deterministic
+
+
+def test_nco_wide_accumulator_narrow_lut():
+    """phase_width > log2(4*table_size): only the top accumulator bits index the
+    LUT (finer frequency resolution, same table), like the hardware."""
+    cfg = NcoConfig(table_size=128, phase_width=12, quantized_lut=True)
+    # word 128 at 12-bit accumulator = 128/4096 cycles/sample -> bin 32 of 1024
+    words = jnp.full((1024,), 128.0, jnp.float32)
+    x = np.asarray(nco(words, cfg))
+    spec = np.abs(np.fft.fft(x))
+    assert np.argmax(spec) == 32
