@@ -1,0 +1,64 @@
+"""Seeded fuzz sweep: random runtime register files x random signals, op vs
+golden. Covers register-space corners no hand-written case hits."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.configs import (
+    CfarConfig, CfarVariant, MagMode, RuntimeConfig,
+)
+from rsp_chains_tpu.ops.cfar import cfar_op
+from rsp_chains_tpu.ops.logmag import logmag
+from rsp_chains_tpu.golden import cfar_golden
+from rsp_chains_tpu.golden.models import MAG_GOLDENS
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_cfar_random_register_files(trial):
+    rng = np.random.RandomState(1000 + trial)
+    n = int(rng.choice([128, 256, 512]))
+    mag = (np.abs(rng.randn(n)) * rng.uniform(1, 100)).astype(np.float32)
+    for _ in range(rng.randint(1, 4)):
+        mag[rng.randint(n)] *= rng.uniform(5, 50)
+
+    w = int(rng.choice([4, 8, 16, 32]))
+    g = int(rng.randint(1, min(w, 8)))
+    mode = int(rng.randint(0, 4))
+    algorithm = int(rng.randint(0, 2))
+    sw = max(2, min(int(rng.choice([2, 4])), w // 2))  # require() : sw < w
+    rank = int(rng.randint(0, w))
+    scaler = float(rng.uniform(1.0, 8.0))
+    div = int(np.log2(w))
+    pg = int(rng.randint(0, 2))
+
+    cfg = CfarConfig(max_ref_window=32, max_guard_window=8,
+                     variant=CfarVariant.GOSCA, include_cash=True)
+    rt = RuntimeConfig.make(
+        fft_size=n, cfar_mode=mode, cfar_algorithm=algorithm,
+        ref_window_size=w, guard_window_size=g, sub_window_size=sw,
+        index_lagg=rank, index_lead=rank, threshold_scaler=scaler,
+        div_sum=div, peak_grouping=pg,
+    )
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr_g, pk_g = cfar_golden(
+        mag, ref_window=w, guard_window=g, threshold_scaler=scaler,
+        mode=mode, algorithm=algorithm, div_sum=div, index_lagg=rank,
+        index_lead=rank, sub_window=sw, peak_grouping=pg,
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-4, atol=1e-2,
+                               err_msg=f"regs: w={w} g={g} mode={mode} "
+                                       f"alg={algorithm} rank={rank} sw={sw}")
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_mag_random_modes(trial):
+    rng = np.random.RandomState(2000 + trial)
+    x = (rng.randn(256) * rng.uniform(1, 1000)
+         + 1j * rng.randn(256) * rng.uniform(1, 1000)).astype(np.complex64)
+    mode = int(rng.randint(0, 4))
+    got = np.asarray(logmag(jnp.asarray(x), jnp.asarray(mode, jnp.int32)))
+    want = MAG_GOLDENS[mode](x)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
