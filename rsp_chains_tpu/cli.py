@@ -209,6 +209,38 @@ def cmd_plot(args):
     chain = _build_chain(args.preset)
     rt = _runtime(args.set or [])
     n = chain.cfg.fft.max_size
+
+    if args.preset == "range_doppler":
+        # 2-D range-Doppler map with CFAR detection overlay
+        from .golden import chirp_with_targets, lfm_chirp
+
+        p = (chain.cfg.doppler.num_pulses if chain.cfg.doppler else 256)
+        chirp = lfm_chirp(128, 0.0, 0.25)
+        if args.input:
+            cpi = np.load(args.input)
+        else:
+            cpi = chirp_with_targets(
+                p, n, chirp,
+                [(n // 4, 1.0, 0.1), (n // 2, 0.4, -0.2), (3 * n // 5, 0.2, 0.3)],
+                noise_db=-35)
+        out = chain.jit()(jnp.asarray(cpi[None], jnp.complex64), rt)
+        thr = np.asarray(out.threshold)[0]
+        pk = np.asarray(out.peaks)[0]
+        fig, ax = plt.subplots(figsize=(10, 6))
+        img = 20 * np.log10(np.maximum(thr, 1e-9))
+        ax.imshow(img, aspect="auto", origin="lower", cmap="viridis",
+                  interpolation="nearest")
+        d, r = np.nonzero(pk)
+        ax.plot(r, d, "r^", ms=5, label=f"detections ({d.size})")
+        ax.set_xlabel("Range bin")
+        ax.set_ylabel("Doppler bin")
+        ax.set_title("Range-Doppler CFAR threshold map (dB) + detections")
+        ax.legend()
+        path = args.output or "RangeDopplerPlot.pdf"
+        fig.savefig(path, bbox_inches="tight")
+        print(f"wrote {path}")
+        return 0
+
     if args.input:
         iq = np.load(args.input)
     else:
