@@ -93,11 +93,11 @@ def main():
         )
         return fft_mag_cfar_chain(cfg).jit()
 
+    from rsp_chains_tpu.cplx import as_pair
+
     rng = np.random.RandomState(0)
-    x = jnp.asarray(
-        (rng.randn(channels, pulses, n) + 1j * rng.randn(channels, pulses, n)),
-        jnp.complex64,
-    )
+    x = as_pair((rng.randn(channels, pulses, n)
+                 + 1j * rng.randn(channels, pulses, n)).astype(np.complex64))
     rt = RuntimeConfig.make(fft_size=n, ref_window_size=32, guard_window_size=4,
                             threshold_scaler=3.5, div_sum=5)
     samples = channels * pulses * n

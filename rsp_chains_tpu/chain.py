@@ -57,11 +57,13 @@ class Chain:
         self._jitted: Optional[Callable] = None
 
     def __call__(self, x: Any, rt: RuntimeConfig) -> Any:
+        from .cplx import C
+
         fp = self.cfg.fixed_point
         for stage in self.stages:
             with jax.named_scope(stage.name):
                 x = stage.fn(x, rt)
-            if fp.enabled and not stage.terminal and isinstance(x, jnp.ndarray):
+            if fp.enabled and not stage.terminal and isinstance(x, (jnp.ndarray, C)):
                 x = quantize(x, fp)
         return x
 

@@ -63,16 +63,18 @@ def cmd_run(args):
 
     chain = _build_chain(args.preset)
     rt = _runtime(args.set or [])
+    from .cplx import as_pair
+
     if args.input:
-        x = np.load(args.input)
-        x = jnp.asarray(x, jnp.uint32 if args.preset == "rx_tx" else jnp.complex64)
+        raw = np.load(args.input)
+        x = jnp.asarray(raw, jnp.uint32) if args.preset == "rx_tx" else as_pair(raw)
     elif args.preset in ("rsp_vanilla", "chain_with_mem"):
         x = None
     else:
         from .golden import three_tone_signal
 
         n = chain.cfg.fft.max_size
-        x = jnp.asarray(three_tone_signal(n, shift_range_factor=12), jnp.complex64)
+        x = as_pair(three_tone_signal(n, shift_range_factor=12))
         print(f"(no --input: using canonical {n}-pt three-tone fixture)",
               file=sys.stderr)
     out = chain.jit()(x, rt)
@@ -223,7 +225,9 @@ def cmd_plot(args):
                 p, n, chirp,
                 [(n // 4, 1.0, 0.1), (n // 2, 0.4, -0.2), (3 * n // 5, 0.2, 0.3)],
                 noise_db=-35)
-        out = chain.jit()(jnp.asarray(cpi[None], jnp.complex64), rt)
+        from .cplx import as_pair
+
+        out = chain.jit()(as_pair(cpi[None]), rt)
         thr = np.asarray(out.threshold)[0]
         pk = np.asarray(out.peaks)[0]
         fig, ax = plt.subplots(figsize=(10, 6))
@@ -241,11 +245,13 @@ def cmd_plot(args):
         print(f"wrote {path}")
         return 0
 
+    from .cplx import as_pair
+
     if args.input:
         iq = np.load(args.input)
     else:
         iq = three_tone_signal(n, shift_range_factor=12)
-    x = jnp.asarray(iq, jnp.complex64)
+    x = as_pair(iq)
     out = chain.jit()(x, rt)
     mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft), rt.mag_mode))
     thr = np.asarray(out.threshold)

@@ -146,7 +146,13 @@ class StreamingPipeline:
             with self._rt_lock:
                 rt = self._rt
             try:
-                x = jax.device_put(cpi)    # overlaps with previous CPI's compute
+                if np.iscomplexobj(cpi):
+                    # complex never touches the device: host-split to a pair
+                    from ..cplx import as_pair
+
+                    x = as_pair(np.asarray(cpi))
+                else:
+                    x = jax.device_put(cpi)  # overlaps with prior CPI's compute
                 out = self._fn(x, rt)      # async dispatch
             except Exception as e:         # noqa: BLE001 — elastic: skip the CPI
                 self.stats.frames_failed += 1

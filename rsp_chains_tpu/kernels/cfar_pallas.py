@@ -174,17 +174,20 @@ def fused_mag_cfar(
 ) -> CfarOutput:
     """Fused logmag + CA/GO/SO CFAR over the last axis of a complex spectrum.
 
-    ``spectrum``: complex64 [..., N] with N a multiple of 128. Returns CfarOutput
-    (threshold float32, peaks bool). Requires a CA-family configuration (the
-    GOS/CASH sort paths run via ``ops.cfar``)."""
-    n = spectrum.shape[-1]
+    ``spectrum``: [..., N] pair (``cplx.C``) or complex array, N a multiple of
+    128. Returns CfarOutput (threshold float32, peaks bool). Requires a
+    CA-family configuration (the GOS/CASH sort paths run via ``ops.cfar``)."""
+    from ..cplx import as_pair
+
+    xp = as_pair(spectrum)
+    n = xp.shape[-1]
     assert n % 128 == 0, "frame length must be a multiple of 128 lanes"
     assert cfg.max_ref_window <= 1 << MAX_LOG2_W
     assert cfg.max_ref_window + cfg.max_guard_window + 1 <= PAD
-    batch_shape = spectrum.shape[:-1]
+    batch_shape = xp.shape[:-1]
     flat = int(np.prod(batch_shape)) if batch_shape else 1
-    re = jnp.real(spectrum).astype(jnp.float32).reshape(flat, n)
-    im = jnp.imag(spectrum).astype(jnp.float32).reshape(flat, n)
+    re = xp.re.astype(jnp.float32).reshape(flat, n)
+    im = xp.im.astype(jnp.float32).reshape(flat, n)
 
     f_pad = (-flat) % BLOCK_FRAMES
     if f_pad:

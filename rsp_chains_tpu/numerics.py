@@ -36,8 +36,12 @@ def quantize(x: jnp.ndarray, cfg: FixedPointConfig) -> jnp.ndarray:
     Identity when ``cfg.enabled`` is False. Values stay in float domain (scaled back
     down) so downstream ops are unchanged; only the representable grid is enforced.
     """
+    from .cplx import C
+
     if not cfg.enabled:
         return x
+    if isinstance(x, C):
+        return C(quantize(x.re, cfg), quantize(x.im, cfg))
     if jnp.iscomplexobj(x):
         re = quantize(x.real, cfg)
         im = quantize(x.imag, cfg)

@@ -4,8 +4,8 @@ The reference processes one channel per elaborated chain; multi-channel arrays
 would be N chain instances (SURVEY §2.15 "data parallel over channels/beams").
 On TPU the channel axis is where the MXU shines: conventional (Bartlett)
 beamforming is one ``[beams, channels] x [channels, samples]`` complex matmul —
-exactly the shape the systolic array wants — so beam formation is effectively
-free inside the chain jit.
+three real MXU contractions via Gauss's algorithm in the pair representation —
+so beam formation is effectively free inside the chain jit.
 
 Conventions: channels along axis ``-2`` of ``[..., C, T]`` blocks (fast time /
 range last, like everywhere else in the framework). Steering for a uniform
@@ -17,6 +17,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..cplx import C, CLike, as_pair, gauss_triple, like, matmul_gauss
+from .fft import _four_step_c
+
 
 def ula_steering(num_channels: int, angles_rad, spacing_wavelengths: float = 0.5) -> np.ndarray:
     """Steering matrix A [beams, channels] for a uniform linear array:
@@ -27,27 +30,26 @@ def ula_steering(num_channels: int, angles_rad, spacing_wavelengths: float = 0.5
     return np.exp(phase).astype(np.complex64)
 
 
-def beamform(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
-    """Weighted beam formation: ``x`` [..., C, T] complex, ``weights``
-    [B, C] (conjugated internally, conventional beamformer). Returns [..., B, T].
+def beamform(x: CLike, weights: np.ndarray) -> CLike:
+    """Weighted beam formation: ``x`` [..., C, T] (pair or complex), ``weights``
+    [B, C] host complex (conjugated internally, conventional beamformer).
+    Returns [..., B, T]. One Gauss complex matmul -> 3 real MXU contractions."""
+    xp = as_pair(x)
+    w = np.conj(np.asarray(weights))
+    return like(x, matmul_gauss(gauss_triple(w), xp, "bc,...ct->...bt"))
 
-    One complex matmul -> MXU; XLA fuses it with adjacent elementwise stages."""
-    return jnp.einsum("bc,...ct->...bt", jnp.conj(weights), x)
 
-
-def fft_beamform(x: jnp.ndarray) -> jnp.ndarray:
+def fft_beamform(x: CLike) -> CLike:
     """DFT across the channel axis: C uniformly spaced beams at spatial
     frequencies k/C (the spatial analog of the range FFT). ``x`` [..., C, T] ->
     [..., C, T] beam space."""
-    from .fft import four_step_fft
-
-    c = x.shape[-2]
-    xt = jnp.swapaxes(x, -1, -2)
+    xp = as_pair(x)
+    c = xp.shape[-2]
+    xt = C(jnp.swapaxes(xp.re, -1, -2), jnp.swapaxes(xp.im, -1, -2))
     if c & (c - 1) == 0:
-        yt = four_step_fft(xt, c)
+        yt = _four_step_c(xt, c)
     else:
-        a = jnp.asarray(
-            np.exp(-2j * np.pi * np.outer(np.arange(c), np.arange(c)) / c)
-            .astype(np.complex64))
-        yt = jnp.einsum("kc,...c->...k", a, xt)
-    return jnp.swapaxes(yt, -1, -2)
+        a = np.exp(-2j * np.pi * np.outer(np.arange(c), np.arange(c)) / c)
+        yt = matmul_gauss(gauss_triple(a), xt, "kc,...c->...k")
+    y = C(jnp.swapaxes(yt.re, -1, -2), jnp.swapaxes(yt.im, -1, -2))
+    return like(x, y)

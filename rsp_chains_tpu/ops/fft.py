@@ -12,21 +12,24 @@ TPU-first design decisions (NOT a translation of the SDF pipeline):
 
 * The per-sample butterfly pipeline becomes a whole-array transform over frames of
   static shape ``[..., max_size]``.
-* **MXU path**: the FFT is computed as a Bailey four-step factorization
-  N = N1 x N2 -> two batched small complex matmuls against DFT matrices plus one
-  twiddle multiply. For N = 1024 this is two [32x32] matmul sweeps: ~N*(N1+N2)
-  complex MACs/frame, and every FLOP lands on the systolic array. XLA decomposes
-  complex64 dots into real matmuls automatically. This beats both a scalar-style
-  radix-2 network (VPU-bound, log-depth dependency chain) and a naive full DFT
-  matmul (N^2 MACs).
-* **Runtime size without recompile**: the "number of active stages" register maps to
-  a ``lax.switch`` over all compiled log2 sizes in [min_log2_size, log2(max_size)].
-  Every branch has static shapes (slice x[..., :n], transform, zero-pad to
-  max_size), all branches are compiled exactly once; changing the traced
-  ``log2_fft_size`` scalar between calls selects a branch with no recompilation.
-  This mirrors the hardware's elaborate-max/configure-at-runtime split exactly.
+* **Real-pair arithmetic throughout** (``cplx.C``): TPUs have no native complex
+  type (and this project's target runtime rejects complex64 outright), so the
+  transform is built from real float32 arrays. This is where the MXU wins twice:
+  the four-step factorization N = N1 x N2 turns the FFT into batched small
+  matmuls, and each complex matmul lowers to **three** real MXU contractions via
+  Gauss's algorithm (the matrix-side sums are precomputed constants).
+* **Runtime size without recompile**: the "number of active stages" register maps
+  to a ``lax.switch`` over all compiled log2 sizes in [min_log2_size,
+  log2(max_size)]. Every branch has static shapes (slice x[..., :n], transform,
+  zero-pad to max_size); changing the traced ``log2_fft_size`` scalar between
+  calls selects a branch with no recompilation — mirroring the hardware's
+  elaborate-max/configure-at-runtime split exactly.
 * ``useBitReverse = true`` (natural-order output) is the only ordering offered —
   bit-reversed order is an artifact of the hardware SDF datapath.
+
+All entry points are representation-polymorphic: a ``cplx.C`` pair in gives a
+pair out (the device path); a complex ndarray in gives a complex ndarray out
+(CPU/test convenience — the only place complex dtypes are materialized).
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import FftConfig, FftScaling
+from ..cplx import C, CLike, as_pair, gauss_triple, join, like, matmul_gauss
 from .windows import window as make_window
 
 
@@ -54,42 +58,47 @@ def dft_matrix(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_triple(n: int):
+    return gauss_triple(_dft_matrix_np(n))
+
+
+@functools.lru_cache(maxsize=None)
 def _four_step_consts(n: int):
-    """Precompute (F1 [N1,N1], F2 [N2,N2], twiddle [N1,N2]) for N = N1*N2."""
+    """Precompute Gauss triples for F1 [N1,N1], F2 [N2,N2] and the twiddle
+    pair [N1,N2] for N = N1*N2."""
     p = int(np.log2(n))
     n1 = 1 << ((p + 1) // 2)
     n2 = 1 << (p // 2)
-    f1 = _dft_matrix_np(n1)
-    f2 = _dft_matrix_np(n2)
     k1 = np.arange(n1)[:, None]
     m2 = np.arange(n2)[None, :]
     tw = np.exp(-2j * np.pi * k1 * m2 / n).astype(np.complex64)
-    return n1, n2, f1, f2, tw
+    return (n1, n2, _dft_triple(n1), _dft_triple(n2),
+            np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag))
 
 
-def four_step_fft(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """n-point FFT of the last axis via the four-step (Cooley-Tukey N1xN2)
-    factorization, as batched MXU matmuls. ``x.shape[-1] == n`` (static).
+def _four_step_c(x: C, n: int) -> C:
+    """n-point FFT of the last axis in pair arithmetic (see module docstring).
 
     Derivation: with input index m = N2*m1 + m2 and output index k = k1 + N1*k2,
       X[k1 + N1 k2] = sum_{m2} W_N^{m2 k1} W_{N2}^{m2 k2}
                       * (sum_{m1} x[N2 m1 + m2] W_{N1}^{m1 k1})
-    i.e. DFT columns (length N1), twiddle, DFT rows (length N2), transpose.
-    """
+    i.e. DFT columns (length N1), twiddle, DFT rows (length N2), transpose."""
     if n <= 64:
-        f = jnp.asarray(_dft_matrix_np(n))
-        return jnp.einsum("km,...m->...k", f, x)
-    n1, n2, f1, f2, tw = _four_step_consts(n)
-    f1 = jnp.asarray(f1)
-    f2 = jnp.asarray(f2)
-    tw = jnp.asarray(tw)
-    xm = x.reshape(x.shape[:-1] + (n1, n2))          # [..., m1, m2]
-    a = jnp.einsum("km,...mj->...kj", f1, xm)        # DFT over m1 -> [..., k1, m2]
-    b = a * tw                                       # twiddle
-    c = jnp.einsum("lj,...kj->...kl", f2, b)         # DFT over m2 -> [..., k1, k2]
+        return matmul_gauss(_dft_triple(n), x, "km,...m->...k")
+    n1, n2, f1t, f2t, twr, twi = _four_step_consts(n)
+    xm = x.reshape(x.shape[:-1] + (n1, n2))               # [..., m1, m2]
+    a = matmul_gauss(f1t, xm, "km,...mj->...kj")          # DFT over m1
+    twr_j, twi_j = jnp.asarray(twr), jnp.asarray(twi)
+    b = C(a.re * twr_j - a.im * twi_j, a.re * twi_j + a.im * twr_j)
+    c = matmul_gauss(f2t, b, "lj,...kj->...kl")           # DFT over m2
     # output index k = k1 + N1*k2 -> k2 must be the slower axis
-    out = jnp.swapaxes(c, -1, -2).reshape(x.shape[:-1] + (n,))
-    return out
+    out = C(jnp.swapaxes(c.re, -1, -2), jnp.swapaxes(c.im, -1, -2))
+    return out.reshape(x.shape[:-1] + (n,))
+
+
+def four_step_fft(x: CLike, n: int) -> CLike:
+    """n-point FFT via four-step MXU matmuls; ``x.shape[-1] == n`` (static)."""
+    return like(x, _four_step_c(as_pair(x), n))
 
 
 def _scale_factor(n: int, scaling: FftScaling) -> float:
@@ -100,12 +109,17 @@ def _scale_factor(n: int, scaling: FftScaling) -> float:
     return 1.0
 
 
-def _fixed_size_fft(x: jnp.ndarray, n: int, cfg: FftConfig) -> jnp.ndarray:
+def _cpad_last(c: C, pad: int) -> C:
+    cfgpad = [(0, 0)] * (c.ndim - 1) + [(0, pad)]
+    return C(jnp.pad(c.re, cfgpad), jnp.pad(c.im, cfgpad))
+
+
+def _fixed_size_fft(x: C, n: int, cfg: FftConfig) -> C:
     """FFT of the first n samples of the last axis, zero-padded back to max size."""
     xa = x[..., :n]
     if cfg.window is not None:
         xa = xa * jnp.asarray(make_window(cfg.window, n))
-    y = four_step_fft(xa, n) if cfg.use_mxu else jnp.fft.fft(xa, axis=-1)
+    y = _four_step_c(xa, n)
     if cfg.expand_logic is not None:
         # per-stage growth enables (FFTParams.expandLogic): each active
         # non-expanding stage halves; only the first log2(n) stages are active
@@ -116,16 +130,16 @@ def _fixed_size_fft(x: jnp.ndarray, n: int, cfg: FftConfig) -> jnp.ndarray:
         y = y * _scale_factor(n, cfg.scaling)
     pad = x.shape[-1] - n
     if pad:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
-    return y.astype(x.dtype)
+        y = _cpad_last(y, pad)
+    return y
 
 
 def fft_op(
-    x: jnp.ndarray,
+    x: CLike,
     log2_fft_size: Optional[jnp.ndarray] = None,
     cfg: FftConfig = FftConfig(),
-) -> jnp.ndarray:
-    """The FFT stage. ``x``: complex [..., max_size] frames.
+) -> CLike:
+    """The FFT stage. ``x``: [..., max_size] frames (pair or complex).
 
     With ``cfg.runtime_size`` (the reference's ``runTime = true``), the traced
     scalar ``log2_fft_size`` (the base+0 "active stages" register,
@@ -133,11 +147,12 @@ def fft_op(
     the first n samples of each frame are transformed and bins [n:max_size] are
     zero. With a static size the single branch is inlined.
     """
-    assert x.shape[-1] == cfg.max_size, (
-        f"frame length {x.shape[-1]} != elaborated max_size {cfg.max_size}"
+    xp = as_pair(x)
+    assert xp.shape[-1] == cfg.max_size, (
+        f"frame length {xp.shape[-1]} != elaborated max_size {cfg.max_size}"
     )
     if not cfg.runtime_size or log2_fft_size is None:
-        return _fixed_size_fft(x, cfg.max_size, cfg)
+        return like(x, _fixed_size_fft(xp, cfg.max_size, cfg))
     lo = cfg.min_log2_size
     hi = cfg.log2_max
     branches = [
@@ -145,37 +160,44 @@ def fft_op(
         for p in range(lo, hi + 1)
     ]
     idx = jnp.clip(log2_fft_size - lo, 0, hi - lo)
-    return jax.lax.switch(idx, branches, x)
+    return like(x, jax.lax.switch(idx, branches, xp))
 
 
-def ifft_op(x: jnp.ndarray, n: Optional[int] = None) -> jnp.ndarray:
+def ifft_op(x: CLike, n: Optional[int] = None) -> CLike:
     """Inverse FFT along the last axis via the forward four-step kernel:
     ifft(x) = conj(fft(conj(x))) / n. Used by the matched filter."""
-    n = n if n is not None else x.shape[-1]
-    return jnp.conj(four_step_fft(jnp.conj(x), n)) / n
+    xp = as_pair(x)
+    n = n if n is not None else xp.shape[-1]
+    y = _four_step_c(xp.conj(), n).conj() * (1.0 / n)
+    return like(x, y)
 
 
-def rfft_op(x: jnp.ndarray) -> jnp.ndarray:
+def rfft_op(x: jnp.ndarray, pair: bool = False) -> CLike:
     """Real-input FFT of the last axis (length n, power of two) -> n//2+1 bins.
 
     Real ADC streams (the reference's ``getTone`` real test vectors,
-    ``RspChainTesterUtils.scala:39-41``) carry no imaginary part; feeding them
-    through the complex path wastes half the HBM bandwidth of the chain's
-    dominant stage. Standard pack trick: treat even/odd samples as one
-    n/2-point complex sequence, transform, untangle with one twiddle pass —
-    ~2x cheaper than the complex FFT of the zero-imag input."""
+    ``RspChainTesterUtils.scala:39-41``) carry no imaginary part; the standard
+    pack trick treats even/odd samples as one n/2-point pair sequence,
+    transforms, and untangles with one twiddle pass — ~2x cheaper than the
+    complex FFT of a zero-imag input. Returns a ``cplx.C`` when ``pair`` else a
+    complex ndarray."""
     n = x.shape[-1]
     assert (n & (n - 1)) == 0, "length must be a power of two"
     h = n // 2
-    z = x[..., 0::2] + 1j * x[..., 1::2].astype(jnp.float32)
-    zf = four_step_fft(z.astype(jnp.complex64), h)
-    # untangle: X[k] = E[k] + e^{-2pi i k / n} O[k]
-    zfc = jnp.conj(jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1))
-    e = 0.5 * (zf + zfc)
-    o = -0.5j * (zf - zfc)
-    k = jnp.arange(h)
-    tw = jnp.exp(-2j * jnp.pi * k / n).astype(jnp.complex64)
-    full = e + tw * o                      # bins 0..h-1
-    nyq = (e[..., :1].real - o[..., :1].real
-           + 0j).astype(jnp.complex64)    # bin h = E[0] - O[0]
-    return jnp.concatenate([full, nyq], axis=-1)
+    z = C(x[..., 0::2].astype(jnp.float32), x[..., 1::2].astype(jnp.float32))
+    zf = _four_step_c(z, h)
+    rev = jnp.concatenate  # reversed-index conjugate: Z*[(-k) mod h]
+    zfc = C(
+        rev([zf.re[..., :1], zf.re[..., :0:-1]], axis=-1),
+        -rev([zf.im[..., :1], zf.im[..., :0:-1]], axis=-1),
+    )
+    e = C(0.5 * (zf.re + zfc.re), 0.5 * (zf.im + zfc.im))
+    o = C(0.5 * (zf.im - zfc.im), -0.5 * (zf.re - zfc.re))  # -0.5i (zf - zfc)
+    k = np.arange(h)
+    twr = jnp.asarray(np.cos(-2 * np.pi * k / n).astype(np.float32))
+    twi = jnp.asarray(np.sin(-2 * np.pi * k / n).astype(np.float32))
+    full = C(e.re + twr * o.re - twi * o.im, e.im + twr * o.im + twi * o.re)
+    nyq = C(e.re[..., :1] - o.re[..., :1], jnp.zeros_like(e.im[..., :1]))
+    out = C(jnp.concatenate([full.re, nyq.re], axis=-1),
+            jnp.concatenate([full.im, nyq.im], axis=-1))
+    return out if pair else join(out)

@@ -28,19 +28,21 @@ def _jpl(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(u + v * 0.125, u * 0.875 + v * 0.5)
 
 
-def logmag(x: jnp.ndarray, mag_mode: jnp.ndarray, cfg: LogMagConfig | None = None) -> jnp.ndarray:
+def logmag(x, mag_mode: jnp.ndarray, cfg: LogMagConfig | None = None) -> jnp.ndarray:
     """Compute the runtime-selected magnitude of complex input ``x``.
 
     Args:
-      x: complex array, any shape.
+      x: complex array or ``cplx.C`` pair (the device representation), any shape.
       mag_mode: traced int32 scalar, ``MagMode`` code (the base+0 register).
       cfg: static LogMagConfig (LUT-log fidelity options).
 
     Returns float32 array of the same shape.
     """
+    from ..cplx import as_pair
+
     cfg = cfg or LogMagConfig()
-    re = jnp.real(x).astype(jnp.float32)
-    im = jnp.imag(x).astype(jnp.float32)
+    xp = as_pair(x)
+    re, im = xp.re, xp.im
 
     def mode_abs(_):
         return jnp.sqrt(re * re + im * im)

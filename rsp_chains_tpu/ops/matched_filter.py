@@ -2,7 +2,8 @@
 SURVEY §7 — the reference checkout has no matched filter, but its chirp front end
 (PLFG+NCO) is exactly the waveform such a filter compresses).
 
-Two TPU-native paths:
+Two TPU-native paths, both in real-pair arithmetic (``cplx.C``; complex dtypes
+only at the CPU-convenience boundary):
 
 * ``matched_filter`` — per-frame frequency-domain correlation
   ``ifft(fft(x) * conj(fft(ref)))`` built on the four-step MXU FFT. One fused jit
@@ -19,66 +20,83 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import MatchedFilterConfig
-from .fft import four_step_fft, ifft_op
+from ..cplx import C, CLike, as_pair, like
+from .fft import _four_step_c
 
 
 def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
+def _pad_taps(taps: C, nfft: int) -> C:
+    m = taps.shape[-1]
+    z = jnp.zeros((nfft,), jnp.float32)
+    return C(z.at[:m].set(taps.re), z.at[:m].set(taps.im))
+
+
 def matched_filter(
-    x: jnp.ndarray,
-    taps: jnp.ndarray,
+    x: CLike,
+    taps,
     cfg: MatchedFilterConfig = MatchedFilterConfig(),
-) -> jnp.ndarray:
+) -> CLike:
     """Circular pulse compression along the last axis (frame-sized FFT).
 
-    ``x``: [..., N] complex frames (N a power of two); ``taps``: [M] the transmit
-    replica (M <= N). Output [..., N]: correlation of x with the replica, peak at
-    the target delay. Matches ``golden.matched_filter_golden(mode="circular")``.
-    """
-    n = x.shape[-1]
+    ``x``: [..., N] frames (N a power of two), pair or complex; ``taps``: [M]
+    the transmit replica (M <= N). Output [..., N]: correlation of x with the
+    replica, peak at the target delay. Matches
+    ``golden.matched_filter_golden(mode="circular")``."""
+    xp = as_pair(x)
+    tp = as_pair(np.asarray(taps) if not isinstance(taps, C) else taps)
+    n = xp.shape[-1]
     assert (n & (n - 1)) == 0, "frame length must be a power of two"
-    h = jnp.zeros((n,), x.dtype).at[: taps.shape[0]].set(taps.astype(x.dtype))
-    hf = jnp.conj(four_step_fft(h, n))
+    assert tp.shape[-1] <= n, (
+        f"matched-filter length {tp.shape[-1]} exceeds frame length {n}")
+    hf = _four_step_c(_pad_taps(tp, n), n).conj()
     if cfg.normalize:
-        hf = hf / jnp.maximum(jnp.linalg.norm(taps), 1e-30)
-    xf = four_step_fft(x, n)
-    return ifft_op(xf * hf, n)
+        norm = jnp.maximum(jnp.sqrt(jnp.sum(tp.abs2())), 1e-30)
+        hf = hf * (1.0 / norm)
+    xf = _four_step_c(xp, n)
+    prod = xf * hf
+    y = _four_step_c(prod.conj(), n).conj() * (1.0 / n)   # inverse FFT
+    return like(x, y)
 
 
 def overlap_save_fir(
-    x: jnp.ndarray,
-    taps: jnp.ndarray,
+    x: CLike,
+    taps,
     block_size: int | None = None,
-) -> jnp.ndarray:
+) -> CLike:
     """Linear convolution of a long last axis with ``taps`` via overlap-save.
 
     ``x``: [..., T]; returns [..., T] (same-alignment output: y[t] =
     sum_m taps[m] * x[t - m], zero-padded history). Each block of length B reads a
     left halo of (M-1) samples — the halo that crosses chip boundaries when T is
     sharded (see ``parallel.halo``)."""
-    m = taps.shape[0]
-    t = x.shape[-1]
+    xp = as_pair(x)
+    tp = as_pair(np.asarray(taps) if not isinstance(taps, C) else taps)
+    m = tp.shape[-1]
+    t = xp.shape[-1]
     b = block_size or max(_next_pow2(4 * m), 256)
     nfft = _next_pow2(b + m - 1)
     nblk = -(-t // b)
     pad_t = nblk * b
 
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(m - 1, pad_t - t)])
-    # gather overlapping blocks: block i covers xp[i*b : i*b + b + m - 1]
-    idx = (jnp.arange(nblk)[:, None] * b + jnp.arange(b + m - 1)[None, :])
-    blocks = jnp.take(xp, idx.reshape(-1), axis=-1).reshape(
-        x.shape[:-1] + (nblk, b + m - 1)
-    )
-    blocks = jnp.pad(blocks, [(0, 0)] * (blocks.ndim - 1) + [(0, nfft - (b + m - 1))])
+    padcfg = [(0, 0)] * (xp.ndim - 1) + [(m - 1, pad_t - t)]
+    xpad = C(jnp.pad(xp.re, padcfg), jnp.pad(xp.im, padcfg))
+    # gather overlapping blocks: block i covers xpad[i*b : i*b + b + m - 1]
+    idx = (jnp.arange(nblk)[:, None] * b + jnp.arange(b + m - 1)[None, :]).reshape(-1)
+    blk_shape = xp.shape[:-1] + (nblk, b + m - 1)
+    blocks = C(jnp.take(xpad.re, idx, axis=-1).reshape(blk_shape),
+               jnp.take(xpad.im, idx, axis=-1).reshape(blk_shape))
+    bpad = [(0, 0)] * (blocks.ndim - 1) + [(0, nfft - (b + m - 1))]
+    blocks = C(jnp.pad(blocks.re, bpad), jnp.pad(blocks.im, bpad))
 
-    h = jnp.zeros((nfft,), x.dtype).at[:m].set(taps.astype(x.dtype))
-    hf = four_step_fft(h, nfft)
-    yf = four_step_fft(blocks, nfft) * hf
-    y = ifft_op(yf, nfft)[..., m - 1 : m - 1 + b]  # valid part of each block
-    y = y.reshape(x.shape[:-1] + (pad_t,))[..., :t]
-    return y
+    hf = _four_step_c(_pad_taps(tp, nfft), nfft)
+    yf = _four_step_c(blocks, nfft) * hf
+    y = _four_step_c(yf.conj(), nfft).conj() * (1.0 / nfft)  # inverse FFT
+    y = y[..., m - 1 : m - 1 + b]          # valid part of each block
+    y = y.reshape(xp.shape[:-1] + (pad_t,))[..., :t]
+    return like(x, y)
 
 
 def mf_reference_taps(chirp: np.ndarray) -> np.ndarray:

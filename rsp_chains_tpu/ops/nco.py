@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import NcoConfig
+from ..cplx import C
 
 
 @functools.lru_cache(maxsize=None)
@@ -60,7 +61,8 @@ def nco(
     cfg: NcoConfig = NcoConfig(),
     phase_offset: jnp.ndarray | float = 0.0,
     dither_seed: int = 0x5EED,
-) -> jnp.ndarray:
+    pair: bool = False,
+) -> jnp.ndarray | C:
     """Convert a frequency-word stream into complex IQ samples.
 
     Args:
@@ -71,7 +73,9 @@ def nco(
         units* (same units as the words) — ``RuntimeConfig.phase_offset``.
       dither_seed: seed for the deterministic phase-dither sequence.
 
-    Returns complex64 [..., T]: amplitude-2^(table_width-2) IQ samples.
+    Returns [..., T] amplitude-2^(table_width-2) IQ samples: a ``cplx.C``
+    real pair when ``pair`` (the device representation — complex dtypes are not
+    materialized), else complex64.
     """
     words = jnp.asarray(freq_words, jnp.float32)
     modulus = float(2 ** cfg.phase_width)  # = 4 * table_size in the tested config
@@ -93,11 +97,14 @@ def nco(
         phase = phase + dither
 
     if cfg.quantized_lut:
-        lut = jnp.asarray(_lut_np(cfg.table_size, cfg.table_width))
+        lut_np = _lut_np(cfg.table_size, cfg.table_width)
         nlut = 4 * cfg.table_size
         # the top log2(nlut) bits of the phase accumulator index the LUT (the
-        # tested config has 2^phase_width == 4*table_size so the ratio is 1)
+        # tested config has 2^phase_width == 4*table_size so the ratio is 1).
+        # host-side split: complex arrays never reach the device
         lut_per_phase = nlut / modulus
+        lut_re = jnp.asarray(np.ascontiguousarray(lut_np.real))
+        lut_im = jnp.asarray(np.ascontiguousarray(lut_np.imag))
         if cfg.n_interpolation_terms > 0:
             # linear interpolation between adjacent entries on the phase fraction
             pm = jnp.mod(phase, modulus) * lut_per_phase
@@ -105,13 +112,16 @@ def nco(
             frac = (pm - base).astype(jnp.float32)
             i0 = jnp.mod(base.astype(jnp.int32), nlut)
             i1 = jnp.mod(i0 + 1, nlut)
-            v0 = jnp.take(lut, i0, axis=0)
-            v1 = jnp.take(lut, i1, axis=0)
-            out = v0 + (v1 - v0) * frac.astype(jnp.complex64)
-            return out.astype(jnp.complex64)
-        idx = jnp.mod(jnp.round(phase * lut_per_phase), nlut).astype(jnp.int32)
-        return jnp.take(lut, idx, axis=0)
+            out = C(
+                jnp.take(lut_re, i0, 0) + (jnp.take(lut_re, i1, 0) - jnp.take(lut_re, i0, 0)) * frac,
+                jnp.take(lut_im, i0, 0) + (jnp.take(lut_im, i1, 0) - jnp.take(lut_im, i0, 0)) * frac,
+            )
+        else:
+            idx = jnp.mod(jnp.round(phase * lut_per_phase), nlut).astype(jnp.int32)
+            out = C(jnp.take(lut_re, idx, 0), jnp.take(lut_im, idx, 0))
+        return out if pair else (out.re + 1j * out.im).astype(jnp.complex64)
 
     angle = (2.0 * np.pi / modulus) * jnp.mod(phase, modulus)
     amp = cfg.amplitude
-    return (amp * jnp.cos(angle) + 1j * amp * jnp.sin(angle)).astype(jnp.complex64)
+    out = C(amp * jnp.cos(angle), amp * jnp.sin(angle))
+    return out if pair else (out.re + 1j * out.im).astype(jnp.complex64)

@@ -17,20 +17,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_iq(iq: jnp.ndarray) -> jnp.ndarray:
-    """Pack a complex array (integer-valued, |re|,|im| < 2^15) into uint32 beat
-    words: real in [31:16], imag in [15:0] (``RspChainTesterUtils.scala:105-109``)."""
-    re = jnp.asarray(jnp.real(iq), jnp.int32).astype(jnp.int16).astype(jnp.uint16)
-    im = jnp.asarray(jnp.imag(iq), jnp.int32).astype(jnp.int16).astype(jnp.uint16)
+def pack_iq(iq) -> jnp.ndarray:
+    """Pack a complex array or ``cplx.C`` pair (integer-valued, |re|,|im| < 2^15)
+    into uint32 beat words: real in [31:16], imag in [15:0]
+    (``RspChainTesterUtils.scala:105-109``)."""
+    from .cplx import C
+
+    if isinstance(iq, C):
+        re_f, im_f = iq.re, iq.im
+    else:
+        re_f, im_f = jnp.real(iq), jnp.imag(iq)
+    re = jnp.asarray(re_f, jnp.int32).astype(jnp.int16).astype(jnp.uint16)
+    im = jnp.asarray(im_f, jnp.int32).astype(jnp.int16).astype(jnp.uint16)
     return (re.astype(jnp.uint32) << 16) | im.astype(jnp.uint32)
 
 
-def unpack_iq(words: jnp.ndarray, dtype=jnp.complex64) -> jnp.ndarray:
-    """Unpack 32-bit beat words into a complex array (inverse of :func:`pack_iq`)."""
+def unpack_iq_pair(words: jnp.ndarray):
+    """Unpack 32-bit beat words into a ``cplx.C`` real pair (the device path —
+    no complex dtype is materialized)."""
+    from .cplx import C
+
     words = jnp.asarray(words, jnp.uint32)
     re = (words >> 16).astype(jnp.uint16).astype(jnp.int16).astype(jnp.float32)
     im = (words & 0xFFFF).astype(jnp.uint16).astype(jnp.int16).astype(jnp.float32)
-    return (re + 1j * im).astype(dtype)
+    return C(re, im)
+
+
+def unpack_iq(words: jnp.ndarray, dtype=jnp.complex64) -> jnp.ndarray:
+    """Unpack 32-bit beat words into a complex array (CPU/test path)."""
+    p = unpack_iq_pair(words)
+    return (p.re + 1j * p.im).astype(dtype)
 
 
 def pack_cfar_words(

@@ -164,8 +164,9 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
     ppermute halo exchange at shard edges."""
     from ..ops.doppler import doppler_fft
     from ..ops.matched_filter import matched_filter
+    import numpy as _np
 
-    taps = jnp.asarray(taps, jnp.complex64)
+    taps = _np.asarray(taps)  # host-side; the op splits to a real pair
     mf_cfg = cfg.matched_filter
     dop_cfg = cfg.doppler
 

@@ -76,8 +76,8 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
 
 def matched_filter_stage(cfg: ChainConfig, taps: np.ndarray) -> Stage:
     mf_cfg = cfg.matched_filter or MatchedFilterConfig()
-    taps_j = jnp.asarray(taps, jnp.complex64)
-    return Stage("matched_filter", lambda x, rt: matched_filter(x, taps_j, mf_cfg))
+    taps_np = np.asarray(taps)  # host-side; split to a real pair inside the op
+    return Stage("matched_filter", lambda x, rt: matched_filter(x, taps_np, mf_cfg))
 
 
 def doppler_stage(cfg: ChainConfig) -> Stage:
@@ -94,7 +94,8 @@ def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
 
     def fn(_, rt: RuntimeConfig):
         words = profile + rt.nco_freq_word.astype(jnp.float32)
-        return nco(words, cfg.nco, phase_offset=rt.phase_offset)
+        # pair output: the device-native complex representation
+        return nco(words, cfg.nco, phase_offset=rt.phase_offset, pair=True)
 
     return Stage("plfg_nco", fn)
 
@@ -155,8 +156,10 @@ def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] 
     cfg = cfg or ChainConfig()
     if rom is None:
         rom = three_tone_signal(cfg.fft.max_size, shift_range_factor=13)
-    rom_j = jnp.asarray(rom, jnp.complex64)
-    mem = Stage("mem_rom", lambda _, rt: rom_j)
+    from .cplx import as_pair
+
+    rom_c = as_pair(np.asarray(rom))  # host split; device-native pair
+    mem = Stage("mem_rom", lambda _, rt: rom_c)
     return Chain(cfg, [mem, fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
 
 
@@ -166,7 +169,7 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     ``RxFftMagCfarTxChain`` wire format end to end
     (``RspChainTesterUtils.scala:105-109`` in; ``RspChainVanillaTester.scala:164-172`` out)."""
     cfg = cfg or ChainConfig()
-    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq(words))
+    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
     core = fft_mag_cfar_chain(cfg)
 
     def tx(out, rt):
