@@ -222,6 +222,12 @@ class FftConfig:
     expand_logic: Optional[tuple] = None
     use_mxu: bool = True  # 4-step matmul FFT on the MXU vs jnp.fft.fft
                           # (NOTE: jnp.fft is unavailable on some TPU runtimes)
+    # MXU contraction precision: "highest" runs f32-grade multi-pass matmuls
+    # (required for the ±2-LSB fixed-point fidelity contract; measured 1.15 ms
+    # vs 0.86 ms for the bench FFT on v5e); "default" allows the hardware's
+    # bf16-grade single-pass mode (~0.4% element error) for throughput-first
+    # deployments.
+    matmul_precision: str = "highest"
     window: Optional[str] = None  # optional pre-FFT window fn name
 
     def __post_init__(self):
@@ -267,7 +273,10 @@ class CfarConfig:
     edge_policy: EdgePolicy = EdgePolicy.PARTIAL
     threshold_bin_point: int = 3  # protoThreshold FixedPoint(16, 3.BP) (":230")
     scaler_bin_point: int = 6     # protoScaler FixedPoint(16, 6.BP) (":231")
-    use_pallas: bool = False      # Pallas sliding-window kernel vs jnp path
+    # Fused Pallas magnitude+CFAR kernel for CA-family configs (measured 320x
+    # faster than the XLA gather/cumsum tail on TPU v5e; bit-equal, chains fall
+    # back to the XLA path automatically for GOS/CASH elaborations)
+    use_pallas: bool = True
 
     def __post_init__(self):
         w = self.max_ref_window

@@ -133,14 +133,23 @@ def gauss_triple(m: np.ndarray):
     return mr, mr + mi, mi - mr
 
 
-def matmul_gauss(triple, x: C, einsum_spec: str) -> C:
+def matmul_gauss(triple, x: C, einsum_spec: str, precision=None) -> C:
     """y = M @ x with 3 real MXU contractions (vs 4 naive):
       k1 = Mr(xr + xi); k2 = (Mr + Mi) xi; k3 = (Mi - Mr) xr
       real = k1 - k2;  imag = k1 + k3
     ``einsum_spec`` contracts (matrix, data), matrix operand first; the matrix
-    sums are precomputed constants (``gauss_triple``)."""
+    sums are precomputed constants (``gauss_triple``).
+
+    ``precision`` defaults to HIGHEST: TPU matmuls otherwise run at bf16
+    precision (~0.4% element error), which breaks the framework's ±2-LSB
+    fixed-point fidelity contract. Pass ``jax.lax.Precision.DEFAULT`` explicitly
+    for a fast low-precision mode."""
+    import jax
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     mr, mpm, mmm = (jnp.asarray(t) for t in triple)
-    k1 = jnp.einsum(einsum_spec, mr, x.re + x.im)
-    k2 = jnp.einsum(einsum_spec, mpm, x.im)
-    k3 = jnp.einsum(einsum_spec, mmm, x.re)
+    k1 = jnp.einsum(einsum_spec, mr, x.re + x.im, precision=precision)
+    k2 = jnp.einsum(einsum_spec, mpm, x.im, precision=precision)
+    k3 = jnp.einsum(einsum_spec, mmm, x.re, precision=precision)
     return C(k1 - k2, k1 + k3)

@@ -76,21 +76,29 @@ def _four_step_consts(n: int):
             np.ascontiguousarray(tw.real), np.ascontiguousarray(tw.imag))
 
 
-def _four_step_c(x: C, n: int) -> C:
+def _precision(name: Optional[str]):
+    import jax
+
+    return {None: None, "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[name]
+
+
+def _four_step_c(x: C, n: int, precision: Optional[str] = None) -> C:
     """n-point FFT of the last axis in pair arithmetic (see module docstring).
 
     Derivation: with input index m = N2*m1 + m2 and output index k = k1 + N1*k2,
       X[k1 + N1 k2] = sum_{m2} W_N^{m2 k1} W_{N2}^{m2 k2}
                       * (sum_{m1} x[N2 m1 + m2] W_{N1}^{m1 k1})
     i.e. DFT columns (length N1), twiddle, DFT rows (length N2), transpose."""
+    prec = _precision(precision)
     if n <= 64:
-        return matmul_gauss(_dft_triple(n), x, "km,...m->...k")
+        return matmul_gauss(_dft_triple(n), x, "km,...m->...k", precision=prec)
     n1, n2, f1t, f2t, twr, twi = _four_step_consts(n)
     xm = x.reshape(x.shape[:-1] + (n1, n2))               # [..., m1, m2]
-    a = matmul_gauss(f1t, xm, "km,...mj->...kj")          # DFT over m1
+    a = matmul_gauss(f1t, xm, "km,...mj->...kj", precision=prec)  # DFT over m1
     twr_j, twi_j = jnp.asarray(twr), jnp.asarray(twi)
     b = C(a.re * twr_j - a.im * twi_j, a.re * twi_j + a.im * twr_j)
-    c = matmul_gauss(f2t, b, "lj,...kj->...kl")           # DFT over m2
+    c = matmul_gauss(f2t, b, "lj,...kj->...kl", precision=prec)   # DFT over m2
     # output index k = k1 + N1*k2 -> k2 must be the slower axis
     out = C(jnp.swapaxes(c.re, -1, -2), jnp.swapaxes(c.im, -1, -2))
     return out.reshape(x.shape[:-1] + (n,))
@@ -119,7 +127,7 @@ def _fixed_size_fft(x: C, n: int, cfg: FftConfig) -> C:
     xa = x[..., :n]
     if cfg.window is not None:
         xa = xa * jnp.asarray(make_window(cfg.window, n))
-    y = _four_step_c(xa, n)
+    y = _four_step_c(xa, n, precision=cfg.matmul_precision)
     if cfg.expand_logic is not None:
         # per-stage growth enables (FFTParams.expandLogic): each active
         # non-expanding stage halves; only the first log2(n) stages are active

@@ -60,7 +60,10 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
     from .configs import CfarVariant
 
     if (cfg.cfar.use_pallas and cfg.cfar.variant is CfarVariant.CA
-            and not cfg.cfar.include_cash):
+            and not cfg.cfar.include_cash
+            and not cfg.cfar.send_cut and not cfg.cfar.emit_noise):
+        # the fused kernel emits threshold+peaks only; sendCut/emit_noise
+        # elaborations need the XLA path's extra outputs
         import jax
 
         from .kernels.cfar_pallas import fused_mag_cfar
