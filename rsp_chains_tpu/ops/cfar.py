@@ -156,6 +156,119 @@ def _cash_stat(win, valid, sub_w, wmax):
     return jnp.where(jnp.isfinite(est), est, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# roll-based (gather-free) implementations — the TPU fast path
+#
+# Gathers (take / take_along_axis) lower catastrophically on TPU (measured
+# ~200 ms for the bench-scale CFAR tail vs <1 ms gather-free). Under the
+# PARTIAL edge policy every window access is expressible as a lane ROTATION:
+# static rolls are concat-slices XLA handles natively, and runtime shift
+# amounts decompose into conditional power-of-two rolls (the same trick as
+# kernels/cfar_pallas.py). A 128-cell zero pad absorbs rotation wrap-around.
+# ---------------------------------------------------------------------------
+
+_PAD = 128
+_SHIFT_BITS = 8  # runtime shifts up to 255
+
+
+def _roll_dyn(x, s, axis=-1, left=False):
+    """Circular roll by traced amount ``s`` via bit-decomposed static rolls."""
+    for k in range(_SHIFT_BITS):
+        sh = -(1 << k) if left else (1 << k)
+        x = jnp.where(((s >> k) & 1) == 1, jnp.roll(x, sh, axis=axis), x)
+    return x
+
+
+def _masked_padded(mag, lo, hi):
+    """Zero cells outside [lo, hi) and add a _PAD zero margin on each side."""
+    n = mag.shape[-1]
+    cell = jnp.arange(n, dtype=jnp.int32)
+    m = jnp.where((cell >= lo) & (cell < hi), mag, 0.0)
+    z = jnp.zeros(mag.shape[:-1] + (_PAD,), mag.dtype)
+    return jnp.concatenate([z, m, z], axis=-1)
+
+
+def _ca_sums_roll(mag, lo, hi, g, log2w, wmax):
+    """Gather-free CA window sums: dyadic box sums + runtime rotations.
+
+    Identical semantics to ``_ca_sums`` for power-of-two runtime windows (the
+    reference requires isPow2(refWindowSize))."""
+    n = mag.shape[-1]
+    row = _masked_padded(mag, lo, hi)
+    sel = row  # box width 1
+    box = row
+    for k in range(int(wmax).bit_length() - 1):
+        box = box + jnp.roll(box, 1 << k, axis=-1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+    # sel[j] = sum row[j-w+1 .. j]
+    w = (jnp.int32(1) << log2w)
+    lag = _roll_dyn(sel, g + 1)[..., _PAD : _PAD + n]         # sel[i - g - 1]
+    lead = _roll_dyn(sel, g + w, left=True)[..., _PAD : _PAD + n]  # sel[i + g + w]
+    return lag, lead
+
+
+def _windows_roll(mag, lo, hi, g, w, cfg: CfarConfig):
+    """Roll-stacked per-cell windows: [..., Wmax, N] with the window offset on
+    axis -2 (sublanes) and range cells on lanes — plus validity masks
+    [Wmax, N]. win_lag[..., k, i] = mag[i - g - w + k] etc."""
+    n = mag.shape[-1]
+    wmax = cfg.max_ref_window
+    row = _masked_padded(mag, lo, hi)
+    lag_base = _roll_dyn(row, g + w)            # [j] = row[j - g - w]
+    lead_base = _roll_dyn(row, g + 1, left=True)  # [j] = row[j + g + 1]
+    lag = jnp.stack([jnp.roll(lag_base, -k, axis=-1) for k in range(wmax)],
+                    axis=-2)[..., :, _PAD : _PAD + n]
+    lead = jnp.stack([jnp.roll(lead_base, -k, axis=-1) for k in range(wmax)],
+                     axis=-2)[..., :, _PAD : _PAD + n]
+    kk = jnp.arange(wmax, dtype=jnp.int32)[:, None]
+    ii = jnp.arange(n, dtype=jnp.int32)[None, :]
+    lag_pos = ii - g - w + kk
+    lead_pos = ii + g + 1 + kk
+    lag_valid = (kk < w) & (lag_pos >= lo) & (lag_pos < hi)
+    lead_valid = (kk < w) & (lead_pos >= lo) & (lead_pos < hi)
+    return lag, lag_valid, lead, lead_valid
+
+
+def _gos_stats_roll(lag_win, lag_valid, lead_win, lead_valid, rank_lagg, rank_lead):
+    """Order statistics over the window axis (-2), gather-free: sort along the
+    window axis, then one-hot-select the (validity-clamped) rank."""
+    big = jnp.float32(jnp.inf)
+
+    def side(winv, valid, rank):
+        valid_b = jnp.broadcast_to(valid, winv.shape)
+        vals = jnp.where(valid_b, winv, big)
+        s = jnp.sort(vals, axis=-2)
+        nv = jnp.sum(valid_b, axis=-2).astype(jnp.int32)        # [..., N]
+        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, s.shape[-2] - 1)
+        kk = jnp.arange(s.shape[-2], dtype=jnp.int32)[:, None]  # [Wmax, 1]
+        onehot = (kk == idx[..., None, :])
+        got = jnp.sum(jnp.where(onehot, s, 0.0), axis=-2)
+        return jnp.where(nv > 0, got, 0.0)
+
+    return side(lag_win, lag_valid, rank_lagg), side(lead_win, lead_valid, rank_lead)
+
+
+def _cash_stat_roll(win, valid, sub_w, wmax):
+    """CASH statistic over the window axis (-2), gather-free: the sub-window
+    shift becomes a rotation of the cumulative sums along axis -2."""
+    valid_b = jnp.broadcast_to(valid, win.shape)
+    v = jnp.where(valid_b, win, 0.0)
+    zrow = jnp.zeros(v.shape[:-2] + (1,) + v.shape[-1:], v.dtype)
+    c = jnp.concatenate([zrow, jnp.cumsum(v, axis=-2)], axis=-2)      # [.., W+1, N]
+    cv = jnp.concatenate(
+        [jnp.zeros(valid_b.shape[:-2] + (1,) + valid_b.shape[-1:], jnp.int32),
+         jnp.cumsum(valid_b.astype(jnp.int32), axis=-2)], axis=-2)
+    c_sh = _roll_dyn(c, sub_w, axis=-2, left=True)     # [t] = c[t + sw] (wraps masked)
+    cv_sh = _roll_dyn(cv, sub_w, axis=-2, left=True)
+    sub_sum = (c_sh - c)[..., :wmax, :]
+    sub_cnt = (cv_sh - cv)[..., :wmax, :]
+    tt = jnp.arange(wmax, dtype=jnp.int32)[:, None]
+    ok = (sub_cnt == sub_w) & (tt + sub_w <= wmax)
+    means = jnp.where(ok, sub_sum / jnp.maximum(sub_w, 1).astype(v.dtype), jnp.inf)
+    est = jnp.min(means, axis=-2)
+    return jnp.where(jnp.isfinite(est), est, 0.0)
+
+
 def cfar_op(
     mag: jnp.ndarray,
     rt: RuntimeConfig,
@@ -188,13 +301,22 @@ def cfar_op(
     has_gos = variant in (CfarVariant.GOS, CfarVariant.GOSCA)
     has_cash = cfg.include_cash
     wrap = cfg.edge_policy is EdgePolicy.WRAP
+    # gather-free rotations need the zero pad to cover every window reach;
+    # WRAP's mod indexing stays on the gather path
+    use_roll = (not wrap) and (cfg.max_ref_window + cfg.max_guard_window + 1 <= _PAD)
+    log2w = jnp.round(jnp.log2(jnp.maximum(w, 1).astype(jnp.float32))).astype(jnp.int32)
 
     zero = jnp.zeros_like(mag)
 
     if has_gos or has_cash or wrap:
-        lag_win, lag_valid, lead_win, lead_valid = _gather_windows(
-            mag, active_lo, active_hi, g, w, cfg
-        )
+        if use_roll:
+            lag_win, lag_valid, lead_win, lead_valid = _windows_roll(
+                mag, active_lo, active_hi, g, w, cfg
+            )
+        else:
+            lag_win, lag_valid, lead_win, lead_valid = _gather_windows(
+                mag, active_lo, active_hi, g, w, cfg
+            )
 
     if has_ca:
         if wrap:
@@ -202,6 +324,9 @@ def cfar_op(
             # gathered (mod-indexed) windows directly
             lag_sum = jnp.sum(jnp.where(lag_valid, lag_win, 0.0), axis=-1)
             lead_sum = jnp.sum(jnp.where(lead_valid, lead_win, 0.0), axis=-1)
+        elif use_roll:
+            lag_sum, lead_sum = _ca_sums_roll(
+                mag, active_lo, active_hi, g, log2w, cfg.max_ref_window)
         else:
             lag_sum, lead_sum = _ca_sums(mag, active_lo, active_hi, g, w)
         div = jnp.exp2(rt.div_sum.astype(jnp.float32))
@@ -210,7 +335,8 @@ def cfar_op(
         ca_lag = ca_lead = zero
 
     if has_gos:
-        os_lag, os_lead = _gos_stats(
+        gos_fn = _gos_stats_roll if use_roll else _gos_stats
+        os_lag, os_lead = gos_fn(
             lag_win, lag_valid, lead_win, lead_valid, rt.index_lagg, rt.index_lead
         )
     else:
@@ -238,8 +364,9 @@ def cfar_op(
     if has_cash:
         def mode_cash(_):
             sw = jnp.clip(rt.sub_window_size, cfg.min_sub_window, cfg.max_ref_window)
-            est_lag = _cash_stat(lag_win, lag_valid, sw, cfg.max_ref_window)
-            est_lead = _cash_stat(lead_win, lead_valid, sw, cfg.max_ref_window)
+            cash_fn = _cash_stat_roll if use_roll else _cash_stat
+            est_lag = cash_fn(lag_win, lag_valid, sw, cfg.max_ref_window)
+            est_lead = cash_fn(lead_win, lead_valid, sw, cfg.max_ref_window)
             return jnp.maximum(est_lag, est_lead)
     else:
         mode_cash = mode_ca  # CASH not elaborated -> mode 3 degrades to CA
