@@ -240,3 +240,257 @@ def fused_mag_cfar(
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
     return CfarOutput(threshold=thr, peaks=pk)
+
+
+# ---------------------------------------------------------------------------
+# GOS variant: VMEM-resident windowed order statistics
+#
+# The XLA GOS path is floored at ~80 ms/bench-batch by the HBM-resident sort of
+# the [batch, 64, N] window stack (21 bitonic rounds through HBM). This kernel
+# keeps the stack in a VMEM scratch: the 64 window rows are built by lane
+# rotations, sorted by a statically-unrolled bitonic network on the leading
+# (row) axis, and rank-selected by a one-hot reduction — the stack never
+# touches HBM. Range is tiled so the stack fits VMEM; each program reads the
+# full padded magnitude row and rotates out its tile's windows.
+#
+# Covers the GOSCA elaboration: CA statistics (dyadic box sums) and GOS rank
+# statistics are both computed, with the runtime CA/GOS register selecting, and
+# modes CA/GO/SO combining. CASH falls back to the XLA path.
+# ---------------------------------------------------------------------------
+
+GOS_BLOCK_FRAMES = 8      # f32 sublane tile (outputs are f32/i32 here)
+GOS_RANGE_TILE = 256
+
+
+def _bitonic_rows(scr, n_rows, f, width):
+    """Statically-unrolled bitonic sort of scr[0:n_rows] (ascending), where each
+    row is a [f, width] tile. Leading-dim slices are static."""
+    size = 2
+    while size <= n_rows:
+        stride = size // 2
+        while stride >= 1:
+            for bs in range(0, n_rows, 2 * stride):
+                up = ((bs // size) % 2) == 0
+                x = scr[bs : bs + stride]
+                y = scr[bs + stride : bs + 2 * stride]
+                lo = jnp.minimum(x, y)
+                hi = jnp.maximum(x, y)
+                scr[bs : bs + stride] = lo if up else hi
+                scr[bs + stride : bs + 2 * stride] = hi if up else lo
+            stride //= 2
+        size *= 2
+
+
+def _gos_kernel(
+    scal_ref, fscal_ref,
+    re_ref, im_ref,                  # [F, N] full rows
+    thr_ref, pk_ref,                 # [F, T] tile outputs (pk int32)
+    wstack,                          # scratch [Wmax, F, T + 2*PAD_T]
+    row_scr,                         # scratch [F, N + 2*PAD]
+    stat_scr,                        # scratch [4, F, T]: ca_lag, ca_lead, os_lag, os_lead
+    *,
+    n: int, tile: int, wmax: int, max_log2_w: int,
+):
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    n_active = scal_ref[6]
+    mag_mode = scal_ref[7]
+    algorithm = scal_ref[8]
+    rank_lagg = scal_ref[9]
+    rank_lead = scal_ref[10]
+    scaler = fscal_ref[0]
+
+    t_idx = pl.program_id(1)
+    # tile start; multiple_of lets Mosaic prove lane-slice alignment
+    ts = pl.multiple_of(t_idx * tile, 128)
+
+    re = re_ref[:, :]
+    im = im_ref[:, :]
+    f = re.shape[0]
+
+    ar, ai = jnp.abs(re), jnp.abs(im)
+    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
+    jpl = jnp.maximum(u + 0.125 * v, 0.875 * u + 0.5 * v)
+    sqr = re * re + im * im
+    mag = jnp.where(
+        mag_mode == 0, jnp.sqrt(sqr),
+        jnp.where(mag_mode == 1, sqr,
+                  jnp.where(mag_mode == 2, jpl,
+                            jnp.log2(jnp.maximum(jpl, 1e-30)))))
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    active_row = col < n_active
+    mag = jnp.where(active_row, mag, 0.0)
+
+    # padded full row in scratch
+    row_scr[:, :] = jnp.zeros((f, n + 2 * PAD), jnp.float32)
+    row_scr[:, PAD : PAD + n] = mag
+
+    w = jnp.int32(1) << log2w
+
+    # ---- CA box sums for this tile (dyadic + runtime rotations) ----
+    row = row_scr[:, :]
+    sel = row
+    box = row
+    for k in range(max_log2_w):
+        box = box + pltpu.roll(box, 1 << k, axis=1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+    lag_row = _roll_right(sel, guard + 1)
+    lead_row = _roll_left(sel, guard + w)
+    inv_div = jnp.exp2(-div.astype(jnp.float32))
+    stat_scr[0] = jax.lax.dynamic_slice_in_dim(lag_row, PAD + ts, tile, 1) * inv_div
+    stat_scr[1] = jax.lax.dynamic_slice_in_dim(lead_row, PAD + ts, tile, 1) * inv_div
+
+    # ---- GOS: build + sort the window stack per side ----
+    ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts  # global cell idx
+
+    def side(base_row, lag_side: bool, out_slot: int, rank):
+        # base_row[j] = padded[j - (g+w)] (lag) or padded[j + (g+1)] (lead)
+        big = jnp.float32(jnp.inf)
+        for k in range(wmax):
+            rowk = pltpu.roll(base_row, base_row.shape[1] - k, axis=1)  # left by k
+            seg = jax.lax.dynamic_slice_in_dim(rowk, PAD + ts, tile, 1)
+            # validity of window cell k for each tile cell
+            if lag_side:
+                pos = ii_t - guard - w + k
+            else:
+                pos = ii_t + guard + 1 + k
+            valid = (k < w) & (pos >= 0) & (pos < n_active)
+            wstack[k] = jnp.where(valid, seg, big)
+        _bitonic_rows(wstack, wmax, f, tile)
+        # number of valid cells per tile cell (analytic, no counting pass)
+        if lag_side:
+            # cells i-g-w .. i-g-1 clipped to [0, n_active)
+            lo_pos = ii_t - guard - w
+            hi_pos = ii_t - guard
+        else:
+            lo_pos = ii_t + guard + 1
+            hi_pos = ii_t + guard + 1 + w
+        nv = (jnp.clip(hi_pos, 0, n_active) - jnp.clip(lo_pos, 0, n_active))
+        nv = jnp.maximum(nv, 0)
+        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
+        acc = jnp.zeros((f, tile), jnp.float32)
+        for k in range(wmax):
+            acc = acc + jnp.where(idx == k, wstack[k], 0.0)
+        stat_scr[out_slot] = jnp.where(nv > 0, acc, 0.0)
+
+    lag_base = _roll_right(row_scr[:, :], guard + w)
+    side(lag_base, True, 2, rank_lagg)
+    lead_base = _roll_left(row_scr[:, :], guard + 1)
+    side(lead_base, False, 3, rank_lead)
+
+    use_gos = algorithm == 1
+    s_lag = jnp.where(use_gos, stat_scr[2], stat_scr[0])
+    s_lead = jnp.where(use_gos, stat_scr[3], stat_scr[1])
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  0.5 * (s_lag + s_lead)))
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    active_t = (ii_t >= 0) & (ii_t < n_active)
+    thr = jnp.where(active_t, thr, 0.0)
+    mag_t = jax.lax.dynamic_slice_in_dim(row_scr[:, :], PAD + ts, tile, 1)
+    peaks = (mag_t > thr) & active_t
+
+    # peak grouping via the padded row
+    mrow = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) - PAD < n_active,
+        jnp.where(jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) >= PAD,
+                  row_scr[:, :], -jnp.inf),
+        -jnp.inf)
+    left = jax.lax.dynamic_slice_in_dim(pltpu.roll(mrow, 1, axis=1), PAD + ts, tile, 1)
+    right = jax.lax.dynamic_slice_in_dim(
+        pltpu.roll(mrow, mrow.shape[1] - 1, axis=1), PAD + ts, tile, 1)
+    grouped = peaks & (mag_t >= left) & (mag_t >= right)
+    pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
+                       peaks.astype(jnp.int32))
+
+    thr_ref[:, :] = thr
+    pk_ref[:, :] = pk_i32
+
+
+def fused_mag_gos_cfar(
+    spectrum,
+    rt: RuntimeConfig,
+    cfg: CfarConfig,
+    interpret: bool = False,
+) -> CfarOutput:
+    """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
+    modes CA/GO/SO) with the window sort resident in VMEM. CASH uses the XLA
+    path. ``spectrum``: [..., N] pair or complex, N % 256 == 0."""
+    from ..cplx import as_pair
+
+    xp = as_pair(spectrum)
+    n = xp.shape[-1]
+    tile = GOS_RANGE_TILE
+    assert n % tile == 0, f"frame length must be a multiple of {tile}"
+    wmax = cfg.max_ref_window
+    assert wmax & (wmax - 1) == 0 and wmax <= 1 << MAX_LOG2_W
+    assert wmax + cfg.max_guard_window + 1 <= PAD
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.float32).reshape(flat, n)
+    im = xp.im.astype(jnp.float32).reshape(flat, n)
+    bf = GOS_BLOCK_FRAMES
+    f_pad = (-flat) % bf
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    log2w = jnp.round(jnp.log2(jnp.clip(
+        rt.ref_window_size, 1, wmax).astype(jnp.float32))).astype(jnp.int32)
+    scalars = jnp.stack([
+        log2w,
+        rt.guard_window_size.astype(jnp.int32),
+        rt.div_sum.astype(jnp.int32),
+        rt.cfar_mode.astype(jnp.int32),
+        rt.log_or_linear.astype(jnp.int32),
+        rt.peak_grouping.astype(jnp.int32),
+        jnp.minimum(rt.fft_size, n).astype(jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        rt.cfar_algorithm.astype(jnp.int32),
+        rt.index_lagg.astype(jnp.int32),
+        rt.index_lead.astype(jnp.int32),
+    ])
+    fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
+
+    grid = (f_tot // bf, n // tile)
+    kernel = functools.partial(_gos_kernel, n=n, tile=tile, wmax=wmax,
+                               max_log2_w=MAX_LOG2_W)
+    thr, pk = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bf, n), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bf, tile), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, tile), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((wmax, bf, tile), jnp.float32),
+                pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
+                pltpu.VMEM((4, bf, tile), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f_tot, n), jnp.float32),
+            jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, fscal, re, im)
+
+    thr = thr[:flat].reshape(batch_shape + (n,))
+    pk = (pk[:flat] != 0).reshape(batch_shape + (n,))
+    return CfarOutput(threshold=thr, peaks=pk)

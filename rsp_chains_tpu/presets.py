@@ -55,25 +55,34 @@ def cfar_stage(cfg: ChainConfig) -> Stage:
 
 def tail_stages(cfg: ChainConfig) -> list[Stage]:
     """The logmag+CFAR tail: a single fused Pallas kernel when elaborated with
-    ``use_pallas`` and a CA-family-only variant (the sort-based GOS/CASH paths
-    stay on XLA), else the two separate stages."""
+    ``use_pallas`` (CA-only configs use the box-sum kernel; GOS/GOSCA configs
+    use the VMEM-sort kernel). CASH and sendCut/emit_noise elaborations need
+    the XLA path's extra datapaths/outputs and fall back."""
     from .configs import CfarVariant
 
-    if (cfg.cfar.use_pallas and cfg.cfar.variant is CfarVariant.CA
-            and not cfg.cfar.include_cash
-            and not cfg.cfar.send_cut and not cfg.cfar.emit_noise):
-        # the fused kernel emits threshold+peaks only; sendCut/emit_noise
-        # elaborations need the XLA path's extra outputs
+    plain_out = not cfg.cfar.send_cut and not cfg.cfar.emit_noise
+    if cfg.cfar.use_pallas and not cfg.cfar.include_cash and plain_out:
         import jax
 
-        from .kernels.cfar_pallas import fused_mag_cfar
+        from .kernels.cfar_pallas import (
+            GOS_RANGE_TILE, fused_mag_cfar, fused_mag_gos_cfar,
+        )
 
         interpret = jax.default_backend() != "tpu"
-        return [Stage(
-            "mag_cfar_fused",
-            lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
-            terminal=True,
-        )]
+        if cfg.cfar.variant is CfarVariant.CA and cfg.fft.max_size % 128 == 0:
+            return [Stage(
+                "mag_cfar_fused",
+                lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
+                terminal=True,
+            )]
+        if (cfg.cfar.variant in (CfarVariant.GOS, CfarVariant.GOSCA)
+                and cfg.fft.max_size % GOS_RANGE_TILE == 0):
+            return [Stage(
+                "mag_gos_cfar_fused",
+                lambda x, rt: fused_mag_gos_cfar(x, rt, cfg.cfar,
+                                                 interpret=interpret),
+                terminal=True,
+            )]
     return [mag_stage(cfg), cfar_stage(cfg)]
 
 
