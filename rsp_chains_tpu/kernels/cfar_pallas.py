@@ -285,8 +285,9 @@ def _gos_kernel(
     scal_ref, fscal_ref,
     re_ref, im_ref,                  # [F, N] full rows
     thr_ref, pk_ref,                 # [F, T] tile outputs (pk int32)
-    wstack,                          # scratch [Wmax, F, T + 2*PAD_T]
+    wstack,                          # scratch [Wmax, F, T]
     row_scr,                         # scratch [F, N + 2*PAD]
+    tmp_scr,                         # scratch [F, N + 2*PAD] — staging for dynamic tile slices
     stat_scr,                        # scratch [4, F, T]: ca_lag, ca_lead, os_lag, os_lead
     *,
     n: int, tile: int, wmax: int, max_log2_w: int,
@@ -341,8 +342,11 @@ def _gos_kernel(
     lag_row = _roll_right(sel, guard + 1)
     lead_row = _roll_left(sel, guard + w)
     inv_div = jnp.exp2(-div.astype(jnp.float32))
-    stat_scr[0] = jax.lax.dynamic_slice_in_dim(lag_row, PAD + ts, tile, 1) * inv_div
-    stat_scr[1] = jax.lax.dynamic_slice_in_dim(lead_row, PAD + ts, tile, 1) * inv_div
+    # dynamic tile slices must go through a ref (Mosaic cannot slice values)
+    tmp_scr[:, :] = lag_row
+    stat_scr[0] = tmp_scr[:, pl.ds(PAD + ts, tile)] * inv_div
+    tmp_scr[:, :] = lead_row
+    stat_scr[1] = tmp_scr[:, pl.ds(PAD + ts, tile)] * inv_div
 
     # ---- GOS: build + sort the window stack per side ----
     ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts  # global cell idx
@@ -352,7 +356,8 @@ def _gos_kernel(
         big = jnp.float32(jnp.inf)
         for k in range(wmax):
             rowk = pltpu.roll(base_row, base_row.shape[1] - k, axis=1)  # left by k
-            seg = jax.lax.dynamic_slice_in_dim(rowk, PAD + ts, tile, 1)
+            tmp_scr[:, :] = rowk
+            seg = tmp_scr[:, pl.ds(PAD + ts, tile)]
             # validity of window cell k for each tile cell
             if lag_side:
                 pos = ii_t - guard - w + k
@@ -392,7 +397,7 @@ def _gos_kernel(
     thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
     active_t = (ii_t >= 0) & (ii_t < n_active)
     thr = jnp.where(active_t, thr, 0.0)
-    mag_t = jax.lax.dynamic_slice_in_dim(row_scr[:, :], PAD + ts, tile, 1)
+    mag_t = row_scr[:, pl.ds(PAD + ts, tile)]
     peaks = (mag_t > thr) & active_t
 
     # peak grouping via the padded row
@@ -401,9 +406,10 @@ def _gos_kernel(
         jnp.where(jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) >= PAD,
                   row_scr[:, :], -jnp.inf),
         -jnp.inf)
-    left = jax.lax.dynamic_slice_in_dim(pltpu.roll(mrow, 1, axis=1), PAD + ts, tile, 1)
-    right = jax.lax.dynamic_slice_in_dim(
-        pltpu.roll(mrow, mrow.shape[1] - 1, axis=1), PAD + ts, tile, 1)
+    tmp_scr[:, :] = pltpu.roll(mrow, 1, axis=1)
+    left = tmp_scr[:, pl.ds(PAD + ts, tile)]
+    tmp_scr[:, :] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
+    right = tmp_scr[:, pl.ds(PAD + ts, tile)]
     grouped = peaks & (mag_t >= left) & (mag_t >= right)
     pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
                        peaks.astype(jnp.int32))
@@ -480,6 +486,7 @@ def fused_mag_gos_cfar(
             ],
             scratch_shapes=[
                 pltpu.VMEM((wmax, bf, tile), jnp.float32),
+                pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
                 pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
                 pltpu.VMEM((4, bf, tile), jnp.float32),
             ],
