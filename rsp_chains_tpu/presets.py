@@ -102,10 +102,13 @@ def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
     ``nco.freq := plfg.streamNode``). The compiled profile holds word offsets; the
     runtime start value (base+5*bb register) is ``rt.nco_freq_word`` — a traced
     scalar, so re-steering the chirp never recompiles."""
-    profile = jnp.asarray(chirp_profile(program, cfg.plfg))
+    # keep the compiled profile as HOST numpy: a device-resident closure
+    # constant would be fetched back during jit lowering (constant embedding),
+    # and device->host fetches are unreliable on the target runtime
+    profile = chirp_profile(program, cfg.plfg)
 
     def fn(_, rt: RuntimeConfig):
-        words = profile + rt.nco_freq_word.astype(jnp.float32)
+        words = jnp.asarray(profile) + rt.nco_freq_word.astype(jnp.float32)
         # pair output: the device-native complex representation
         return nco(words, cfg.nco, phase_offset=rt.phase_offset, pair=True)
 
@@ -168,10 +171,13 @@ def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] 
     cfg = cfg or ChainConfig()
     if rom is None:
         rom = three_tone_signal(cfg.fft.max_size, shift_range_factor=13)
-    from .cplx import as_pair
+    from .cplx import C
 
-    rom_c = as_pair(np.asarray(rom))  # host split; device-native pair
-    mem = Stage("mem_rom", lambda _, rt: rom_c)
+    # host-side split kept as numpy (see plfg_nco_stage for why)
+    rom_np = np.asarray(rom)
+    rom_re = np.ascontiguousarray(rom_np.real.astype(np.float32))
+    rom_im = np.ascontiguousarray(rom_np.imag.astype(np.float32))
+    mem = Stage("mem_rom", lambda _, rt: C(jnp.asarray(rom_re), jnp.asarray(rom_im)))
     return Chain(cfg, [mem, fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
 
 
