@@ -288,9 +288,10 @@ def _gos_kernel(
     wstack,                          # scratch [Wmax, F, T]
     row_scr,                         # scratch [F, N + 2*PAD]
     tmp_scr,                         # scratch [F, N + 2*PAD] — staging for dynamic tile slices
-    stat_scr,                        # scratch [4, F, T]: ca_lag, ca_lead, os_lag, os_lead
+    stat_scr,                        # scratch [6, F, T]: ca_lag/lead, os_lag/lead, cash_lag/lead
+    cash_scr,                        # scratch [2*Wmax, F, T] — dyadic row sums (zero-padded)
     *,
-    n: int, tile: int, wmax: int, max_log2_w: int,
+    n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
 ):
     log2w = scal_ref[0]
     guard = scal_ref[1]
@@ -303,6 +304,7 @@ def _gos_kernel(
     algorithm = scal_ref[8]
     rank_lagg = scal_ref[9]
     rank_lead = scal_ref[10]
+    sub_w = scal_ref[11]
     scaler = fscal_ref[0]
 
     t_idx = pl.program_id(1)
@@ -365,6 +367,46 @@ def _gos_kernel(
                 pos = ii_t + guard + 1 + k
             valid = (k < w) & (pos >= 0) & (pos < n_active)
             wstack[k] = jnp.where(valid, seg, big)
+
+        # per-lane contiguous valid span [lo_k, hi_k) of window offsets
+        if lag_side:
+            lo_k = jnp.clip(guard + w - ii_t, 0, w)
+            hi_k = w
+        else:
+            lo_k = jnp.zeros_like(ii_t)
+            hi_k = jnp.clip(n_active - ii_t - guard - 1, 0, w)
+
+        if with_cash:
+            # CASH per-side statistic: min over sliding sub-window means of the
+            # runtime subWindowSize within the valid span, computed BEFORE the
+            # sort. Dyadic row sums over the leading axis (static slice adds),
+            # then the traced sub_w combines them via bit-decomposed shifted
+            # reads of the zero-padded sum scratch.
+            for k in range(wmax):
+                vk = wstack[k]
+                cash_scr[k] = jnp.where(jnp.isfinite(vk), vk, 0.0)
+            cash_scr[wmax : 2 * wmax] = jnp.zeros((wmax, f, tile), jnp.float32)
+            acc = jnp.zeros((wmax, f, tile), jnp.float32)
+            offset = jnp.int32(0)
+            n_bits = wmax.bit_length()  # sub_w <= wmax
+            for b in range(n_bits):
+                bit = ((sub_w >> b) & 1) == 1
+                shifted = cash_scr[pl.ds(offset, wmax)]
+                acc = jnp.where(bit, acc + shifted, acc)
+                offset = offset + jnp.where(bit, jnp.int32(1) << b, 0)
+                if b < n_bits - 1:
+                    # grow dyadic sums: row[t] <- row[t] + row[t + 2^b]
+                    d = 1 << b
+                    cash_scr[0 : 2 * wmax - d] = (cash_scr[0 : 2 * wmax - d]
+                                                  + cash_scr[d : 2 * wmax])
+            # acc[t] = sum of rows t .. t+sub_w-1
+            est = jnp.full((f, tile), big)
+            for t in range(wmax):
+                ok = (t >= lo_k) & (t + sub_w <= hi_k)
+                est = jnp.minimum(est, jnp.where(ok, acc[t], big))
+            est = est / jnp.maximum(sub_w, 1).astype(jnp.float32)
+            stat_scr[out_slot + 2] = jnp.where(jnp.isfinite(est), est, 0.0)
+
         _bitonic_rows(wstack, wmax, f, tile)
         # number of valid cells per tile cell (analytic, no counting pass)
         if lag_side:
@@ -394,6 +436,8 @@ def _gos_kernel(
         mode == 1, jnp.maximum(s_lag, s_lead),
         jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
                   0.5 * (s_lag + s_lead)))
+    if with_cash:
+        noise = jnp.where(mode == 3, jnp.maximum(stat_scr[4], stat_scr[5]), noise)
     thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
     active_t = (ii_t >= 0) & (ii_t < n_active)
     thr = jnp.where(active_t, thr, 0.0)
@@ -461,12 +505,14 @@ def fused_mag_gos_cfar(
         rt.cfar_algorithm.astype(jnp.int32),
         rt.index_lagg.astype(jnp.int32),
         rt.index_lead.astype(jnp.int32),
+        jnp.clip(rt.sub_window_size, cfg.min_sub_window, wmax).astype(jnp.int32),
     ])
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
     grid = (f_tot // bf, n // tile)
     kernel = functools.partial(_gos_kernel, n=n, tile=tile, wmax=wmax,
-                               max_log2_w=MAX_LOG2_W)
+                               max_log2_w=MAX_LOG2_W,
+                               with_cash=cfg.include_cash)
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -488,7 +534,8 @@ def fused_mag_gos_cfar(
                 pltpu.VMEM((wmax, bf, tile), jnp.float32),
                 pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
                 pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
-                pltpu.VMEM((4, bf, tile), jnp.float32),
+                pltpu.VMEM((6, bf, tile), jnp.float32),
+                pltpu.VMEM((2 * wmax, bf, tile), jnp.float32),
             ],
         ),
         out_shape=[

@@ -61,7 +61,7 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
     from .configs import CfarVariant
 
     plain_out = not cfg.cfar.send_cut and not cfg.cfar.emit_noise
-    if cfg.cfar.use_pallas and not cfg.cfar.include_cash and plain_out:
+    if cfg.cfar.use_pallas and plain_out:
         import jax
 
         from .kernels.cfar_pallas import (
@@ -69,12 +69,14 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
         )
 
         interpret = jax.default_backend() != "tpu"
-        if cfg.cfar.variant is CfarVariant.CA and cfg.fft.max_size % 128 == 0:
+        if (cfg.cfar.variant is CfarVariant.CA and not cfg.cfar.include_cash
+                and cfg.fft.max_size % 128 == 0):
             return [Stage(
                 "mag_cfar_fused",
                 lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
                 terminal=True,
             )]
+        # the GOS kernel carries the CASH sub-window machinery when elaborated
         if (cfg.cfar.variant in (CfarVariant.GOS, CfarVariant.GOSCA)
                 and cfg.fft.max_size % GOS_RANGE_TILE == 0):
             return [Stage(

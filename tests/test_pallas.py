@@ -166,3 +166,33 @@ def test_gos_kernel_chain_integration(rng):
     out = chain(iq, rt)
     peaks = np.flatnonzero(np.asarray(out.peaks))
     assert {128, 256, 512} <= set(peaks.tolist())
+
+
+GCFG_CASH = CfarConfig(max_ref_window=32, max_guard_window=8,
+                       variant=CfarVariant.GOSCA, include_cash=True)
+
+
+@pytest.mark.parametrize("sw", [4, 7, 8])
+def test_gos_kernel_cash_mode(sw, rng):
+    spec = _spec(rng, shape=(4, 512))
+    rt = RuntimeConfig.make(fft_size=512, cfar_mode=CfarMode.CASH,
+                            ref_window_size=16, guard_window_size=2,
+                            sub_window_size=sw, threshold_scaler=3.0)
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True)
+    want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_gos_kernel_cash_runtime_mode_switch(rng):
+    """All four modes through the CASH-elaborated kernel (runtime switch)."""
+    spec = _spec(rng, shape=(4, 512))
+    for mode in (CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
+                 CfarMode.SMALLEST_OF, CfarMode.CASH):
+        rt = RuntimeConfig.make(fft_size=512, cfar_mode=mode,
+                                ref_window_size=16, guard_window_size=2,
+                                sub_window_size=4, threshold_scaler=3.0)
+        got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True)
+        want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
+        np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
