@@ -290,6 +290,7 @@ def _gos_kernel(
     tmp_scr,                         # scratch [F, N + 2*PAD] — staging for dynamic tile slices
     stat_scr,                        # scratch [6, F, T]: ca_lag/lead, os_lag/lead, cash_lag/lead
     cash_scr,                        # scratch [2*Wmax, F, T] — dyadic row sums (zero-padded)
+    acc_scr,                         # scratch [Wmax, F, T] — CASH sub-window accumulation
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
 ):
@@ -386,19 +387,26 @@ def _gos_kernel(
                 vk = wstack[k]
                 cash_scr[k] = jnp.where(jnp.isfinite(vk), vk, 0.0)
             cash_scr[wmax : 2 * wmax] = jnp.zeros((wmax, f, tile), jnp.float32)
-            acc = jnp.zeros((wmax, f, tile), jnp.float32)
-            offset = jnp.int32(0)
+            # bit-decomposed accumulation with ONLY static row slices: when bit
+            # b of sub_w is set, add the current width-2^b dyadic sums and then
+            # shift the dyadic array left by 2^b (conditionally, via pl.when),
+            # so every read stays at offset 0. Then grow the dyadic width.
+            acc_scr[:] = jnp.zeros((wmax, f, tile), jnp.float32)
             n_bits = wmax.bit_length()  # sub_w <= wmax
             for b in range(n_bits):
                 bit = ((sub_w >> b) & 1) == 1
-                shifted = cash_scr[pl.ds(offset, wmax)]
-                acc = jnp.where(bit, acc + shifted, acc)
-                offset = offset + jnp.where(bit, jnp.int32(1) << b, 0)
+                d = 1 << b
+
+                @pl.when(bit)
+                def _(b=b, d=d):
+                    acc_scr[:] = acc_scr[:] + cash_scr[0:wmax]
+                    cash_scr[0 : 2 * wmax - d] = cash_scr[d : 2 * wmax]
+
                 if b < n_bits - 1:
                     # grow dyadic sums: row[t] <- row[t] + row[t + 2^b]
-                    d = 1 << b
                     cash_scr[0 : 2 * wmax - d] = (cash_scr[0 : 2 * wmax - d]
                                                   + cash_scr[d : 2 * wmax])
+            acc = acc_scr[:]
             # acc[t] = sum of rows t .. t+sub_w-1
             est = jnp.full((f, tile), big)
             for t in range(wmax):
@@ -536,6 +544,7 @@ def fused_mag_gos_cfar(
                 pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
                 pltpu.VMEM((6, bf, tile), jnp.float32),
                 pltpu.VMEM((2 * wmax, bf, tile), jnp.float32),
+                pltpu.VMEM((wmax, bf, tile), jnp.float32),
             ],
         ),
         out_shape=[
