@@ -16,8 +16,11 @@ from rsp_chains_tpu.golden import three_tone_signal
 def test_full_register_sweep_single_compile():
     cfg = ChainConfig(
         fft=FftConfig(max_size=1024),
+        # contract test for the register plumbing: use the XLA path (the
+        # interpret-mode Pallas kernels are separately swept in test_pallas and
+        # are prohibitively slow for a 13-config sweep on CPU)
         cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.GOSCA,
-                        include_cash=True),
+                        include_cash=True, use_pallas=False),
     )
     chain = fft_mag_cfar_chain(cfg)
     f = chain.jit()

@@ -24,8 +24,10 @@ from rsp_chains_tpu.parallel.sharded import make_sharded_rd_pipeline
 def _cfg(variant=CfarVariant.GOSCA, cash=True):
     return ChainConfig(
         fft=FftConfig(max_size=1024),
+        # sharding-equality tests exercise the XLA datapaths (the Pallas
+        # kernels are interpret-mode-slow on CPU and covered by test_pallas)
         cfar=CfarConfig(max_ref_window=64, max_guard_window=8, variant=variant,
-                        include_cash=cash),
+                        include_cash=cash, use_pallas=False),
     )
 
 
@@ -110,7 +112,8 @@ def test_sharded_rd_pipeline_runs_and_matches(mesh8):
         matched_filter=MatchedFilterConfig(num_taps=64, fft_size=n_range),
         doppler=DopplerConfig(num_pulses=p),
         cfar=CfarConfig(max_ref_window=64, max_guard_window=8,
-                        variant=CfarVariant.GOSCA, include_cash=True),
+                        variant=CfarVariant.GOSCA, include_cash=True,
+                        use_pallas=False),
     )
     rt = _rt(threshold_scaler=8.0)
     rng = np.random.RandomState(7)
