@@ -39,6 +39,7 @@ from .presets import (
     rsp_chain_vanilla,
     rx_fft_mag_cfar_tx_chain,
 )
-from . import ops, packing, numerics, golden
+from .cplx import C, as_pair, join, to_numpy
+from . import cplx, ops, packing, numerics, golden
 
 __version__ = "0.1.0"
