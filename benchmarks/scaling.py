@@ -55,6 +55,7 @@ def chip_suite():
 
     from bench import measure_per_call
 
+    from rsp_chains_tpu.cplx import as_pair
     from rsp_chains_tpu import (
         CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
         MatchedFilterConfig, RuntimeConfig, fft_mag_cfar_chain,
@@ -73,8 +74,8 @@ def chip_suite():
             cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                             include_cash=False, use_pallas=use_pallas))
         f = fft_mag_cfar_chain(cfg).jit()
-        x = jnp.asarray(rng.randn(16, 256, 1024) + 1j * rng.randn(16, 256, 1024),
-                        jnp.complex64)
+        x = as_pair((rng.randn(16, 256, 1024)
+                     + 1j * rng.randn(16, 256, 1024)).astype(np.complex64))
         try:
             dt = measure_per_call(f, x, rt)
             _emit(f"chain_fft_mag_cfar[{'pallas' if use_pallas else 'xla'}]",
@@ -93,8 +94,8 @@ def chip_suite():
     ch2 = pulse_compression_chain(cfg2, taps=chirp).jit()
     rt2 = RuntimeConfig.make(fft_size=4096, ref_window_size=32,
                              guard_window_size=4, threshold_scaler=5.0, div_sum=5)
-    x2 = jnp.asarray(rng.randn(4, 256, 4096) + 1j * rng.randn(4, 256, 4096),
-                     jnp.complex64)
+    x2 = as_pair((rng.randn(4, 256, 4096)
+                  + 1j * rng.randn(4, 256, 4096)).astype(np.complex64))
     dt = measure_per_call(ch2, x2, rt2)
     _emit("pulse_compression_4096", x2.size, dt)
 
@@ -106,8 +107,8 @@ def chip_suite():
         cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                         include_cash=False))
     ch3 = range_doppler_chain(cfg3, taps=chirp).jit()
-    x3 = jnp.asarray(rng.randn(16, 256, 1024) + 1j * rng.randn(16, 256, 1024),
-                     jnp.complex64)
+    x3 = as_pair((rng.randn(16, 256, 1024)
+                  + 1j * rng.randn(16, 256, 1024)).astype(np.complex64))
     dt = measure_per_call(ch3, x3, rt)
     maps_per_s = 16 / dt
     _emit("range_doppler_256p", x3.size, dt, rd_maps_per_s=round(maps_per_s, 1))
