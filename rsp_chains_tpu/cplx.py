@@ -45,6 +45,10 @@ class C(NamedTuple):
         return self.re.ndim
 
     @property
+    def size(self):
+        return self.re.size
+
+    @property
     def dtype(self):
         return self.re.dtype
 
