@@ -16,7 +16,7 @@ import json
 import socket
 import socketserver
 import threading
-from typing import Optional
+
 
 import numpy as np
 

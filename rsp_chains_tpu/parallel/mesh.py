@@ -14,7 +14,7 @@ on a single chip (1x1 mesh), or on the 8-device CPU platform used by CI
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ local-device mesh, so the same pipeline code runs everywhere.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
