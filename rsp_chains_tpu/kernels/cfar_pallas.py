@@ -354,6 +354,14 @@ def _gos_kernel(
     # ---- GOS: build + sort the window stack per side ----
     ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts  # global cell idx
 
+    # runtime clock gating: the expensive stack/sort/CASH sections only run
+    # when the register file actually selects them (CA-only calls through a
+    # GOSCA elaboration cost the same as the CA kernel)
+    use_gos = algorithm == 1
+    cash_active = (mode == 3) if with_cash else False
+    sort_needed = use_gos & jnp.logical_not(mode == 3) if with_cash else use_gos
+    stack_needed = (use_gos | cash_active) if with_cash else use_gos
+
     def side(base_row, lag_side: bool, out_slot: int, rank):
         # base_row[j] = padded[j - (g+w)] (lag) or padded[j + (g+1)] (lead)
         big = jnp.float32(jnp.inf)
@@ -378,11 +386,13 @@ def _gos_kernel(
             hi_k = jnp.clip(n_active - ii_t - guard - 1, 0, w)
 
         if with_cash:
-            # CASH per-side statistic: min over sliding sub-window means of the
-            # runtime subWindowSize within the valid span, computed BEFORE the
-            # sort. Dyadic row sums over the leading axis (static slice adds),
-            # then the traced sub_w combines them via bit-decomposed shifted
-            # reads of the zero-padded sum scratch.
+          # CASH per-side statistic: min over sliding sub-window means of the
+          # runtime subWindowSize within the valid span, computed BEFORE the
+          # sort. Dyadic row sums over the leading axis (static slice adds),
+          # then the traced sub_w combines them via bit-decomposed shifted
+          # reads of the zero-padded sum scratch.
+          @pl.when(cash_active)
+          def _cash():
             for k in range(wmax):
                 vk = wstack[k]
                 cash_scr[k] = jnp.where(jnp.isfinite(vk), vk, 0.0)
@@ -415,29 +425,32 @@ def _gos_kernel(
             est = est / jnp.maximum(sub_w, 1).astype(jnp.float32)
             stat_scr[out_slot + 2] = jnp.where(jnp.isfinite(est), est, 0.0)
 
-        _bitonic_rows(wstack, wmax, f, tile)
-        # number of valid cells per tile cell (analytic, no counting pass)
-        if lag_side:
-            # cells i-g-w .. i-g-1 clipped to [0, n_active)
-            lo_pos = ii_t - guard - w
-            hi_pos = ii_t - guard
-        else:
-            lo_pos = ii_t + guard + 1
-            hi_pos = ii_t + guard + 1 + w
-        nv = (jnp.clip(hi_pos, 0, n_active) - jnp.clip(lo_pos, 0, n_active))
-        nv = jnp.maximum(nv, 0)
-        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
-        acc = jnp.zeros((f, tile), jnp.float32)
-        for k in range(wmax):
-            acc = acc + jnp.where(idx == k, wstack[k], 0.0)
-        stat_scr[out_slot] = jnp.where(nv > 0, acc, 0.0)
+        @pl.when(sort_needed)
+        def _gos():
+            _bitonic_rows(wstack, wmax, f, tile)
+            # number of valid cells per tile cell (analytic, no counting pass)
+            if lag_side:
+                # cells i-g-w .. i-g-1 clipped to [0, n_active)
+                lo_pos = ii_t - guard - w
+                hi_pos = ii_t - guard
+            else:
+                lo_pos = ii_t + guard + 1
+                hi_pos = ii_t + guard + 1 + w
+            nv = (jnp.clip(hi_pos, 0, n_active) - jnp.clip(lo_pos, 0, n_active))
+            nv = jnp.maximum(nv, 0)
+            idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
+            acc = jnp.zeros((f, tile), jnp.float32)
+            for k in range(wmax):
+                acc = acc + jnp.where(idx == k, wstack[k], 0.0)
+            stat_scr[out_slot] = jnp.where(nv > 0, acc, 0.0)
 
-    lag_base = _roll_right(row_scr[:, :], guard + w)
-    side(lag_base, True, 2, rank_lagg)
-    lead_base = _roll_left(row_scr[:, :], guard + 1)
-    side(lead_base, False, 3, rank_lead)
+    @pl.when(stack_needed)
+    def _sides():
+        lag_base = _roll_right(row_scr[:, :], guard + w)
+        side(lag_base, True, 2, rank_lagg)
+        lead_base = _roll_left(row_scr[:, :], guard + 1)
+        side(lead_base, False, 3, rank_lead)
 
-    use_gos = algorithm == 1
     s_lag = jnp.where(use_gos, stat_scr[2], stat_scr[0])
     s_lead = jnp.where(use_gos, stat_scr[3], stat_scr[1])
     noise = jnp.where(
