@@ -134,6 +134,13 @@ def cfar_golden(
         elif edge_policy == "wrap":
             lag = mag[(np.arange(lag_lo, lag_hi)) % n]
             lead = mag[(np.arange(lead_lo, lead_hi)) % n]
+        elif edge_policy == "reflect":
+            def refl(idx):
+                period = max(2 * n - 2, 1)
+                m = np.mod(idx, period)
+                return np.where(m < n, m, period - m)
+            lag = mag[refl(np.arange(lag_lo, lag_hi))]
+            lead = mag[refl(np.arange(lead_lo, lead_hi))]
         else:
             raise ValueError(edge_policy)
 

@@ -78,6 +78,18 @@ def _gather_windows(mag, lo, hi, g, w, cfg: CfarConfig):
         lead_pos = lo + jnp.mod(lead_pos - lo, n_act)
         lag_valid = jnp.broadcast_to(k < w, lag_pos.shape)
         lead_valid = jnp.broadcast_to(k < w, lead_pos.shape)
+    elif cfg.edge_policy is EdgePolicy.REFLECT:
+        n_act = jnp.maximum(hi - lo, 1)
+        period = jnp.maximum(2 * n_act - 2, 1)
+
+        def refl(pos):
+            m = jnp.mod(pos - lo, period)
+            return lo + jnp.where(m < n_act, m, period - m)
+
+        lag_pos = refl(lag_pos)
+        lead_pos = refl(lead_pos)
+        lag_valid = jnp.broadcast_to(k < w, lag_pos.shape)
+        lead_valid = jnp.broadcast_to(k < w, lead_pos.shape)
     else:
         lag_valid = (k < w) & (lag_pos >= lo) & (lag_pos < hi)
         lead_valid = (k < w) & (lead_pos >= lo) & (lead_pos < hi)
@@ -300,9 +312,9 @@ def cfar_op(
     has_ca = variant in (CfarVariant.CA, CfarVariant.GOSCA)
     has_gos = variant in (CfarVariant.GOS, CfarVariant.GOSCA)
     has_cash = cfg.include_cash
-    wrap = cfg.edge_policy is EdgePolicy.WRAP
+    wrap = cfg.edge_policy is not EdgePolicy.PARTIAL  # WRAP/REFLECT: mod/mirror
     # gather-free rotations need the zero pad to cover every window reach;
-    # WRAP's mod indexing stays on the gather path
+    # WRAP/REFLECT's mod/mirror indexing stays on the gather path
     use_roll = (not wrap) and (cfg.max_ref_window + cfg.max_guard_window + 1 <= _PAD)
     log2w = jnp.round(jnp.log2(jnp.maximum(w, 1).astype(jnp.float32))).astype(jnp.int32)
 

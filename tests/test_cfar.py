@@ -202,3 +202,27 @@ def test_wrap_edge_policy_matches_golden(rng):
         np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
                                    rtol=1e-5, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_reflect_edge_policy_matches_golden(rng):
+    """EdgePolicy.REFLECT: windows mirror at the frame edges."""
+    from rsp_chains_tpu.configs import EdgePolicy
+
+    mag = _mag(rng)
+    w, g = 16, 2
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.GOSCA,
+                     include_cash=False, edge_policy=EdgePolicy.REFLECT)
+    for algo, rank in ((CfarAlgorithm.CA, None), (CfarAlgorithm.GOS, 8)):
+        rt = RuntimeConfig.make(fft_size=256, cfar_algorithm=algo,
+                                ref_window_size=w, guard_window_size=g,
+                                index_lagg=rank, index_lead=rank,
+                                threshold_scaler=3.0)
+        out = cfar_op(jnp.asarray(mag), rt, cfg)
+        thr_g, pk_g = cfar_golden(
+            mag, ref_window=w, guard_window=g, threshold_scaler=3.0,
+            mode=0, algorithm=int(algo), index_lagg=rank, index_lead=rank,
+            div_sum=4, edge_policy="reflect",
+        )
+        np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
