@@ -136,8 +136,9 @@ def mesh_suite(n_devices: int = 8):
                             guard_window_size=4, threshold_scaler=3.5, div_sum=5)
     cfg = ChainConfig(
         fft=FftConfig(max_size=1024),
+        # XLA path: the Pallas kernel only runs interpreted (slowly) on CPU
         cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
-                        include_cash=False))
+                        include_cash=False, use_pallas=False))
     x = jnp.asarray(rng.randn(16, 64, 1024) + 1j * rng.randn(16, 64, 1024),
                     jnp.complex64)
 
