@@ -62,3 +62,48 @@ def test_mag_random_modes(trial):
     got = np.asarray(logmag(jnp.asarray(x), jnp.asarray(mode, jnp.int32)))
     want = MAG_GOLDENS[mode](x)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_full_chain_random_register_files(trial):
+    """End-to-end: random runtime register files through the public chain vs
+    the composed golden pipeline (FFT -> mag -> CFAR)."""
+    from rsp_chains_tpu import ChainConfig, FftConfig, as_pair, fft_mag_cfar_chain
+    from rsp_chains_tpu.golden import fft_golden, three_tone_signal
+    from rsp_chains_tpu.golden.models import MAG_GOLDENS, cfar_golden
+
+    rng = np.random.RandomState(3000 + trial)
+    iq = three_tone_signal(1024, shift_range_factor=12, seed=int(rng.randint(1e6)))
+    n = int(rng.choice([256, 512, 1024]))
+    w = int(rng.choice([8, 16, 32]))
+    g = int(rng.randint(1, min(w, 8)))
+    mag_mode = int(rng.randint(0, 3))  # log2 mode needs log-domain scaler choice
+    mode = int(rng.randint(0, 3))
+    algo = int(rng.randint(0, 2))
+    rank = int(rng.randint(0, w))
+    scaler = float(rng.uniform(2.0, 6.0))
+
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=32, max_guard_window=8,
+                        variant=CfarVariant.GOSCA, include_cash=False,
+                        use_pallas=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(
+        fft_size=n, mag_mode=mag_mode, cfar_mode=mode, cfar_algorithm=algo,
+        ref_window_size=w, guard_window_size=g, index_lagg=rank,
+        index_lead=rank, threshold_scaler=scaler, div_sum=int(np.log2(w)))
+    out = chain.jit()(as_pair(iq), rt)
+
+    spec = fft_golden(iq, n=n)
+    mag_g = MAG_GOLDENS[mag_mode](spec)
+    thr_g, pk_g = cfar_golden(mag_g, ref_window=w, guard_window=g,
+                              threshold_scaler=scaler, mode=mode, algorithm=algo,
+                              index_lagg=rank, index_lead=rank,
+                              div_sum=int(np.log2(w)))
+    np.testing.assert_allclose(np.asarray(out.threshold)[:n], thr_g,
+                               rtol=1e-3, atol=1e-2,
+                               err_msg=f"n={n} w={w} g={g} mag={mag_mode} "
+                                       f"mode={mode} algo={algo} rank={rank}")
+    np.testing.assert_array_equal(np.asarray(out.peaks)[:n], pk_g)
+    assert not np.asarray(out.peaks)[n:].any()
