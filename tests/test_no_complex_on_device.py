@@ -30,8 +30,11 @@ def _rt(**kw):
 
 
 def test_core_chain_pair_path():
+    # small window elaboration: this test only checks dtypes in the lowered
+    # program, and trace time scales with the roll/sort machinery size
     cfg = ChainConfig(fft=FftConfig(max_size=1024),
-                      cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.GOSCA,
+                      cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                                      variant=CfarVariant.GOSCA,
                                       include_cash=True))
     chain = fft_mag_cfar_chain(cfg)
     x = as_pair(three_tone_signal(1024, shift_range_factor=12))
@@ -49,9 +52,12 @@ def test_rom_chain():
 
 
 def test_rx_tx_wire_chain():
-    chain = rx_fft_mag_cfar_tx_chain()
+    cfg = ChainConfig(fft=FftConfig(max_size=1024),
+                      cfar=CfarConfig(max_ref_window=16, max_guard_window=4))
+    chain = rx_fft_mag_cfar_tx_chain(cfg)
     words = np.zeros(1024, np.uint32)
-    _assert_no_complex(chain.__call__, words, _rt())
+    _assert_no_complex(chain.__call__, words, _rt(ref_window_size=8,
+                                                  guard_window_size=2))
 
 
 def test_range_doppler_flagship():
