@@ -35,14 +35,17 @@ def _build_chain(preset: str):
     }[preset]()
 
 
-def _runtime(overrides: list[str]):
+def _runtime(overrides: list[str], cfar_cfg=None):
     from .configs import RuntimeConfig
 
     kw = {}
     for ov in overrides:
         k, _, v = ov.partition("=")
         kw[k] = float(v) if "." in v else int(v)
-    return RuntimeConfig.make(**kw)
+    # validate register writes against the elaborated maxima, as the hardware's
+    # require(...)s would at elaboration — out-of-range windows are rejected
+    # here instead of being silently clamped on-device
+    return RuntimeConfig.make(validate_against=cfar_cfg, **kw)
 
 
 def cmd_info(args):
@@ -62,7 +65,7 @@ def cmd_run(args):
     import jax.numpy as jnp
 
     chain = _build_chain(args.preset)
-    rt = _runtime(args.set or [])
+    rt = _runtime(args.set or [], chain.cfg.cfar)
     from .cplx import as_pair
 
     if args.input:
@@ -130,7 +133,7 @@ def cmd_stream(args):
     from .golden import three_tone_signal
 
     chain = _build_chain(args.preset)
-    rt = _runtime(args.set or [])
+    rt = _runtime(args.set or [], chain.cfg.cfar)
     n = chain.cfg.fft.max_size
     metrics = []
 
@@ -176,10 +179,10 @@ def cmd_serve(args):
     from .io.server import ChainServer
 
     chain = _build_chain(args.preset)
-    rt = _runtime(args.set or [])
+    rt = _runtime(args.set or [], chain.cfg.cfar)
     srv = ChainServer(chain.jit(), rt, frame_len=chain.cfg.fft.max_size,
                       log2_fft_size=chain.cfg.fft.log2_max,
-                      host=args.host, port=args.port)
+                      host=args.host, port=args.port, cfar_cfg=chain.cfg.cfar)
     with srv:
         print(f"serving {args.preset} on {args.host}:{srv.port} "
               f"(frame = {chain.cfg.fft.max_size} IQ samples)", flush=True)
@@ -209,7 +212,7 @@ def cmd_plot(args):
     from .ops.logmag import logmag
 
     chain = _build_chain(args.preset)
-    rt = _runtime(args.set or [])
+    rt = _runtime(args.set or [], chain.cfg.cfar)
     n = chain.cfg.fft.max_size
 
     if args.preset == "range_doppler":

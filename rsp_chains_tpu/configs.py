@@ -277,6 +277,11 @@ class CfarConfig:
     # faster than the XLA gather/cumsum tail on TPU v5e; bit-equal, chains fall
     # back to the XLA path automatically for GOS/CASH elaborations)
     use_pallas: bool = True
+    # Range-sharded tails: fetch the CFAR halo over Pallas RDMA
+    # (make_async_remote_copy) overlapped with the magnitude computation
+    # instead of lax.ppermute (kernels/pallas_halo.py). Interpret-validated on
+    # the CPU mesh; off by default until profiled on multi-chip hardware.
+    use_rdma_halo: bool = False
 
     def __post_init__(self):
         w = self.max_ref_window

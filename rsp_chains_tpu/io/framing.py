@@ -31,6 +31,12 @@ MAGIC = 0x52535043
 HEADER = struct.Struct("<IIIHH")
 FLAG_LAST = 1
 FLAG_CONFIG = 2
+# Upper bound on payload words per frame. The length field is unprotected until
+# the CRC is checked, so a corrupted length must be rejected *before* it drives
+# buffering decisions: without this bound a single bit flip in n_words makes
+# decode_frame wait for gigabytes that never arrive, wedging the stream. 1 Mi
+# words (4 MiB) is far above any real CPI frame.
+MAX_FRAME_WORDS = 1 << 20
 
 
 class FrameError(ValueError):
@@ -75,6 +81,10 @@ def decode_frame(buf: bytes, offset: int = 0) -> tuple[Frame, int]:
     magic, seq, n_words, flags, channel = HEADER.unpack_from(buf, offset)
     if magic != MAGIC:
         raise FrameError(f"bad magic 0x{magic:08x}")
+    if n_words > MAX_FRAME_WORDS:
+        # corrupted length with valid magic: treat as a framing error so the
+        # one-byte resync path engages instead of buffering unboundedly
+        raise FrameError(f"frame length {n_words} words exceeds MAX_FRAME_WORDS")
     total = HEADER.size + 4 * n_words + 4
     if len(buf) - offset < total:
         raise IndexError("short buffer")

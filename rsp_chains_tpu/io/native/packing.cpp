@@ -54,17 +54,28 @@ void pack_iq_f32(const float* iq, uint32_t* words, int64_t n) {
 
 // CRC-32 (IEEE 802.3, reflected) over a byte buffer — frame integrity for the
 // host link (the parity-bit analog, DSPBlockUART.scala:159-166)
-uint32_t crc32_ieee(const uint8_t* data, int64_t n, uint32_t seed) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+namespace {
+struct Crc32Table {
+  uint32_t t[256];
+  Crc32Table() {
     for (uint32_t i = 0; i < 256; ++i) {
       uint32_t c = i;
       for (int k = 0; k < 8; ++k) c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
   }
+};
+// function-local static: C++11 guarantees thread-safe one-time construction,
+// unlike the previous static-bool lazy init (racy under the server's
+// per-connection threads)
+const uint32_t* crc32_table() {
+  static const Crc32Table tbl;
+  return tbl.t;
+}
+}  // namespace
+
+uint32_t crc32_ieee(const uint8_t* data, int64_t n, uint32_t seed) {
+  const uint32_t* table = crc32_table();
   uint32_t crc = seed ^ 0xFFFFFFFFu;
   for (int64_t i = 0; i < n; ++i) crc = table[(crc ^ data[i]) & 0xFFu] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;

@@ -37,9 +37,11 @@ class ChainServer:
     """
 
     def __init__(self, chain_fn, rt: RuntimeConfig, frame_len: int,
-                 log2_fft_size: int, host: str = "127.0.0.1", port: int = 0):
+                 log2_fft_size: int, host: str = "127.0.0.1", port: int = 0,
+                 cfar_cfg=None):
         self._chain = chain_fn
         self._rt = rt
+        self._cfar_cfg = cfar_cfg  # elaborated maxima for config-frame validation
         self._frame_len = frame_len
         self._log2n = log2_fft_size
         self._routes = {}
@@ -88,7 +90,10 @@ class ChainServer:
     def _apply_config(self, frame: framing.Frame) -> None:
         try:
             kw = json.loads(bytes(frame.words.view(np.uint8)).split(b"\0")[0])
-            self._rt = RuntimeConfig.make(**kw)
+            # reject register writes beyond the elaborated maxima (the require()
+            # analog) — otherwise an out-of-range window would be clamped
+            # on-device, silently diverging from what the client asked for
+            self._rt = RuntimeConfig.make(validate_against=self._cfar_cfg, **kw)
             self._pipe.reconfigure(self._rt)
         except Exception:  # noqa: BLE001 — bad config frame: ignore (sticky-error analog)
             pass

@@ -75,10 +75,33 @@ def _roll_left(x, s):
     return x
 
 
+MAG_PASSTHROUGH = 4       # mag_mode register value: input re IS the magnitude
+                          # (set by the RDMA-halo tail, which computes the
+                          # magnitude inside kernels/pallas_halo.py overlapped
+                          # with the inter-chip halo DMA)
+
+
+def _magnitude(re, im, mag_mode):
+    """The fused logMagMux menu (VPU): abs / sqr / JPL / log2(JPL), plus the
+    internal passthrough code (input already a magnitude row)."""
+    ar, ai = jnp.abs(re), jnp.abs(im)
+    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
+    jpl = jnp.maximum(u + 0.125 * v, 0.875 * u + 0.5 * v)
+    sqr = re * re + im * im
+    absm = jnp.sqrt(sqr)
+    log2m = jnp.log2(jnp.maximum(jpl, 1e-30))
+    return jnp.where(
+        mag_mode == 0, absm,
+        jnp.where(mag_mode == 1, sqr,
+                  jnp.where(mag_mode == 2, jpl,
+                            jnp.where(mag_mode == 3, log2m, re))))
+
+
 def _kernel(
     # scalar prefetch (SMEM)
-    scal_ref,              # [8] int32: log2w, guard, div, mode, log_or_linear,
-                           #            peak_grouping, n_active, mag_mode
+    scal_ref,              # [9] int32: log2w, guard, div, mode, log_or_linear,
+                           #            peak_grouping, active_hi, mag_mode,
+                           #            active_lo
     fscal_ref,             # [1] float32: threshold scaler
     # VMEM operands
     re_ref, im_ref,        # [F, N] spectrum
@@ -92,8 +115,9 @@ def _kernel(
     mode = scal_ref[3]
     log_or_linear = scal_ref[4]
     peak_grouping = scal_ref[5]
-    n_active = scal_ref[6]
+    active_hi = scal_ref[6]
     mag_mode = scal_ref[7]
+    active_lo = scal_ref[8]
     scaler = fscal_ref[0]
 
     re = re_ref[:, :]
@@ -101,20 +125,13 @@ def _kernel(
     f = re.shape[0]
 
     # ---- magnitude (fused logMagMux, VPU) ----
-    ar, ai = jnp.abs(re), jnp.abs(im)
-    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
-    jpl = jnp.maximum(u + 0.125 * v, 0.875 * u + 0.5 * v)
-    sqr = re * re + im * im
-    absm = jnp.sqrt(sqr)
-    log2m = jnp.log2(jnp.maximum(jpl, 1e-30))
-    mag = jnp.where(
-        mag_mode == 0, absm,
-        jnp.where(mag_mode == 1, sqr, jnp.where(mag_mode == 2, jpl, log2m)),
-    )
+    mag = _magnitude(re, im, mag_mode)
 
-    # mask cells beyond the active frame (runtime fftSize register)
+    # mask cells outside the active range [active_lo, active_hi) — the runtime
+    # fftSize register for a standalone frame, or the halo-offset window of the
+    # global frame on a range-sharded block (parallel.sharded)
     col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-    active = col < n_active
+    active = (col >= active_lo) & (col < active_hi)
     mag = jnp.where(active, mag, 0.0)
 
     # ---- dyadic box sums in a zero-padded row (all in registers/VMEM) ----
@@ -171,12 +188,18 @@ def fused_mag_cfar(
     rt: RuntimeConfig,
     cfg: CfarConfig,
     interpret: bool = False,
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
 ) -> CfarOutput:
     """Fused logmag + CA/GO/SO CFAR over the last axis of a complex spectrum.
 
     ``spectrum``: [..., N] pair (``cplx.C``) or complex array, N a multiple of
     128. Returns CfarOutput (threshold float32, peaks bool). Requires a
-    CA-family configuration (the GOS/CASH sort paths run via ``ops.cfar``)."""
+    CA-family configuration (the GOS/CASH sort paths run via ``ops.cfar``).
+    ``active_lo``/``active_hi`` (traced int32) bound the valid cell range in
+    local coordinates, as in ``ops.cfar.cfar_op`` — used by the range-sharded
+    tail to exclude halo cells beyond the true frame edges."""
     from ..cplx import as_pair
 
     xp = as_pair(spectrum)
@@ -195,17 +218,22 @@ def fused_mag_cfar(
         im = jnp.pad(im, ((0, f_pad), (0, 0)))
     f_tot = flat + f_pad
 
+    if active_hi is None:
+        active_hi = jnp.minimum(rt.fft_size, n)
+    if active_lo is None:
+        active_lo = jnp.int32(0)
     log2w = jnp.round(jnp.log2(jnp.clip(
         rt.ref_window_size, 1, cfg.max_ref_window).astype(jnp.float32))).astype(jnp.int32)
     scalars = jnp.stack([
         log2w,
-        rt.guard_window_size.astype(jnp.int32),
+        jnp.clip(rt.guard_window_size, 0, cfg.max_guard_window).astype(jnp.int32),
         rt.div_sum.astype(jnp.int32),
         rt.cfar_mode.astype(jnp.int32),
         rt.log_or_linear.astype(jnp.int32),
         rt.peak_grouping.astype(jnp.int32),
-        jnp.minimum(rt.fft_size, n).astype(jnp.int32),
+        jnp.asarray(active_hi, jnp.int32),
         rt.mag_mode.astype(jnp.int32),
+        jnp.asarray(active_lo, jnp.int32),
     ])
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
@@ -300,12 +328,13 @@ def _gos_kernel(
     mode = scal_ref[3]
     log_or_linear = scal_ref[4]
     peak_grouping = scal_ref[5]
-    n_active = scal_ref[6]
+    active_hi = scal_ref[6]
     mag_mode = scal_ref[7]
     algorithm = scal_ref[8]
     rank_lagg = scal_ref[9]
     rank_lead = scal_ref[10]
     sub_w = scal_ref[11]
+    active_lo = scal_ref[12]
     scaler = fscal_ref[0]
 
     t_idx = pl.program_id(1)
@@ -316,17 +345,9 @@ def _gos_kernel(
     im = im_ref[:, :]
     f = re.shape[0]
 
-    ar, ai = jnp.abs(re), jnp.abs(im)
-    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
-    jpl = jnp.maximum(u + 0.125 * v, 0.875 * u + 0.5 * v)
-    sqr = re * re + im * im
-    mag = jnp.where(
-        mag_mode == 0, jnp.sqrt(sqr),
-        jnp.where(mag_mode == 1, sqr,
-                  jnp.where(mag_mode == 2, jpl,
-                            jnp.log2(jnp.maximum(jpl, 1e-30)))))
+    mag = _magnitude(re, im, mag_mode)
     col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-    active_row = col < n_active
+    active_row = (col >= active_lo) & (col < active_hi)
     mag = jnp.where(active_row, mag, 0.0)
 
     # padded full row in scratch
@@ -374,16 +395,16 @@ def _gos_kernel(
                 pos = ii_t - guard - w + k
             else:
                 pos = ii_t + guard + 1 + k
-            valid = (k < w) & (pos >= 0) & (pos < n_active)
+            valid = (k < w) & (pos >= active_lo) & (pos < active_hi)
             wstack[k] = jnp.where(valid, seg, big)
 
         # per-lane contiguous valid span [lo_k, hi_k) of window offsets
         if lag_side:
-            lo_k = jnp.clip(guard + w - ii_t, 0, w)
+            lo_k = jnp.clip(active_lo + guard + w - ii_t, 0, w)
             hi_k = w
         else:
-            lo_k = jnp.zeros_like(ii_t)
-            hi_k = jnp.clip(n_active - ii_t - guard - 1, 0, w)
+            lo_k = jnp.clip(active_lo - ii_t - guard - 1, 0, w)
+            hi_k = jnp.clip(active_hi - ii_t - guard - 1, 0, w)
 
         if with_cash:
           # CASH per-side statistic: min over sliding sub-window means of the
@@ -436,7 +457,8 @@ def _gos_kernel(
             else:
                 lo_pos = ii_t + guard + 1
                 hi_pos = ii_t + guard + 1 + w
-            nv = (jnp.clip(hi_pos, 0, n_active) - jnp.clip(lo_pos, 0, n_active))
+            nv = (jnp.clip(hi_pos, active_lo, active_hi)
+                  - jnp.clip(lo_pos, active_lo, active_hi))
             nv = jnp.maximum(nv, 0)
             idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
             acc = jnp.zeros((f, tile), jnp.float32)
@@ -460,17 +482,15 @@ def _gos_kernel(
     if with_cash:
         noise = jnp.where(mode == 3, jnp.maximum(stat_scr[4], stat_scr[5]), noise)
     thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
-    active_t = (ii_t >= 0) & (ii_t < n_active)
+    active_t = (ii_t >= active_lo) & (ii_t < active_hi)
     thr = jnp.where(active_t, thr, 0.0)
     mag_t = row_scr[:, pl.ds(PAD + ts, tile)]
     peaks = (mag_t > thr) & active_t
 
-    # peak grouping via the padded row
-    mrow = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) - PAD < n_active,
-        jnp.where(jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) >= PAD,
-                  row_scr[:, :], -jnp.inf),
-        -jnp.inf)
+    # peak grouping via the padded row (cells outside [lo, hi) compare as -inf)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) - PAD
+    mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                     row_scr[:, :], -jnp.inf)
     tmp_scr[:, :] = pltpu.roll(mrow, 1, axis=1)
     left = tmp_scr[:, pl.ds(PAD + ts, tile)]
     tmp_scr[:, :] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
@@ -488,10 +508,14 @@ def fused_mag_gos_cfar(
     rt: RuntimeConfig,
     cfg: CfarConfig,
     interpret: bool = False,
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO) with the window sort resident in VMEM. CASH uses the XLA
-    path. ``spectrum``: [..., N] pair or complex, N % 256 == 0."""
+    path. ``spectrum``: [..., N] pair or complex, N % 256 == 0.
+    ``active_lo``/``active_hi``: see ``fused_mag_cfar``."""
     from ..cplx import as_pair
 
     xp = as_pair(spectrum)
@@ -512,21 +536,26 @@ def fused_mag_gos_cfar(
         im = jnp.pad(im, ((0, f_pad), (0, 0)))
     f_tot = flat + f_pad
 
+    if active_hi is None:
+        active_hi = jnp.minimum(rt.fft_size, n)
+    if active_lo is None:
+        active_lo = jnp.int32(0)
     log2w = jnp.round(jnp.log2(jnp.clip(
         rt.ref_window_size, 1, wmax).astype(jnp.float32))).astype(jnp.int32)
     scalars = jnp.stack([
         log2w,
-        rt.guard_window_size.astype(jnp.int32),
+        jnp.clip(rt.guard_window_size, 0, cfg.max_guard_window).astype(jnp.int32),
         rt.div_sum.astype(jnp.int32),
         rt.cfar_mode.astype(jnp.int32),
         rt.log_or_linear.astype(jnp.int32),
         rt.peak_grouping.astype(jnp.int32),
-        jnp.minimum(rt.fft_size, n).astype(jnp.int32),
+        jnp.asarray(active_hi, jnp.int32),
         rt.mag_mode.astype(jnp.int32),
         rt.cfar_algorithm.astype(jnp.int32),
         rt.index_lagg.astype(jnp.int32),
         rt.index_lead.astype(jnp.int32),
         jnp.clip(rt.sub_window_size, cfg.min_sub_window, wmax).astype(jnp.int32),
+        jnp.asarray(active_lo, jnp.int32),
     ])
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
@@ -570,3 +599,34 @@ def fused_mag_gos_cfar(
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = (pk[:flat] != 0).reshape(batch_shape + (n,))
     return CfarOutput(threshold=thr, peaks=pk)
+
+
+def fused_tail_kind(chain_cfg) -> str | None:
+    """Which fused mag+CFAR kernel (if any) carries this elaboration's
+    semantics: ``"ca"`` (box-sum kernel), ``"gos"`` (VMEM-sort kernel), or
+    ``None`` (XLA tail required). Shared by the chain builder
+    (``presets.tail_stages``) and the range-sharded tail
+    (``parallel.sharded``) so both route identically.
+
+    Fallback conditions (the kernels implement PARTIAL-edge, float, plain-out
+    semantics only): CASH mode needs the GOS kernel's elaborated sub-window
+    machinery; sendCut/emit_noise need extra outputs; WRAP/REFLECT edge
+    policies, fixed-point fidelity boundaries, and the LUT-truncated log2 live
+    on the XLA path. Frame-length alignment (N % 128 / % GOS_RANGE_TILE) is
+    checked at the call site where N is known."""
+    from ..configs import CfarVariant, EdgePolicy
+
+    cfar = chain_cfg.cfar
+    if not cfar.use_pallas:
+        return None
+    if cfar.send_cut or cfar.emit_noise:
+        return None
+    if cfar.edge_policy is not EdgePolicy.PARTIAL:
+        return None
+    if chain_cfg.fixed_point.enabled or chain_cfg.mag.use_lut_log:
+        return None
+    if cfar.variant is CfarVariant.CA and not cfar.include_cash:
+        return "ca"
+    if cfar.variant in (CfarVariant.GOS, CfarVariant.GOSCA):
+        return "gos"
+    return None

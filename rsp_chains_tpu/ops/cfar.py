@@ -305,7 +305,10 @@ def cfar_op(
         active_lo = jnp.int32(0)
     if active_hi is None:
         active_hi = n_active
-    g = rt.guard_window_size.astype(jnp.int32)
+    # clamp BOTH runtime windows to their elaborated maxima: values beyond them
+    # are inexpressible in hardware, and the roll paths' bit-decomposed shifts
+    # silently drop high bits past the zero-pad reach (ADVICE r1)
+    g = jnp.clip(rt.guard_window_size, 0, cfg.max_guard_window).astype(jnp.int32)
     w = jnp.minimum(rt.ref_window_size, cfg.max_ref_window).astype(jnp.int32)
 
     variant = cfg.variant

@@ -77,12 +77,90 @@ def _cfar_out_specs(cfg: CfarConfig, spec):
     )
 
 
+def _fused_tail_local(cfg: ChainConfig, n_loc: int, axis_name: str = RANGE_AXIS):
+    """Fused Pallas mag+CFAR tail for a range-sharded *spectrum* block, or
+    ``None`` when the elaboration/shapes need the XLA tail.
+
+    The r1 sharded path always ran the XLA ``cfar_op`` datapaths (3.8–78 ms at
+    bench scale) while the unsharded chain used the 0.8 ms-class fused kernels;
+    this routes the sharded tail through the same kernels. The halo is one
+    kernel pad (128 lanes ≥ max window reach), so the extended block stays
+    lane-aligned; the kernels' ``active_lo``/``active_hi`` registers mask halo
+    cells beyond the true frame edges exactly like ``cfar_halo_shard``."""
+    import jax as _jax
+
+    from ..kernels.cfar_pallas import (
+        GOS_RANGE_TILE, PAD, fused_mag_cfar, fused_mag_gos_cfar,
+        fused_tail_kind,
+    )
+
+    kind = fused_tail_kind(cfg)
+    if kind is None:
+        return None
+    halo = PAD
+    if n_loc < halo or n_loc % 128 != 0:
+        return None
+    if cfg.cfar.max_ref_window + cfg.cfar.max_guard_window + 1 > halo:
+        return None
+    n_ext = n_loc + 2 * halo
+    if kind == "gos" and n_ext % GOS_RANGE_TILE != 0:
+        return None
+    fn = fused_mag_cfar if kind == "ca" else fused_mag_gos_cfar
+    interpret = _jax.default_backend() != "tpu"
+
+    def tail(spec_local, rt: RuntimeConfig) -> CfarOutput:
+        import dataclasses
+
+        from ..cplx import C
+
+        start = lax.axis_index(axis_name) * n_loc
+        lo = jnp.clip(halo - start, 0, n_ext).astype(jnp.int32)
+        hi = jnp.clip(rt.fft_size - start + halo, 0, n_ext).astype(jnp.int32)
+        if cfg.cfar.use_rdma_halo:
+            # halo spectra over Pallas RDMA, overlapped with the magnitude
+            # computation; the CFAR kernel then runs in passthrough mode
+            from ..kernels.cfar_pallas import MAG_PASSTHROUGH
+            from ..kernels.pallas_halo import mag_extend_rdma
+
+            mag_ext = mag_extend_rdma(spec_local.re, spec_local.im, halo,
+                                      rt.mag_mode, axis_name,
+                                      interpret=interpret)
+            rt_pass = dataclasses.replace(
+                rt, mag_mode=jnp.asarray(MAG_PASSTHROUGH, jnp.int32))
+            out = fn(C(mag_ext, jnp.zeros_like(mag_ext)), rt_pass, cfg.cfar,
+                     interpret=interpret, active_lo=lo, active_hi=hi)
+        else:
+            re_ext = extend_with_halo(spec_local.re, halo, axis_name)
+            im_ext = extend_with_halo(spec_local.im, halo, axis_name)
+            out = fn(C(re_ext, im_ext), rt, cfg.cfar, interpret=interpret,
+                     active_lo=lo, active_hi=hi)
+        sl = lambda a: a[..., halo : halo + n_loc]
+        return CfarOutput(sl(out.threshold), sl(out.peaks), None, None)
+
+    return tail
+
+
+def _spectrum_tail_local(cfg: ChainConfig, n_loc: int,
+                         axis_name: str = RANGE_AXIS):
+    """Local (per-shard) logmag+CFAR over a range-sharded spectrum block:
+    the fused Pallas kernel when the elaboration allows, else XLA
+    logmag + ``cfar_halo_shard``."""
+    fused = _fused_tail_local(cfg, n_loc, axis_name)
+    if fused is not None:
+        return fused
+
+    def tail(spec_local, rt: RuntimeConfig) -> CfarOutput:
+        mag = logmag(spec_local, rt.mag_mode, cfg.mag)
+        return cfar_halo_shard(mag, rt, cfg.cfar, axis_name)
+
+    return tail
+
+
 def range_sharded_mag_cfar(cfg: ChainConfig, mesh: jax.sharding.Mesh):
     """logmag+CFAR over a spectrum sharded on the range axis. Returns a jitted
     ``f(spectrum, rt) -> CfarOutput`` with spectrum [..., N] sharded over rng."""
     def local_fn(spec_local, rt):
-        mag = logmag(spec_local, rt.mag_mode, cfg.mag)
-        return cfar_halo_shard(mag, rt, cfg.cfar)
+        return _spectrum_tail_local(cfg, spec_local.shape[-1])(spec_local, rt)
 
     def wrapped(spectrum, rt):
         nb = spectrum.ndim - 1
@@ -139,8 +217,7 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
         y = lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
 
         def tail(spec_local, rt_):
-            mag = logmag(spec_local, rt_.mag_mode, cfg.mag)
-            return cfar_halo_shard(mag, rt_, cfg.cfar)
+            return _spectrum_tail_local(cfg, spec_local.shape[-1])(spec_local, rt_)
 
         sm = jax.shard_map(
             tail, mesh=mesh,
@@ -179,8 +256,7 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
         y = lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
 
         def tail(y_local, rt_):
-            mag = logmag(y_local, rt_.mag_mode, cfg.mag)
-            return cfar_halo_shard(mag, rt_, cfg.cfar)
+            return _spectrum_tail_local(cfg, y_local.shape[-1])(y_local, rt_)
 
         sm = jax.shard_map(
             tail, mesh=mesh,

@@ -56,29 +56,31 @@ def cfar_stage(cfg: ChainConfig) -> Stage:
 def tail_stages(cfg: ChainConfig) -> list[Stage]:
     """The logmag+CFAR tail: a single fused Pallas kernel when elaborated with
     ``use_pallas`` (CA-only configs use the box-sum kernel; GOS/GOSCA configs
-    use the VMEM-sort kernel). CASH and sendCut/emit_noise elaborations need
-    the XLA path's extra datapaths/outputs and fall back."""
-    from .configs import CfarVariant
+    use the VMEM-sort kernel). Elaborations whose semantics the kernels do not
+    carry fall back to the XLA mag+cfar stages:
 
-    plain_out = not cfg.cfar.send_cut and not cfg.cfar.emit_noise
-    if cfg.cfar.use_pallas and plain_out:
+    * CASH and sendCut/emit_noise need extra datapaths/outputs;
+    * WRAP/REFLECT edge policies — the kernels' zero-padded rotations implement
+      PARTIAL only (routing through them silently changed edge cells in r1);
+    * fixed-point fidelity mode (the mag-stage boundary quantization lives
+      between the XLA stages) and the LUT-truncated log2 path."""
+    from .kernels.cfar_pallas import (
+        GOS_RANGE_TILE, fused_mag_cfar, fused_mag_gos_cfar, fused_tail_kind,
+    )
+
+    kind = fused_tail_kind(cfg)
+    if kind is not None:
         import jax
 
-        from .kernels.cfar_pallas import (
-            GOS_RANGE_TILE, fused_mag_cfar, fused_mag_gos_cfar,
-        )
-
         interpret = jax.default_backend() != "tpu"
-        if (cfg.cfar.variant is CfarVariant.CA and not cfg.cfar.include_cash
-                and cfg.fft.max_size % 128 == 0):
+        if kind == "ca" and cfg.fft.max_size % 128 == 0:
             return [Stage(
                 "mag_cfar_fused",
                 lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
                 terminal=True,
             )]
         # the GOS kernel carries the CASH sub-window machinery when elaborated
-        if (cfg.cfar.variant in (CfarVariant.GOS, CfarVariant.GOSCA)
-                and cfg.fft.max_size % GOS_RANGE_TILE == 0):
+        if kind == "gos" and cfg.fft.max_size % GOS_RANGE_TILE == 0:
             return [Stage(
                 "mag_gos_cfar_fused",
                 lambda x, rt: fused_mag_gos_cfar(x, rt, cfg.cfar,

@@ -21,6 +21,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream no matter
+    # which other tests ran before it (a session-scoped stream made marginal
+    # SNR asserts order-dependent)
     return np.random.RandomState(11110)

@@ -226,3 +226,36 @@ def test_reflect_edge_policy_matches_golden(rng):
         np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
                                    rtol=1e-5, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_guard_window_clamped_to_elaborated_max(rng):
+    """A runtime guard register beyond the elaborated max_guard_window clamps
+    (the hardware cannot express it; the roll paths' SHIFT_BITS decomposition
+    would silently drop high bits otherwise — ADVICE r1)."""
+    mag = _mag(rng)
+    cfg = CfarConfig(max_ref_window=32, max_guard_window=8,
+                     variant=CfarVariant.CA, include_cash=False)
+    import dataclasses
+
+    rt_max = RuntimeConfig.make(fft_size=256, ref_window_size=16,
+                                guard_window_size=8, threshold_scaler=3.0)
+    # bypass make()'s require()s the way an unvalidated ingress would
+    rt_big = dataclasses.replace(
+        rt_max, guard_window_size=jnp.asarray(100, jnp.int32))
+    out_big = cfar_op(jnp.asarray(mag), rt_big, cfg)
+    out_max = cfar_op(jnp.asarray(mag), rt_max, cfg)
+    np.testing.assert_array_equal(np.asarray(out_big.threshold),
+                                  np.asarray(out_max.threshold))
+
+    from rsp_chains_tpu.kernels.cfar_pallas import fused_mag_cfar
+    from rsp_chains_tpu.cplx import C
+
+    spec = C(jnp.asarray(mag.reshape(2, 128)), jnp.zeros((2, 128), jnp.float32))
+    rt_m = RuntimeConfig.make(fft_size=128, ref_window_size=16,
+                              guard_window_size=8, threshold_scaler=3.0)
+    rt_b = dataclasses.replace(
+        rt_m, guard_window_size=jnp.asarray(100, jnp.int32))
+    k_big = fused_mag_cfar(spec, rt_b, cfg, interpret=True)
+    k_max = fused_mag_cfar(spec, rt_m, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k_big.threshold),
+                                  np.asarray(k_max.threshold))

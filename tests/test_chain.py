@@ -206,3 +206,51 @@ def test_profiler_trace_smoke(tmp_path):
 
     files = [f for _, _, fs in os.walk(d) for f in fs]
     assert files, "no trace artifacts captured"
+
+
+def test_chain_edge_policy_routing_matches_xla(rng):
+    """WRAP/REFLECT elaborations through the default chain builder must agree
+    with the XLA tail bit-for-bit (r1 regression: tail_stages routed them to
+    the PARTIAL-only Pallas kernels, silently changing edge cells)."""
+    from rsp_chains_tpu.configs import EdgePolicy
+    import dataclasses
+
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    rt = _canonical_rt()
+    for policy in (EdgePolicy.WRAP, EdgePolicy.REFLECT):
+        base = _canonical_cfg()
+        cfg_p = dataclasses.replace(
+            base, cfar=dataclasses.replace(base.cfar, edge_policy=policy,
+                                           use_pallas=True))
+        cfg_x = dataclasses.replace(
+            base, cfar=dataclasses.replace(base.cfar, edge_policy=policy,
+                                           use_pallas=False))
+        out_p = fft_mag_cfar_chain(cfg_p).jit()(jnp.asarray(iq, jnp.complex64), rt)
+        out_x = fft_mag_cfar_chain(cfg_x).jit()(jnp.asarray(iq, jnp.complex64), rt)
+        np.testing.assert_array_equal(np.asarray(out_p.threshold),
+                                      np.asarray(out_x.threshold))
+        np.testing.assert_array_equal(np.asarray(out_p.peaks),
+                                      np.asarray(out_x.peaks))
+
+
+def test_chain_fidelity_mode_routing_matches_xla():
+    """Fixed-point fidelity elaborations must keep the XLA tail (the mag-stage
+    boundary quantization lives between the XLA stages)."""
+    import dataclasses
+    from rsp_chains_tpu.configs import FixedPointConfig
+
+    iq = three_tone_signal(1024, shift_range_factor=12)
+    rt = _canonical_rt()
+    base = _canonical_cfg()
+    fp = FixedPointConfig(enabled=True, width=16, bin_point=12)
+    cfg_p = dataclasses.replace(base, fixed_point=fp)
+    cfg_x = dataclasses.replace(
+        base, fixed_point=fp,
+        cfar=dataclasses.replace(base.cfar, use_pallas=False))
+    ch = fft_mag_cfar_chain(cfg_p)
+    assert "mag_cfar_fused" not in ch.stage_names
+    out_p = ch.jit()(jnp.asarray(iq, jnp.complex64), rt)
+    out_x = fft_mag_cfar_chain(cfg_x).jit()(jnp.asarray(iq, jnp.complex64), rt)
+    np.testing.assert_array_equal(np.asarray(out_p.threshold),
+                                  np.asarray(out_x.threshold))
+    np.testing.assert_array_equal(np.asarray(out_p.peaks), np.asarray(out_x.peaks))

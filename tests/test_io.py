@@ -165,3 +165,20 @@ def test_streaming_elastic_error_recovery():
     assert set(results) == {0, 2}
     assert pipe.stats.frames_failed == 1
     assert errors and errors[0][0] == 1
+
+
+def test_framing_corrupt_length_resyncs():
+    """A header with valid magic but corrupted (huge) length must not wedge the
+    decoder: the bounded-length check raises FrameError so one-byte resync
+    engages and the following valid frame still decodes (ADVICE r1)."""
+    import numpy as np
+    from rsp_chains_tpu.io import framing
+
+    good = framing.encode_frame(np.arange(8, dtype=np.uint32), seq=7)
+    bad = bytearray(framing.encode_frame(np.arange(4, dtype=np.uint32), seq=1))
+    # corrupt the n_words field (bytes 8..12) to a huge value
+    bad[8:12] = (0x7FFFFFFF).to_bytes(4, "little")
+    dec = framing.FrameDecoder()
+    frames = list(dec.feed(bytes(bad) + good))
+    assert [f.seq for f in frames] == [7]
+    np.testing.assert_array_equal(frames[0].words, np.arange(8, dtype=np.uint32))

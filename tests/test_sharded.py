@@ -161,3 +161,57 @@ def test_pod_mesh_cpi_sharding():
     np.testing.assert_allclose(np.asarray(out.threshold),
                                np.asarray(want.threshold), rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out.peaks), np.asarray(want.peaks))
+
+
+def _cfg_pallas(variant=CfarVariant.CA, cash=False, max_ref=64):
+    return ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=max_ref, max_guard_window=8,
+                        variant=variant, include_cash=cash, use_pallas=True),
+    )
+
+
+@pytest.mark.parametrize("rtkw", [
+    dict(),
+    dict(cfar_mode=CfarMode.GREATEST_OF),
+    dict(fft_size=512),  # runtime frame shrink across shard boundaries
+])
+def test_range_sharded_fused_ca_tail_equals_unsharded(mesh8, rtkw):
+    """The sharded tail must route through the fused Pallas CA kernel (r1 ran
+    the 3.8 ms XLA datapath instead) and still equal the unsharded op."""
+    from rsp_chains_tpu.parallel.sharded import _fused_tail_local
+
+    cfg = _cfg_pallas()
+    assert _fused_tail_local(cfg, 256) is not None  # routing, not fallback
+    rt = _rt(**rtkw)
+    rng = np.random.RandomState(3)
+    spec = (rng.randn(2, 1024) + 1j * rng.randn(2, 1024)).astype(np.complex64)
+    from rsp_chains_tpu.cplx import as_pair
+
+    out_s = range_sharded_mag_cfar(cfg, mesh8)(as_pair(spec), rt)
+    mag = logmag(jnp.asarray(spec), rt.mag_mode, cfg.mag)
+    out_u = cfar_op(mag, rt, cfg.cfar)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
+
+
+def test_range_sharded_fused_gos_tail_equals_unsharded(mesh8):
+    """GOS elaboration: the sharded tail routes through the VMEM-sort kernel
+    (small window elaboration — interpret mode dominates suite time)."""
+    from rsp_chains_tpu.parallel.sharded import _fused_tail_local
+
+    cfg = _cfg_pallas(variant=CfarVariant.GOSCA, max_ref=8)
+    assert _fused_tail_local(cfg, 256) is not None
+    rt = _rt(ref_window_size=8, guard_window_size=2, div_sum=3,
+             cfar_algorithm=CfarAlgorithm.GOS, index_lagg=4, index_lead=4)
+    rng = np.random.RandomState(4)
+    spec = (rng.randn(1, 1024) + 1j * rng.randn(1, 1024)).astype(np.complex64)
+    from rsp_chains_tpu.cplx import as_pair
+
+    out_s = range_sharded_mag_cfar(cfg, mesh8)(as_pair(spec), rt)
+    mag = logmag(jnp.asarray(spec), rt.mag_mode, cfg.mag)
+    out_u = cfar_op(mag, rt, cfg.cfar)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
