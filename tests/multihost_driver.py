@@ -1,0 +1,87 @@
+"""Subprocess driver for the real 2-process DCN test (tests/test_multihost.py).
+
+Each process owns 4 virtual CPU devices; ``jax.distributed.initialize`` wires
+them into one 8-device cluster over the loopback "DCN". The (cpi=2, ch=2,
+rng=2) pod mesh then spans both processes on its cpi axis — the layout
+``parallel.multihost`` prescribes (time blocks across hosts, halos inside).
+
+Writes this process's addressable output shards (+ their global indices) to an
+npz for the parent test to compare against the unsharded single-process chain.
+"""
+
+import os
+import sys
+
+
+def main():
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from rsp_chains_tpu.parallel.multihost import initialize_cluster
+
+    initialize_cluster(coordinator_address=f"127.0.0.1:{port}",
+                       num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rsp_chains_tpu import (
+        CfarConfig, ChainConfig, FftConfig, RuntimeConfig, fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.golden import three_tone_signal
+    from rsp_chains_tpu.parallel.multihost import (
+        make_pod_mesh, pod_spec, shard_cpi_stream,
+    )
+
+    mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+    )
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
+                            guard_window_size=4, threshold_scaler=3.5,
+                            div_sum=5)
+    # host numpy register values are valid fully-replicated inputs on every
+    # process; device-committed scalars would be process-local
+    rt = jax.tree_util.tree_map(np.asarray, rt)
+
+    iq = np.stack([
+        np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s + 10 * t)
+                  for s in range(2)])
+        for t in range(2)
+    ]).astype(np.complex64)  # [T=2, C=2, N=1024] — same on both processes
+    re = np.ascontiguousarray(iq.real.astype(np.float32))
+    im = np.ascontiguousarray(iq.imag.astype(np.float32))
+
+    sharding = jax.sharding.NamedSharding(mesh, pod_spec(batch_axes=1))
+    mk = lambda a: jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: a[idx])
+    x = C(mk(re), mk(im))
+
+    run = shard_cpi_stream(chain.__call__, mesh)
+    out = run(x, rt)
+    thr = out.threshold
+    pk = out.peaks
+
+    shards = {}
+    for i, s in enumerate(thr.addressable_shards):
+        shards[f"thr_{i}"] = np.asarray(s.data)
+        shards[f"idx_{i}"] = np.array(
+            [[d.start or 0, d.stop if d.stop is not None else dim]
+             for d, dim in zip(s.index, thr.shape)], np.int64)
+    for i, s in enumerate(pk.addressable_shards):
+        shards[f"pk_{i}"] = np.asarray(s.data)
+    np.savez(os.path.join(outdir, f"proc{pid}.npz"), **shards)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Real multi-process DCN execution (VERDICT r1 item 6): two
+``jax.distributed`` CPU processes, 4 virtual devices each, running the pod-mesh
+CPI pipeline — the first time ``jax.distributed.initialize`` actually executes
+in this repo's test surface (BASELINE config 5's mechanism, loopback-DCN)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_pod_mesh_matches_unsharded(tmp_path):
+    port = _free_port()
+    driver = os.path.join(os.path.dirname(__file__), "multihost_driver.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(driver))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, driver, str(port), str(pid), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()[-3000:]
+
+    # unsharded single-(this-)process reference
+    import jax
+    import jax.numpy as jnp
+
+    from rsp_chains_tpu import (
+        CfarConfig, ChainConfig, FftConfig, RuntimeConfig, fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+    )
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
+                            guard_window_size=4, threshold_scaler=3.5,
+                            div_sum=5)
+    iq = np.stack([
+        np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s + 10 * t)
+                  for s in range(2)])
+        for t in range(2)
+    ]).astype(np.complex64)
+    want = fft_mag_cfar_chain(cfg).jit()(as_pair(iq), rt)
+    want_thr = np.asarray(want.threshold)
+    want_pk = np.asarray(want.peaks)
+
+    n_shards = 0
+    for pid in (0, 1):
+        z = np.load(tmp_path / f"proc{pid}.npz")
+        k = 0
+        while f"thr_{k}" in z:
+            idx = z[f"idx_{k}"]
+            sl = tuple(slice(a, b) for a, b in idx)
+            np.testing.assert_allclose(z[f"thr_{k}"], want_thr[sl],
+                                       rtol=1e-5, atol=1e-4)
+            np.testing.assert_array_equal(z[f"pk_{k}"].astype(bool),
+                                          want_pk[sl])
+            n_shards += 1
+            k += 1
+    assert n_shards == 8, n_shards  # every global shard was produced and checked
