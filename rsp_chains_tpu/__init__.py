@@ -36,6 +36,7 @@ from .presets import (
     fft_mag_cfar_chain,
     pulse_compression_chain,
     range_doppler_chain,
+    real_rx_chain,
     rsp_chain_vanilla,
     rx_fft_mag_cfar_tx_chain,
 )

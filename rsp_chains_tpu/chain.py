@@ -63,7 +63,11 @@ class Chain:
         for stage in self.stages:
             with jax.named_scope(stage.name):
                 x = stage.fn(x, rt)
-            if fp.enabled and not stage.terminal and isinstance(x, (jnp.ndarray, C)):
+            if (fp.enabled and not fp.bit_true and not stage.terminal
+                    and isinstance(x, (jnp.ndarray, C))):
+                # float fidelity: snap stage boundaries to the FixedPoint grid.
+                # bit_true mode needs no boundary quantization — the integer
+                # ops (ops/bit_true.py) are exact at every internal step.
                 x = quantize(x, fp)
         return x
 

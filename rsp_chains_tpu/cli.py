@@ -19,7 +19,7 @@ import time
 
 
 PRESETS = ("fft_mag_cfar", "rsp_vanilla", "chain_with_mem", "rx_tx",
-           "pulse_compression", "range_doppler")
+           "pulse_compression", "range_doppler", "real_rx")
 
 
 def _build_chain(preset: str):
@@ -32,6 +32,7 @@ def _build_chain(preset: str):
         "rx_tx": P.rx_fft_mag_cfar_tx_chain,
         "pulse_compression": P.pulse_compression_chain,
         "range_doppler": P.range_doppler_chain,
+        "real_rx": P.real_rx_chain,
     }[preset]()
 
 
@@ -70,9 +71,22 @@ def cmd_run(args):
 
     if args.input:
         raw = np.load(args.input)
-        x = jnp.asarray(raw, jnp.uint32) if args.preset == "rx_tx" else as_pair(raw)
+        if args.preset == "rx_tx":
+            x = jnp.asarray(raw, jnp.uint32)
+        elif args.preset == "real_rx":
+            x = jnp.asarray(np.real(raw), jnp.float32)
+        else:
+            x = as_pair(raw)
     elif args.preset in ("rsp_vanilla", "chain_with_mem"):
         x = None
+    elif args.preset == "real_rx":
+        from .golden import three_tone_signal
+
+        n = chain.cfg.fft.max_size
+        x = jnp.asarray(np.real(three_tone_signal(n, shift_range_factor=12)),
+                        jnp.float32)
+        print(f"(no --input: real part of the canonical {n}-pt three-tone fixture)",
+              file=sys.stderr)
     else:
         from .golden import three_tone_signal
 

@@ -135,6 +135,11 @@ class FixedPointConfig:
     width: int = 16
     bin_point: int = 0
     rounding: Rounding = Rounding.HALF_UP
+    # Exact-arithmetic emulation (ops/bit_true.py): every stage computes in
+    # integers with the hardware's per-stage truncation, so packed int16 wire
+    # streams are bit-exact against golden.int_models — not just SNR-close.
+    # Requires bin_point 0 and a CA-family CFAR elaboration.
+    bit_true: bool = False
 
     @property
     def scale(self) -> float:
@@ -192,6 +197,11 @@ class NcoConfig:
     phase_acc_enable: bool = True
     rounding: Rounding = Rounding.HALF_UP
     quantized_lut: bool = False  # True => bit-faithful int LUT path
+    # syncROMEnable (FixedNCOParams): registers the ROM read port — a one-cycle
+    # latency choice in hardware with no whole-array-semantics analog (the
+    # AXI-Stream handshake keeps sample alignment). Accepted for elaboration
+    # parity; has no effect on computed values.
+    sync_rom_enable: bool = False
 
     @property
     def amplitude(self) -> float:
@@ -243,12 +253,15 @@ class FftConfig:
 @dataclass(frozen=True)
 class LogMagConfig:
     """LogMagMux elaboration parameters (``MAGParams.fixed``,
-    ``RspChainVanillaTester.scala:218-227``)."""
+    ``RspChainVanillaTester.scala:218-227``).
 
-    data_width: int = 16
-    bin_point: int = 0
-    data_width_log: int = 16
-    bin_point_log: int = 9
+    The input data proto (the reference's dataWidth/binPoint) is not duplicated
+    here — it is the chain-wide ``FixedPointConfig`` policy. The log-path
+    output proto IS kept: ``FixedPoint(data_width_log, bin_point_log)`` bounds
+    and grids the log2 output on the LUT path."""
+
+    data_width_log: int = 16     # log2-output proto width (protoLog)
+    bin_point_log: int = 9       # log2-output fractional bits
     log2_lookup_width: int = 9   # LUT precision of the fractional log2 path
     use_lut_log: bool = False    # bit-faithful LUT log2 vs fast float log2
 
@@ -327,7 +340,10 @@ class RuntimeConfig:
     Register-map correspondence (offsets in beat-words, SURVEY §2.5):
       fft base+0        -> log2_fft_size      (number of active stages)
       mag base+0        -> mag_mode
-      cfar base+0       -> fft_size (derived from log2_fft_size here)
+      cfar base+0       -> cfar_fft_size (an INDEPENDENT register, as in the
+                           reference's separate write at
+                           RspChainVanillaTester.scala:113; make() defaults it
+                           to the FFT size, the only sensible deployment)
       cfar base+1       -> threshold_scaler
       cfar base+2       -> log_or_linear
       cfar base+3       -> div_sum
@@ -355,6 +371,7 @@ class RuntimeConfig:
     log_or_linear: jnp.ndarray        # int32: 1 = linear, 0 = log domain
     nco_freq_word: jnp.ndarray        # int32, PLFG start value (self-stimulus chains)
     phase_offset: jnp.ndarray         # float32, NCO poff (cycles)
+    cfar_fft_size: jnp.ndarray        # int32, CFAR active frame size (base+0)
 
     @staticmethod
     def make(
@@ -374,12 +391,17 @@ class RuntimeConfig:
         log_or_linear: int = 1,
         nco_freq_word: int = 16,
         phase_offset: float = 0.0,
+        cfar_fft_size: Optional[int] = None,
         validate_against: Optional[CfarConfig] = None,
     ) -> "RuntimeConfig":
         """Build a RuntimeConfig from host Python values, applying the reference's
         ``require(...)`` validation (``RspChainVanillaTester.scala:50-61``)."""
         if fft_size <= 0 or (fft_size & (fft_size - 1)) != 0:
             raise ValueError("fftSize must be a power of two")
+        if cfar_fft_size is None:
+            cfar_fft_size = fft_size
+        elif cfar_fft_size <= 0:
+            raise ValueError("cfar fftSize must be positive")
         if ref_window_size <= 0 or (ref_window_size & (ref_window_size - 1)) != 0:
             raise ValueError("refWindowSize must be a power of two")
         if guard_window_size <= 0:
@@ -423,6 +445,7 @@ class RuntimeConfig:
             log_or_linear=i32(log_or_linear),
             nco_freq_word=i32(nco_freq_word),
             phase_offset=f32(phase_offset),
+            cfar_fft_size=i32(cfar_fft_size),
         )
 
     @property

@@ -1,0 +1,97 @@
+"""Numpy goldens for the bit-true integer chain (``ops.bit_true``).
+
+Same arithmetic contract (see ``ops/bit_true.py`` docstring for the spec and
+its reference provenance), written directly index-wise in int64 numpy —
+deliberately NOT sharing the roll/vector formulation of the jnp ops, so an
+exact-equality test between the two is a real cross-check of the spec, not the
+same code run twice."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rhu(v, k: int):
+    if k == 0:
+        return v
+    return (v + (1 << (k - 1))) >> k
+
+
+def int_fft_golden(xr, xi, expand_logic=None):
+    """Radix-2 DIF integer FFT, natural order out, int64 numpy."""
+    xr = np.asarray(xr, np.int64).copy()
+    xi = np.asarray(xi, np.int64).copy()
+    n = xr.shape[-1]
+    p = int(np.log2(n))
+    for s in range(p):
+        m = n >> s
+        half = m >> 1
+        yr = np.empty_like(xr)
+        yi = np.empty_like(xi)
+        for b0 in range(0, n, m):
+            for j in range(half):
+                a_r, a_i = xr[..., b0 + j], xi[..., b0 + j]
+                b_r, b_i = xr[..., b0 + j + half], xi[..., b0 + j + half]
+                sr, si = a_r + b_r, a_i + b_i
+                dr, di = a_r - b_r, a_i - b_i
+                if expand_logic is None or not expand_logic[s]:
+                    sr, si = _rhu(sr, 1), _rhu(si, 1)
+                    dr, di = _rhu(dr, 1), _rhu(di, 1)
+                w = np.exp(-2j * np.pi * j / m)
+                wr = int(np.round(w.real * 32768.0))
+                wi = int(np.round(w.imag * 32768.0))
+                yr[..., b0 + j], yi[..., b0 + j] = sr, si
+                yr[..., b0 + j + half] = _rhu(dr * wr - di * wi, 15)
+                yi[..., b0 + j + half] = _rhu(dr * wi + di * wr, 15)
+        xr, xi = yr, yi
+    rev = [int(format(k, f"0{p}b")[::-1], 2) for k in range(n)]
+    return xr[..., rev], xi[..., rev]
+
+
+def int_jpl_golden(re, im):
+    re = np.asarray(re, np.int64)
+    im = np.asarray(im, np.int64)
+    u = np.maximum(np.abs(re), np.abs(im))
+    v = np.minimum(np.abs(re), np.abs(im))
+    return np.maximum(u + (v >> 3), u - (u >> 3) + (v >> 1))
+
+
+def int_ca_cfar_golden(mag, *, ref_window, guard_window, div_sum,
+                       threshold_scaler, mode=0, peak_grouping=0,
+                       log_or_linear=1, n_active=None):
+    """Index-wise integer CA/GO/SO CFAR (PARTIAL edges)."""
+    mag = np.asarray(mag, np.int64)
+    assert mag.ndim == 1, "golden is 1-D; loop batch frames in the caller"
+    n = mag.shape[-1]
+    if n_active is None:
+        n_active = n
+    w, g = int(ref_window), int(guard_window)
+    thr = np.zeros_like(mag)
+    pk = np.zeros(mag.shape, bool)
+    scaler_q = int(np.round(threshold_scaler * 64.0))
+    for i in range(n_active):
+        lag = sum(int(mag[j]) for j in range(max(i - g - w, 0), max(i - g, 0)))
+        lead = sum(int(mag[j]) for j in range(min(i + g + 1, n_active),
+                                              min(i + g + 1 + w, n_active)))
+        s_lag = lag >> int(div_sum)
+        s_lead = lead >> int(div_sum)
+        if mode == 1:
+            noise = max(s_lag, s_lead)
+        elif mode == 2:
+            noise = min(s_lag, s_lead)
+        else:
+            noise = (s_lag + s_lead) >> 1
+        if log_or_linear == 1:
+            t = _rhu(noise * scaler_q, 6)
+        else:
+            t = noise + int(np.round(threshold_scaler))
+        thr[..., i] = t
+        pk[..., i] = mag[..., i] > t
+    if peak_grouping:
+        keep = pk.copy()
+        for i in range(n_active):
+            left = mag[..., i - 1] if i - 1 >= 0 else -(1 << 30)
+            right = mag[..., i + 1] if i + 1 < n_active else -(1 << 30)
+            keep[..., i] = pk[..., i] & (mag[..., i] >= left) & (mag[..., i] >= right)
+        pk = keep
+    return thr, pk

@@ -219,7 +219,7 @@ def fused_mag_cfar(
     f_tot = flat + f_pad
 
     if active_hi is None:
-        active_hi = jnp.minimum(rt.fft_size, n)
+        active_hi = jnp.minimum(rt.cfar_fft_size, n)
     if active_lo is None:
         active_lo = jnp.int32(0)
     log2w = jnp.round(jnp.log2(jnp.clip(
@@ -537,7 +537,7 @@ def fused_mag_gos_cfar(
     f_tot = flat + f_pad
 
     if active_hi is None:
-        active_hi = jnp.minimum(rt.fft_size, n)
+        active_hi = jnp.minimum(rt.cfar_fft_size, n)
     if active_lo is None:
         active_lo = jnp.int32(0)
     log2w = jnp.round(jnp.log2(jnp.clip(

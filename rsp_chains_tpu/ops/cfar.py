@@ -300,7 +300,7 @@ def cfar_op(
     exactly as at an unsharded edge."""
     mag = mag.astype(jnp.float32)
     n = mag.shape[-1]
-    n_active = jnp.minimum(rt.fft_size, n).astype(jnp.int32)
+    n_active = jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32)
     if active_lo is None:
         active_lo = jnp.int32(0)
     if active_hi is None:

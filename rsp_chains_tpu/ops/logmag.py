@@ -57,10 +57,16 @@ def logmag(x, mag_mode: jnp.ndarray, cfg: LogMagConfig | None = None) -> jnp.nda
         j = _jpl(re, im)
         if cfg.use_lut_log:
             # Bit-faithful-ish LUT path: log2 with the fractional part truncated to
-            # log2_lookup_width bits (MAGParams.log2LookUpWidth, RspChain.scala:125).
+            # log2_lookup_width bits (MAGParams.log2LookUpWidth, RspChain.scala:125),
+            # then snapped/clamped to the FixedPoint(data_width_log, bin_point_log)
+            # output proto (protoLog, RspChainVanillaTester.scala:222-224)
             lg = jnp.log2(jnp.maximum(j, 1e-30))
             q = 2.0 ** cfg.log2_lookup_width
-            return jnp.floor(lg * q) / q
+            lg = jnp.floor(lg * q) / q
+            qo = 2.0 ** cfg.bin_point_log
+            hi = (2.0 ** (cfg.data_width_log - 1) - 1) / qo
+            lo = -(2.0 ** (cfg.data_width_log - 1)) / qo
+            return jnp.clip(jnp.floor(lg * qo) / qo, lo, hi)
         return jnp.log2(jnp.maximum(j, 1e-30))
 
     return jax.lax.switch(

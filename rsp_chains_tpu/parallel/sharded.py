@@ -62,7 +62,7 @@ def cfar_halo_shard(
     ext = extend_with_halo(mag_local, halo, axis_name)
     n_ext = ext.shape[-1]
     active_lo = jnp.clip(halo - start, 0, n_ext).astype(jnp.int32)
-    active_hi = jnp.clip(rt.fft_size - start + halo, 0, n_ext).astype(jnp.int32)
+    active_hi = jnp.clip(rt.cfar_fft_size - start + halo, 0, n_ext).astype(jnp.int32)
     out = cfar_op(ext, rt, cfg, active_lo=active_lo, active_hi=active_hi)
     sl = lambda a: None if a is None else a[..., halo : halo + n_loc]
     return CfarOutput(sl(out.threshold), sl(out.peaks), sl(out.noise), sl(out.cut))
@@ -115,7 +115,7 @@ def _fused_tail_local(cfg: ChainConfig, n_loc: int, axis_name: str = RANGE_AXIS)
 
         start = lax.axis_index(axis_name) * n_loc
         lo = jnp.clip(halo - start, 0, n_ext).astype(jnp.int32)
-        hi = jnp.clip(rt.fft_size - start + halo, 0, n_ext).astype(jnp.int32)
+        hi = jnp.clip(rt.cfar_fft_size - start + halo, 0, n_ext).astype(jnp.int32)
         if cfg.cfar.use_rdma_halo:
             # halo spectra over Pallas RDMA, overlapped with the magnitude
             # computation; the CFAR kernel then runs in passthrough mode

@@ -41,15 +41,35 @@ from . import packing
 # ---------------------------------------------------------------------------
 
 
+def _bit_true(cfg: ChainConfig) -> bool:
+    return cfg.fixed_point.enabled and cfg.fixed_point.bit_true
+
+
 def fft_stage(cfg: ChainConfig) -> Stage:
+    if _bit_true(cfg):
+        from .ops.bit_true import fft_int_op
+
+        return Stage("fft_int",
+                     lambda x, rt: fft_int_op(x, rt.log2_fft_size, cfg.fft))
     return Stage("fft", lambda x, rt: fft_op(x, rt.log2_fft_size, cfg.fft))
 
 
 def mag_stage(cfg: ChainConfig) -> Stage:
+    if _bit_true(cfg):
+        # bit-true conformance pins the tester's JPL mode
+        # (RspChainVanillaTester.scala:98 writes mode 2)
+        from .ops.bit_true import jpl_mag_int
+
+        return Stage("logmag_int", lambda x, rt: jpl_mag_int(x.re, x.im))
     return Stage("logmag", lambda x, rt: logmag(x, rt.mag_mode, cfg.mag))
 
 
 def cfar_stage(cfg: ChainConfig) -> Stage:
+    if _bit_true(cfg):
+        from .ops.bit_true import ca_cfar_int
+
+        return Stage("cfar_int", lambda x, rt: ca_cfar_int(x, rt, cfg.cfar),
+                     terminal=True)
     return Stage("cfar", lambda x, rt: cfar_op(x, rt, cfg.cfar), terminal=True)
 
 
@@ -202,6 +222,41 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
         return packing.pack_cfar_words(out.threshold, out.peaks, log2n, cut=cut)
 
     return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
+
+
+def real_rx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
+    """Real-ADC ingest chain: real samples -> packed rfft -> logmag -> CFAR.
+
+    The reference's test vectors are real tones (``getTone``,
+    ``RspChainTesterUtils.scala:39-41``) fed as zero-imag complex; a real ADC
+    front-end needs no imaginary lane, and the rfft pack trick
+    (``ops.fft.rfft_op``) halves the transform work. Input: real float frames
+    of ``cfg.fft.max_size`` samples; the spectrum keeps bins [0, N/2) (the
+    one-sided band; the Nyquist bin is dropped to keep the CFAR frame a power
+    of two), so the CFAR tail runs at N/2 cells — ``RuntimeConfig.make(
+    fft_size=N, cfar_fft_size=N//2)`` is the matching register setting.
+    Static-size transform (no runtime size register — an ADC frame length is a
+    board property, not a per-dwell knob)."""
+    import dataclasses
+
+    from .ops.fft import rfft_op
+
+    cfg = cfg or ChainConfig()
+    n = cfg.fft.max_size
+    half_cfg = dataclasses.replace(cfg, fft=dataclasses.replace(cfg.fft,
+                                                                max_size=n // 2))
+
+    def rx(x, rt):
+        out = rfft_op(jnp.asarray(x, jnp.float32), pair=True)
+        return out[..., : n // 2]  # drop Nyquist: power-of-two CFAR frame
+
+    scale = 1.0 / n if cfg.fft.scaling.value == "div_n" else 1.0
+
+    def scaled_rx(x, rt):
+        y = rx(x, rt)
+        return y * scale if scale != 1.0 else y
+
+    return Chain(cfg, [Stage("rfft", scaled_rx), *tail_stages(half_cfg)])
 
 
 def pulse_compression_chain(

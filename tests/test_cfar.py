@@ -259,3 +259,23 @@ def test_guard_window_clamped_to_elaborated_max(rng):
     k_max = fused_mag_cfar(spec, rt_m, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(k_big.threshold),
                                   np.asarray(k_max.threshold))
+
+
+def test_cfar_fft_size_register_is_independent(rng):
+    """The reference writes FFT base+0 and CFAR base+0 separately
+    (RspChainVanillaTester.scala:96,113); r1 derived one from the other, making
+    mismatched settings inexpressible. cfar_fft_size now masks the CFAR frame
+    independently of the FFT's active size."""
+    mag = _mag(rng)
+    cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=256, cfar_fft_size=128, ref_window_size=16,
+                            guard_window_size=2, threshold_scaler=3.0, div_sum=4)
+    out = cfar_op(jnp.asarray(mag), rt, cfg)
+    thr = np.asarray(out.threshold)
+    assert np.all(thr[128:] == 0.0)
+    # and the masked frame equals a straight 128-cell run
+    rt128 = RuntimeConfig.make(fft_size=128, ref_window_size=16,
+                               guard_window_size=2, threshold_scaler=3.0, div_sum=4)
+    out128 = cfar_op(jnp.asarray(mag[:128]), rt128, cfg)
+    np.testing.assert_allclose(thr[:128], np.asarray(out128.threshold),
+                               rtol=1e-6, atol=1e-6)

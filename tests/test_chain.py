@@ -254,3 +254,36 @@ def test_chain_fidelity_mode_routing_matches_xla():
     np.testing.assert_array_equal(np.asarray(out_p.threshold),
                                   np.asarray(out_x.threshold))
     np.testing.assert_array_equal(np.asarray(out_p.peaks), np.asarray(out_x.peaks))
+
+
+def test_real_rx_chain_detects_real_tones():
+    """Real-ADC ingest preset (rfft pack trick): real tones at f = 1/8, 1/4
+    detect at bins N/8, N/4 of the one-sided spectrum; matches the complex
+    chain run on the zero-imag signal over the shared band."""
+    from rsp_chains_tpu import real_rx_chain
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 1024
+    rng = np.random.RandomState(9)
+    x = (3000 * np.cos(2 * np.pi * np.arange(n) / 8)
+         + 2000 * np.cos(2 * np.pi * np.arange(n) / 4)
+         + 20 * rng.randn(n)).astype(np.float32)
+    cfg = _canonical_cfg()
+    rt = RuntimeConfig.make(fft_size=1024, cfar_fft_size=512, ref_window_size=32,
+                            guard_window_size=4, threshold_scaler=3.5, div_sum=5)
+    out = real_rx_chain(cfg).jit()(jnp.asarray(x), rt)
+    peaks = np.flatnonzero(np.asarray(out.peaks))
+    assert {128, 256}.issubset(set(peaks.tolist())), peaks
+
+    # cross-check against the complex chain on the zero-imag signal: the
+    # one-sided bins must agree (identical spectra up to rfft arithmetic)
+    out_c = fft_mag_cfar_chain(cfg).jit()(
+        as_pair(x.astype(np.complex64)),
+        RuntimeConfig.make(fft_size=1024, ref_window_size=32,
+                           guard_window_size=4, threshold_scaler=3.5, div_sum=5))
+    # compare thresholds away from the band edge (the complex chain's windows
+    # see bins >= 512, the one-sided chain's do not)
+    lo, hi = 80, 400
+    np.testing.assert_allclose(np.asarray(out.threshold)[lo:hi],
+                               np.asarray(out_c.threshold)[lo:hi],
+                               rtol=1e-3, atol=1e-3)

@@ -78,3 +78,102 @@ def test_snr_helper():
     ref = np.ones(100)
     assert snr_db(ref, ref) == np.inf
     assert 19.9 < snr_db(ref, ref + 0.1) < 20.1
+
+
+# ---------------------------------------------------------------------------
+# bit-true integer path (ops/bit_true.py vs golden/int_models.py)
+# ---------------------------------------------------------------------------
+
+
+def _int_iq(rng, n=1024, amp=8000):
+    re = rng.randint(-amp, amp, size=n).astype(np.int32)
+    im = rng.randint(-amp, amp, size=n).astype(np.int32)
+    return re, im
+
+
+def test_int_fft_matches_golden_exactly(rng):
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.ops.bit_true import fft_int_op
+    from rsp_chains_tpu.golden.int_models import int_fft_golden
+
+    n = 256
+    re, im = _int_iq(rng, n)
+    cfg = FftConfig(max_size=n)
+    out = fft_int_op(C(jnp.asarray(re), jnp.asarray(im)),
+                     jnp.asarray(int(np.log2(n)), jnp.int32), cfg)
+    gr, gi = int_fft_golden(re, im)
+    np.testing.assert_array_equal(np.asarray(out.re), gr)
+    np.testing.assert_array_equal(np.asarray(out.im), gi)
+
+
+def test_int_fft_runtime_size_branch_exact(rng):
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.ops.bit_true import fft_int_op
+    from rsp_chains_tpu.golden.int_models import int_fft_golden
+
+    n_max, n = 256, 128
+    re, im = _int_iq(rng, n_max)
+    cfg = FftConfig(max_size=n_max)
+    out = fft_int_op(C(jnp.asarray(re), jnp.asarray(im)),
+                     jnp.asarray(int(np.log2(n)), jnp.int32), cfg)
+    gr, gi = int_fft_golden(re[:n], im[:n])
+    np.testing.assert_array_equal(np.asarray(out.re)[:n], gr)
+    np.testing.assert_array_equal(np.asarray(out.im)[:n], gi)
+    assert np.all(np.asarray(out.re)[n:] == 0)
+
+
+def test_int_fft_close_to_float(rng):
+    """Truncation-noise sanity vs the float FFT/N: the reference's testers
+    assert +/-2 LSB against *their* (unvendored) datapath ordering
+    (RspChainTesterUtils.scala:221-237); this spec's 10-stage RoundHalfUp
+    pipeline measures <=3 LSB worst-case at N=1024, 99% within 2."""
+    from rsp_chains_tpu.golden.int_models import int_fft_golden
+
+    n = 1024
+    re, im = _int_iq(rng, n)
+    gr, gi = int_fft_golden(re, im)
+    want = np.fft.fft(re + 1j * im) / n
+    er = np.abs(gr - np.round(want.real))
+    ei = np.abs(gi - np.round(want.imag))
+    assert max(er.max(), ei.max()) <= 3
+    assert np.percentile(np.concatenate([er, ei]), 99) <= 2
+
+
+def test_bit_true_packed_output_words_exact(rng):
+    """VERDICT r1 item 7 'done' criterion: packed output words of the
+    binPoint-0 wire chain are EXACTLY equal to the integer golden pipeline."""
+    from rsp_chains_tpu import packing, rx_fft_mag_cfar_tx_chain
+    from rsp_chains_tpu.configs import (
+        CfarConfig, CfarVariant, ChainConfig, FftConfig, FixedPointConfig,
+        RuntimeConfig,
+    )
+    from rsp_chains_tpu.golden.int_models import (
+        int_ca_cfar_golden, int_fft_golden, int_jpl_golden,
+    )
+
+    n = 1024
+    re, im = _int_iq(rng, n, amp=20000)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8,
+                        variant=CfarVariant.CA, include_cash=False),
+        fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=0,
+                                     bit_true=True),
+    )
+    chain = rx_fft_mag_cfar_tx_chain(cfg)
+    assert "fft_int" in chain.stage_names and "cfar_int" in chain.stage_names
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=32, guard_window_size=4,
+                            threshold_scaler=3.5, div_sum=5)
+    words_in = np.asarray(packing.pack_iq(
+        jnp.asarray(re + 1j * im, jnp.complex64)))
+    words_out = np.asarray(chain.jit()(jnp.asarray(words_in, jnp.uint32), rt))
+
+    gr, gi = int_fft_golden(re, im)
+    gmag = int_jpl_golden(gr, gi)
+    gthr, gpk = int_ca_cfar_golden(gmag, ref_window=32, guard_window=4,
+                                   div_sum=5, threshold_scaler=3.5)
+    want = np.asarray(packing.pack_cfar_words(
+        jnp.asarray(gthr, jnp.int32), jnp.asarray(gpk), int(np.log2(n))))
+    np.testing.assert_array_equal(words_out, want)
+    # the frame must actually detect something, or exactness proves nothing
+    assert gpk.sum() > 0
