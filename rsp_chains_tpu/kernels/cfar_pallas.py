@@ -97,18 +97,11 @@ def _magnitude(re, im, mag_mode):
                             jnp.where(mag_mode == 3, log2m, re))))
 
 
-def _kernel(
-    # scalar prefetch (SMEM)
-    scal_ref,              # [9] int32: log2w, guard, div, mode, log_or_linear,
-                           #            peak_grouping, active_hi, mag_mode,
-                           #            active_lo
-    fscal_ref,             # [1] float32: threshold scaler
-    # VMEM operands
-    re_ref, im_ref,        # [F, N] spectrum
-    thr_ref, pk_ref,       # [F, N] outputs
-    *,
-    n: int,
-):
+def _ca_cfar_body(mag, scal_ref, fscal_ref, n: int):
+    """The CA/GO/SO CFAR datapath on a magnitude tile [F, N] (values only).
+    Returns (threshold f32 [F, N], peaks u8 [F, N]). Shared by the spectrum
+    kernel (`_kernel`) and the fully-fused FFT chain kernel
+    (kernels/chain_pallas.py)."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
     div = scal_ref[2]
@@ -116,16 +109,9 @@ def _kernel(
     log_or_linear = scal_ref[4]
     peak_grouping = scal_ref[5]
     active_hi = scal_ref[6]
-    mag_mode = scal_ref[7]
     active_lo = scal_ref[8]
     scaler = fscal_ref[0]
-
-    re = re_ref[:, :]
-    im = im_ref[:, :]
-    f = re.shape[0]
-
-    # ---- magnitude (fused logMagMux, VPU) ----
-    mag = _magnitude(re, im, mag_mode)
+    f = mag.shape[0]
 
     # mask cells outside the active range [active_lo, active_hi) — the runtime
     # fftSize register for a standalone frame, or the halo-offset window of the
@@ -178,7 +164,24 @@ def _kernel(
     # Mosaic cannot legalize selects on i1 vectors — select in uint8 domain
     pk_u8 = jnp.where(peak_grouping == 1, grouped.astype(jnp.uint8),
                       peaks.astype(jnp.uint8))
+    return thr, pk_u8
 
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    scal_ref,              # [9] int32: log2w, guard, div, mode, log_or_linear,
+                           #            peak_grouping, active_hi, mag_mode,
+                           #            active_lo
+    fscal_ref,             # [1] float32: threshold scaler
+    # VMEM operands
+    re_ref, im_ref,        # [F, N] spectrum
+    thr_ref, pk_ref,       # [F, N] outputs
+    *,
+    n: int,
+):
+    mag_mode = scal_ref[7]
+    mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
+    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n)
     thr_ref[:, :] = thr
     pk_ref[:, :] = pk_u8
 
@@ -503,6 +506,226 @@ def _gos_kernel(
     pk_ref[:, :] = pk_i32
 
 
+# ---------------------------------------------------------------------------
+# GOS kernel v2 — per-row values, combined-sides sort
+#
+# r1's kernel (above) moves every window row and every bitonic compare-exchange
+# through VMEM scratch *refs* (4 ref accesses per exchange) and sorts the lag
+# and lead stacks in two separate networks over full-width padded rows — the
+# sort alone moves ~44 MB of VMEM traffic per program and dominates the 15+ ms
+# bench-scale time. v2:
+#
+# * window rows are INDIVIDUAL [F, 2*tile] jnp values in a Python list — the
+#   whole bitonic runs as min/max on values with zero mandatory ref traffic
+#   (the register allocator spills only what it must; a first attempt that
+#   jnp.stack/concat-ed the rows re-materialized the stack every round and
+#   measured SLOWER than v1);
+# * lag and lead tiles ride side by side in the lane dimension, so ONE network
+#   (21 rounds at wmax=64) sorts both sides;
+# * rows are built from a [F, tile + 2*MARGIN] slab (one dynamic ref slice,
+#   one dynamic base rotation per side, wmax independent static rolls) —
+#   not wmax full-padded-row roll+store+reload round trips per side;
+# * CASH's dyadic accumulation runs over the same row list as values.
+#
+# Same register file, same outputs, golden-identical (tests/test_pallas.py).
+# ---------------------------------------------------------------------------
+
+GOS2_MARGIN = 256   # slab margin per side: >= dynamic shift (127) + box reach
+
+
+def _bitonic_list(rows):
+    """Ascending bitonic sort of a Python list of same-shaped values,
+    in place (compare-exchanges on values; no stack materialization)."""
+    n_rows = len(rows)
+    size = 2
+    while size <= n_rows:
+        stride = size // 2
+        while stride >= 1:
+            for bs in range(0, n_rows, 2 * stride):
+                up = ((bs // size) % 2) == 0
+                for i in range(bs, bs + stride):
+                    a, b = rows[i], rows[i + stride]
+                    lo = jnp.minimum(a, b)
+                    hi = jnp.maximum(a, b)
+                    rows[i] = lo if up else hi
+                    rows[i + stride] = hi if up else lo
+            stride //= 2
+        size *= 2
+
+
+def _gos_kernel2(
+    scal_ref, fscal_ref,
+    re_ref, im_ref,                  # [F, N] full rows
+    thr_ref, pk_ref,                 # [F, T] tile outputs (pk int32)
+    row_scr,                         # scratch [F, N + 2*GOS2_MARGIN]
+    tmp_scr,                         # scratch [F, N + 2*GOS2_MARGIN]
+    stat_scr,                        # scratch [6, F, T]
+    *,
+    n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
+):
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    active_hi = scal_ref[6]
+    mag_mode = scal_ref[7]
+    algorithm = scal_ref[8]
+    rank_lagg = scal_ref[9]
+    rank_lead = scal_ref[10]
+    sub_w = scal_ref[11]
+    active_lo = scal_ref[12]
+    scaler = fscal_ref[0]
+
+    M = GOS2_MARGIN
+    t_idx = pl.program_id(1)
+    ts = pl.multiple_of(t_idx * tile, 128)
+
+    re = re_ref[:, :]
+    im = im_ref[:, :]
+    f = re.shape[0]
+
+    mag = _magnitude(re, im, mag_mode)
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    active_row = (col >= active_lo) & (col < active_hi)
+    mag = jnp.where(active_row, mag, 0.0)
+
+    row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
+    row_scr[:, M : M + n] = mag
+
+    w = jnp.int32(1) << log2w
+
+    # ---- CA box sums (dyadic + runtime rotations over the padded row) ----
+    row = row_scr[:, :]
+    sel = row
+    box = row
+    for k in range(max_log2_w):
+        box = box + pltpu.roll(box, 1 << k, axis=1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+    lag_row = _roll_right(sel, guard + 1)
+    lead_row = _roll_left(sel, guard + w)
+    inv_div = jnp.exp2(-div.astype(jnp.float32))
+    tmp_scr[:, :] = lag_row
+    stat_scr[0] = tmp_scr[:, pl.ds(M + ts, tile)] * inv_div
+    tmp_scr[:, :] = lead_row
+    stat_scr[1] = tmp_scr[:, pl.ds(M + ts, tile)] * inv_div
+
+    ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts
+
+    use_gos = algorithm == 1
+    cash_active = (mode == 3) if with_cash else False
+    sort_needed = use_gos & jnp.logical_not(mode == 3) if with_cash else use_gos
+    stack_needed = (use_gos | cash_active) if with_cash else use_gos
+
+    @pl.when(stack_needed)
+    def _sides():
+        big = jnp.float32(jnp.inf)
+        # slab: tile plus M margin each side, one dynamic (128-aligned) slice
+        slab = row_scr[:, pl.ds(ts, tile + 2 * M)]
+        slab_w = tile + 2 * M
+        lag_base = _roll_right(slab, guard + w)     # [j] = slab[j - g - w]
+        lead_base = _roll_left(slab, guard + 1)     # [j] = slab[j + g + 1]
+        rows = []
+        for k in range(wmax):
+            # window cell k: base advanced k lanes (independent static rolls —
+            # an incremental roll-by-1 chain serializes the VPU)
+            lag_k = pltpu.roll(lag_base, slab_w - k, axis=1) if k else lag_base
+            lead_k = pltpu.roll(lead_base, slab_w - k, axis=1) if k else lead_base
+            lseg = lag_k[:, M : M + tile]
+            useg = lead_k[:, M : M + tile]
+            lpos = ii_t - guard - w + k
+            upos = ii_t + guard + 1 + k
+            lval = (k < w) & (lpos >= active_lo) & (lpos < active_hi)
+            uval = (k < w) & (upos >= active_lo) & (upos < active_hi)
+            rows.append(jnp.concatenate(
+                [jnp.where(lval, lseg, big), jnp.where(uval, useg, big)],
+                axis=-1))
+
+        if with_cash:
+            @pl.when(cash_active)
+            def _cash():
+                # c holds a zero-padded dyadic-sum pyramid over the row list
+                c = [jnp.where(jnp.isfinite(r), r, 0.0) for r in rows]
+                zero = jnp.zeros_like(c[0])
+                c = c + [zero] * wmax                       # length 2W
+                acc = [zero] * wmax
+                n_bits = wmax.bit_length()
+                for b in range(n_bits):
+                    bit = ((sub_w >> b) & 1) == 1
+                    d = 1 << b
+                    acc = [jnp.where(bit, acc[t] + c[t], acc[t])
+                           for t in range(wmax)]
+                    c = [jnp.where(bit, c[t + d] if t + d < 2 * wmax else zero,
+                                   c[t]) for t in range(2 * wmax)]
+                    if b < n_bits - 1:
+                        c = [c[t] + (c[t + d] if t + d < 2 * wmax else zero)
+                             for t in range(2 * wmax)]
+                # acc[t] = sum of window cells t .. t+sub_w-1
+                lo_k = jnp.concatenate(
+                    [jnp.clip(active_lo + guard + w - ii_t, 0, w),
+                     jnp.clip(active_lo - ii_t - guard - 1, 0, w)], axis=-1)
+                hi_k = jnp.concatenate(
+                    [jnp.broadcast_to(w, ii_t.shape),
+                     jnp.clip(active_hi - ii_t - guard - 1, 0, w)], axis=-1)
+                est = jnp.full((f, 2 * tile), big)
+                for t in range(wmax):
+                    ok = (t >= lo_k) & (t + sub_w <= hi_k)
+                    est = jnp.minimum(est, jnp.where(ok, acc[t], big))
+                est = est / jnp.maximum(sub_w, 1).astype(jnp.float32)
+                est = jnp.where(jnp.isfinite(est), est, 0.0)
+                stat_scr[4] = est[:, :tile]
+                stat_scr[5] = est[:, tile:]
+
+        @pl.when(sort_needed)
+        def _gos():
+            s = list(rows)
+            _bitonic_list(s)
+            lag_nv = (jnp.clip(ii_t - guard, active_lo, active_hi)
+                      - jnp.clip(ii_t - guard - w, active_lo, active_hi))
+            lead_nv = (jnp.clip(ii_t + guard + 1 + w, active_lo, active_hi)
+                       - jnp.clip(ii_t + guard + 1, active_lo, active_hi))
+            nv = jnp.maximum(jnp.concatenate([lag_nv, lead_nv], axis=-1), 0)
+            rank = jnp.concatenate(
+                [jnp.broadcast_to(rank_lagg, ii_t.shape),
+                 jnp.broadcast_to(rank_lead, ii_t.shape)], axis=-1)
+            idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
+            acc = jnp.zeros((f, 2 * tile), jnp.float32)
+            for k in range(wmax):
+                acc = acc + jnp.where(idx == k, s[k], 0.0)
+            got = jnp.where(nv > 0, acc, 0.0)
+            stat_scr[2] = got[:, :tile]
+            stat_scr[3] = got[:, tile:]
+
+    s_lag = jnp.where(use_gos, stat_scr[2], stat_scr[0])
+    s_lead = jnp.where(use_gos, stat_scr[3], stat_scr[1])
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  0.5 * (s_lag + s_lead)))
+    if with_cash:
+        noise = jnp.where(mode == 3, jnp.maximum(stat_scr[4], stat_scr[5]), noise)
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    active_t = (ii_t >= active_lo) & (ii_t < active_hi)
+    thr = jnp.where(active_t, thr, 0.0)
+    mag_t = row_scr[:, pl.ds(M + ts, tile)]
+    peaks = (mag_t > thr) & active_t
+
+    jcol = jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) - M
+    mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                     row_scr[:, :], -jnp.inf)
+    tmp_scr[:, :] = pltpu.roll(mrow, 1, axis=1)
+    left = tmp_scr[:, pl.ds(M + ts, tile)]
+    tmp_scr[:, :] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
+    right = tmp_scr[:, pl.ds(M + ts, tile)]
+    grouped = peaks & (mag_t >= left) & (mag_t >= right)
+    pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
+                       peaks.astype(jnp.int32))
+
+    thr_ref[:, :] = thr
+    pk_ref[:, :] = pk_i32
+
+
 def fused_mag_gos_cfar(
     spectrum,
     rt: RuntimeConfig,
@@ -511,6 +734,7 @@ def fused_mag_gos_cfar(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
+    version: int = 2,
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO) with the window sort resident in VMEM. CASH uses the XLA
@@ -560,9 +784,27 @@ def fused_mag_gos_cfar(
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
     grid = (f_tot // bf, n // tile)
-    kernel = functools.partial(_gos_kernel, n=n, tile=tile, wmax=wmax,
-                               max_log2_w=MAX_LOG2_W,
-                               with_cash=cfg.include_cash)
+    if version == 2:
+        kernel = functools.partial(_gos_kernel2, n=n, tile=tile, wmax=wmax,
+                                   max_log2_w=MAX_LOG2_W,
+                                   with_cash=cfg.include_cash)
+        scratch = [
+            pltpu.VMEM((bf, n + 2 * GOS2_MARGIN), jnp.float32),
+            pltpu.VMEM((bf, n + 2 * GOS2_MARGIN), jnp.float32),
+            pltpu.VMEM((6, bf, tile), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_gos_kernel, n=n, tile=tile, wmax=wmax,
+                                   max_log2_w=MAX_LOG2_W,
+                                   with_cash=cfg.include_cash)
+        scratch = [
+            pltpu.VMEM((wmax, bf, tile), jnp.float32),
+            pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
+            pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
+            pltpu.VMEM((6, bf, tile), jnp.float32),
+            pltpu.VMEM((2 * wmax, bf, tile), jnp.float32),
+            pltpu.VMEM((wmax, bf, tile), jnp.float32),
+        ]
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -580,14 +822,7 @@ def fused_mag_gos_cfar(
                 pl.BlockSpec((bf, tile), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((wmax, bf, tile), jnp.float32),
-                pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
-                pltpu.VMEM((bf, n + 2 * PAD), jnp.float32),
-                pltpu.VMEM((6, bf, tile), jnp.float32),
-                pltpu.VMEM((2 * wmax, bf, tile), jnp.float32),
-                pltpu.VMEM((wmax, bf, tile), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((f_tot, n), jnp.float32),

@@ -1,0 +1,353 @@
+"""Single-kernel FFT + magnitude + CA-CFAR chain (the r2 headline kernel).
+
+r1 ran the four-step FFT as XLA matmuls and fused only mag+CFAR
+(``cfar_pallas._kernel``); the spectrum made a full HBM round trip between the
+two, and each un-fused matmul pass added its own. This kernel runs the WHOLE
+principal chain per frame-tile with everything after the input read resident
+in VMEM: the only HBM traffic is one read of the IQ pair and one write of
+threshold + peaks — the minimum any implementation can do.
+
+In-kernel FFT plan for n = n1·128 (n1 ∈ {2, 4, 8}; decimation m = 128·m1 + m2,
+output split k = k1 + n1·k2 — the four-step factorization arranged so every
+lane access is 128-aligned):
+
+1. **radix-n1 pass** (VPU): a_{k1}[m2] = Σ_{m1} W_{n1}^{m1·k1} · x_{m1}[m2]
+   over the n1 static 128-lane blocks; the n1² complex coefficients are host
+   constants with exact-zero/±1 terms skipped at build time.
+2. **twiddle** (VPU): ⊙ W_N^{k1·m2}, a precomputed [2, n] operand.
+3. **DFT-128 pass** (MXU): per k1 block, [F,128] @ F128 via Gauss's 3-real-
+   matmul complex product; the chain's FFT scaling (DIV_N / expandLogic) is
+   folded into the F128 constants.
+4. **output interleave**: X[k1 + n1·k2] sits at c[128·k1 + k2] — a bit-
+   rotation of the lane index, realized as a sequence of bit-transposition
+   roll/select steps built and exhaustively verified on the host
+   (``_bit_perm_steps``).
+5. the shared magnitude + CA/GO/SO CFAR body (``cfar_pallas._ca_cfar_body``).
+
+Runtime registers (same 9-scalar file as the spectrum kernel) stay traced —
+no recompiles. The runtime FFT-size register is honored at the chain level:
+the full-size branch runs this kernel, smaller sizes take the XLA FFT +
+spectrum-kernel path under ``lax.cond`` (see ``fused_chain_ca_op``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..configs import CfarConfig, FftConfig, RuntimeConfig
+from ..ops.cfar import CfarOutput
+from .cfar_pallas import BLOCK_FRAMES, _ca_cfar_body, _magnitude
+
+_EPS = 1e-12
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_perm_steps(n: int, n1: int):
+    """Roll/select steps realizing out[o] = c[s(o)] with
+    s(o) = 128·(o mod n1) + (o div n1) — a bit-rotation of log2(n) index bits.
+
+    Each step is a bit transposition (p, q), p < q: lanes with bit_p=1,bit_q=0
+    take the value from distance +d (d = 2^q − 2^p, roll left), the mirrored
+    group from −d. The step sequence is verified exhaustively here, at build
+    time, against the target index map."""
+    bits = int(np.log2(n))
+    r = int(np.log2(n1))
+    o = np.arange(n)
+    s = 128 * (o % n1) + (o // n1)          # target: out[o] = c[s[o]]
+
+    # bit map: bit b of s(o) equals bit beta(b) of o
+    beta = np.zeros(bits, np.int64)
+    for b in range(bits):
+        src = s[1 << b]                      # s of the index with only bit b
+        # find which single bit of o=2^b lands where: s is linear over bit
+        # selection, s(2^b) is a power of two
+        beta_pos = int(np.log2(src))
+        beta[beta_pos] = b
+    # decompose the bit permutation into transpositions (cycle following)
+    perm = {i: int(beta[i]) for i in range(bits)}
+    trans = []
+    seen = set()
+    for start in range(bits):
+        if start in seen:
+            continue
+        cyc = [start]
+        seen.add(start)
+        j = perm[start]
+        while j != start:
+            cyc.append(j)
+            seen.add(j)
+            j = perm[j]
+        for t in range(len(cyc) - 1, 0, -1):
+            trans.append((cyc[0], cyc[t]))
+
+    def apply_transposition(idx_map, p, q):
+        i = np.arange(n)
+        bp = (i >> p) & 1
+        bq = (i >> q) & 1
+        tau = i ^ (((bp ^ bq) << p) | ((bp ^ bq) << q))
+        return idx_map[tau]
+
+    # choose the order (forward/reverse) that composes to s; assert it
+    for seq in (trans, trans[::-1]):
+        cur = np.arange(n)
+        for p, q in seq:
+            cur = apply_transposition(cur, p, q)
+        if np.array_equal(cur, s):
+            steps = []
+            for p, q in seq:
+                p, q = min(p, q), max(p, q)
+                steps.append((p, q, (1 << q) - (1 << p)))
+            return tuple(steps)
+    raise AssertionError("bit-permutation decomposition failed")
+
+
+def _apply_bit_perm(x, n: int, n1: int):
+    """Apply the verified interleave steps to a [F, n] value."""
+    i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for p, q, d in _bit_perm_steps(n, n1):
+        bp = (i >> p) & 1
+        bq = (i >> q) & 1
+        take_left = (bp == 1) & (bq == 0)    # value comes from lane i + d
+        take_right = (bp == 0) & (bq == 1)   # value comes from lane i - d
+        left = pltpu.roll(x, x.shape[1] - d, axis=1)   # [j] = x[j + d]
+        right = pltpu.roll(x, d, axis=1)               # [j] = x[j - d]
+        x = jnp.where(take_left, left, jnp.where(take_right, right, x))
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_consts(n: int, scale: float):
+    """Host constants: twiddle rows [2, n] and scaled Gauss triple of the
+    128-point DFT [3, 128, 128] (Wr, Wi, Wr+Wi)."""
+    n1 = n // 128
+    j = np.arange(n)
+    k1 = j // 128
+    m2 = j % 128
+    tw = np.exp(-2j * np.pi * (k1 * m2) / n)
+    tw_rows = np.stack([tw.real, tw.imag]).astype(np.float32)
+
+    km = np.outer(np.arange(128), np.arange(128))
+    f128 = np.exp(-2j * np.pi * km / 128) * scale
+    wr = f128.real.astype(np.float32)
+    wi = f128.imag.astype(np.float32)
+    triple = np.stack([wr, wi, wr + wi])
+    return tw_rows, triple
+
+
+def _chain_kernel(
+    scal_ref, fscal_ref,
+    xr_ref, xi_ref,          # [F, N] time-domain IQ pair
+    tw_ref,                  # [2, N] twiddle rows
+    w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
+    thr_ref, pk_ref,         # [F, N] outputs
+    *,
+    n: int, n1: int,
+):
+    mag_mode = scal_ref[7]
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    f = xr.shape[0]
+
+    # ---- pass 1: radix-n1 over the 128-lane blocks (VPU) ----
+    xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    ar_blocks, ai_blocks = [], []
+    for k1 in range(n1):
+        ar = None
+        ai = None
+
+        def acc(t, u):
+            return u if t is None else t + u
+
+        for m1 in range(n1):
+            c = np.exp(-2j * np.pi * (k1 * m1) / n1)
+            cr = float(c.real) if abs(c.real) > _EPS else 0.0
+            ci = float(c.imag) if abs(c.imag) > _EPS else 0.0
+            if cr:
+                re_t = xrb[m1] if cr == 1.0 else (-xrb[m1] if cr == -1.0
+                                                  else cr * xrb[m1])
+                im_t = xib[m1] if cr == 1.0 else (-xib[m1] if cr == -1.0
+                                                  else cr * xib[m1])
+                ar = acc(ar, re_t)
+                ai = acc(ai, im_t)
+            if ci:
+                # + i·ci term: re -= ci*xi, im += ci*xr
+                re_t = -xib[m1] if ci == 1.0 else (xib[m1] if ci == -1.0
+                                                   else -ci * xib[m1])
+                im_t = xrb[m1] if ci == 1.0 else (-xrb[m1] if ci == -1.0
+                                                  else ci * xrb[m1])
+                ar = acc(ar, re_t)
+                ai = acc(ai, im_t)
+        ar_blocks.append(ar)
+        ai_blocks.append(ai)
+    a_re = jnp.concatenate(ar_blocks, axis=1)     # [F, N], block k1 layout
+    a_im = jnp.concatenate(ai_blocks, axis=1)
+
+    # ---- pass 2: twiddle (VPU) ----
+    twr = tw_ref[0, :]
+    twi = tw_ref[1, :]
+    b_re = a_re * twr - a_im * twi
+    b_im = a_re * twi + a_im * twr
+
+    # ---- pass 3: per-block DFT-128 on the MXU (Gauss 3-matmul) ----
+    wr = w_ref[0]
+    wi = w_ref[1]
+    wri = w_ref[2]
+    c_re_blocks, c_im_blocks = [], []
+    for k1 in range(n1):
+        br = b_re[:, 128 * k1 : 128 * (k1 + 1)]
+        bi = b_im[:, 128 * k1 : 128 * (k1 + 1)]
+        t1 = jnp.dot(br, wr, preferred_element_type=jnp.float32)
+        t2 = jnp.dot(bi, wi, preferred_element_type=jnp.float32)
+        t3 = jnp.dot(br + bi, wri, preferred_element_type=jnp.float32)
+        c_re_blocks.append(t1 - t2)
+        c_im_blocks.append(t3 - t1 - t2)
+    c_re = jnp.concatenate(c_re_blocks, axis=1)
+    c_im = jnp.concatenate(c_im_blocks, axis=1)
+
+    # ---- pass 4: natural-order interleave (verified roll network) ----
+    y_re = _apply_bit_perm(c_re, n, n1)
+    y_im = _apply_bit_perm(c_im, n, n1)
+
+    # ---- magnitude + CFAR (shared body) ----
+    mag = _magnitude(y_re, y_im, mag_mode)
+    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n)
+    thr_ref[:, :] = thr
+    pk_ref[:, :] = pk_u8
+
+
+def _fft_scale(n: int, cfg: FftConfig) -> float:
+    if cfg.expand_logic is not None:
+        stages = cfg.expand_logic[: int(np.log2(n))]
+        return float(2.0 ** -sum(1 for e in stages if not e))
+    from ..ops.fft import _scale_factor
+
+    return _scale_factor(n, cfg.scaling)
+
+
+def fused_chain_ca(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
+) -> CfarOutput:
+    """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
+    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
+    register is handled by ``fused_chain_ca_op``."""
+    from ..cplx import as_pair
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    n1 = n // 128
+    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
+
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.float32).reshape(flat, n)
+    im = xp.im.astype(jnp.float32).reshape(flat, n)
+    f_pad = (-flat) % BLOCK_FRAMES
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    if active_hi is None:
+        active_hi = jnp.minimum(rt.cfar_fft_size, n)
+    if active_lo is None:
+        active_lo = jnp.int32(0)
+    log2w = jnp.round(jnp.log2(jnp.clip(
+        rt.ref_window_size, 1, cfar_cfg.max_ref_window
+    ).astype(jnp.float32))).astype(jnp.int32)
+    scalars = jnp.stack([
+        log2w,
+        jnp.clip(rt.guard_window_size, 0,
+                 cfar_cfg.max_guard_window).astype(jnp.int32),
+        rt.div_sum.astype(jnp.int32),
+        rt.cfar_mode.astype(jnp.int32),
+        rt.log_or_linear.astype(jnp.int32),
+        rt.peak_grouping.astype(jnp.int32),
+        jnp.asarray(active_hi, jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        jnp.asarray(active_lo, jnp.int32),
+    ])
+    fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
+
+    tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
+    tw_j = jnp.asarray(tw_rows)
+    w_j = jnp.asarray(triple)
+
+    grid = (f_tot // BLOCK_FRAMES,)
+    kernel = functools.partial(_chain_kernel, n=n, n1=n1)
+    thr, pk = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f_tot, n), jnp.float32),
+            jax.ShapeDtypeStruct((f_tot, n), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(scalars, fscal, re, im, tw_j, w_j)
+
+    thr = thr[:flat].reshape(batch_shape + (n,))
+    pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
+    return CfarOutput(threshold=thr, peaks=pk)
+
+
+def fused_chain_ca_op(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+) -> CfarOutput:
+    """The chain stage honoring the runtime FFT-size register: the full-size
+    setting (the deployment hot path) runs the single fused kernel; smaller
+    runtime sizes take the XLA FFT + spectrum-kernel tail. Both branches live
+    under one ``lax.cond`` so the register stays a traced scalar."""
+    from ..cplx import as_pair
+    from ..ops.fft import fft_op
+    from .cfar_pallas import fused_mag_cfar
+
+    xp = as_pair(x)
+
+    def full_branch(xi):
+        return fused_chain_ca(xi, rt, fft_cfg, cfar_cfg, interpret=interpret)
+
+    def small_branch(xi):
+        spec = fft_op(xi, rt.log2_fft_size, fft_cfg)
+        return fused_mag_cfar(spec, rt, cfar_cfg, interpret=interpret)
+
+    if not fft_cfg.runtime_size:
+        return full_branch(xp)
+    is_full = rt.log2_fft_size >= fft_cfg.log2_max
+    return jax.lax.cond(is_full, full_branch, small_branch, xp)

@@ -146,8 +146,32 @@ def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
 
 def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     """``process(iq) -> detections``: the reusable core subchain (SURVEY §2.9).
-    Input: complex [..., max_fft_size] frames. Output: ``CfarOutput``."""
+    Input: complex [..., max_fft_size] frames. Output: ``CfarOutput``.
+
+    CA-family elaborations with a fusable FFT size run the whole chain as ONE
+    Pallas kernel (``kernels/chain_pallas.py``): the spectrum never touches
+    HBM. Other elaborations compose the FFT stage with the fused or XLA
+    tails as before."""
     cfg = cfg or ChainConfig()
+    from .kernels.cfar_pallas import fused_tail_kind
+
+    fusable_fft = (
+        cfg.fft.max_size in (256, 512, 1024)
+        and cfg.fft.window is None
+        and cfg.fft.use_mxu
+    )
+    if fused_tail_kind(cfg) == "ca" and fusable_fft:
+        import jax
+
+        from .kernels.chain_pallas import fused_chain_ca_op
+
+        interpret = jax.default_backend() != "tpu"
+        return Chain(cfg, [Stage(
+            "fft_mag_cfar_fused",
+            lambda x, rt: fused_chain_ca_op(x, rt, cfg.fft, cfg.cfar,
+                                            interpret=interpret),
+            terminal=True,
+        )])
     return Chain(cfg, [fft_stage(cfg), *tail_stages(cfg)])
 
 

@@ -90,7 +90,8 @@ def test_chain_integration_fused_tail(rng):
     rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32, guard_window_size=4,
                             threshold_scaler=3.5, div_sum=5)
     chain = fft_mag_cfar_chain(cfg_fused)
-    assert chain.stage_names == ("fft", "mag_cfar_fused")
+    # the builder now fuses the WHOLE chain (FFT included) for CA configs
+    assert chain.stage_names == ("fft_mag_cfar_fused",)
     out = chain(iq, rt)
     want = fft_mag_cfar_chain(cfg_ref)(iq, rt)
     np.testing.assert_allclose(np.asarray(out.threshold),
@@ -199,3 +200,87 @@ def test_gos_kernel_cash_runtime_mode_switch(rng):
         got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True)
         want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
         np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+# ---------------------------------------------------------------------------
+# fully-fused FFT+mag+CFAR chain kernel (kernels/chain_pallas.py)
+# ---------------------------------------------------------------------------
+
+from rsp_chains_tpu.kernels.chain_pallas import (  # noqa: E402
+    _bit_perm_steps, fused_chain_ca, fused_chain_ca_op,
+)
+from rsp_chains_tpu.configs import FftConfig as _FftCfg  # noqa: E402
+
+
+def _xla_chain_out(x, rt, fft_cfg, cfar_cfg):
+    from rsp_chains_tpu.ops.cfar import cfar_op
+    from rsp_chains_tpu.ops.fft import fft_op
+    from rsp_chains_tpu.ops.logmag import logmag
+
+    spec = fft_op(x, rt.log2_fft_size, fft_cfg)
+    return cfar_op(logmag(spec, rt.mag_mode), rt, cfar_cfg)
+
+
+@pytest.mark.parametrize("n", [256, 512])
+def test_fused_chain_kernel_matches_xla(n, rng):
+    from rsp_chains_tpu.cplx import as_pair
+
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA,
+                          include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=16, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=4)
+    x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
+    got = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True)
+    want = _xla_chain_out(as_pair(x), rt, fft_cfg, cfar_cfg)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_fused_chain_runtime_size_branches(rng):
+    """The runtime FFT-size register: full size runs the fused kernel branch,
+    a smaller size the XLA-FFT + spectrum-kernel branch — same jitted fn."""
+    import jax
+
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                          variant=CfarVariant.CA, include_cash=False)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    jf = jax.jit(lambda xx, rr: fused_chain_ca_op(xx, rr, fft_cfg, cfar_cfg,
+                                                  interpret=True))
+    for size, w, g in ((n, 8, 2), (n // 2, 4, 1)):
+        rt = RuntimeConfig.make(fft_size=size, ref_window_size=w,
+                                guard_window_size=g, threshold_scaler=3.0,
+                                div_sum=int(np.log2(w)))
+        got = jf(as_pair(x), rt)
+        want = _xla_chain_out(as_pair(x), rt, fft_cfg, cfar_cfg)
+        np.testing.assert_allclose(np.asarray(got.threshold),
+                                   np.asarray(want.threshold),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.peaks),
+                                      np.asarray(want.peaks))
+    assert jf._cache_size() == 1
+
+
+def test_chain_builder_uses_fused_chain_kernel():
+    from rsp_chains_tpu import ChainConfig, fft_mag_cfar_chain
+    from rsp_chains_tpu.configs import FftConfig
+
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    ch = fft_mag_cfar_chain(cfg)
+    assert ch.stage_names == ("fft_mag_cfar_fused",)
+    # GOS elaborations keep the composed form
+    cfg2 = ChainConfig(
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.GOSCA,
+                        include_cash=False),
+    )
+    assert "fft" in fft_mag_cfar_chain(cfg2).stage_names
