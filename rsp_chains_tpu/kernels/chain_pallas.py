@@ -140,18 +140,10 @@ def _chain_consts(n: int, scale: float):
     return tw_rows, triple
 
 
-def _chain_kernel(
-    scal_ref, fscal_ref,
-    xr_ref, xi_ref,          # [F, N] time-domain IQ pair
-    tw_ref,                  # [2, N] twiddle rows
-    w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
-    thr_ref, pk_ref,         # [F, N] outputs
-    *,
-    n: int, n1: int,
-):
+def _chain_core(xr, xi, tw_ref, w_ref, scal_ref, fscal_ref, n: int, n1: int):
+    """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
+    (threshold f32, peaks u8)."""
     mag_mode = scal_ref[7]
-    xr = xr_ref[:, :]
-    xi = xi_ref[:, :]
     f = xr.shape[0]
 
     # ---- pass 1: radix-n1 over the 128-lane blocks (VPU) ----
@@ -217,9 +209,44 @@ def _chain_kernel(
 
     # ---- magnitude + CFAR (shared body) ----
     mag = _magnitude(y_re, y_im, mag_mode)
-    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n)
+    return _ca_cfar_body(mag, scal_ref, fscal_ref, n)
+
+
+def _chain_kernel(
+    scal_ref, fscal_ref,
+    xr_ref, xi_ref,          # [F, N] time-domain IQ pair
+    tw_ref,                  # [2, N] twiddle rows
+    w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
+    thr_ref, pk_ref,         # [F, N] outputs
+    *,
+    n: int, n1: int,
+):
+    thr, pk_u8 = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
+                             scal_ref, fscal_ref, n, n1)
     thr_ref[:, :] = thr
     pk_ref[:, :] = pk_u8
+
+
+def _chain_kernel_packed(
+    scal_ref, fscal_ref,
+    xw_ref,                  # [F, N] int32 beat words (re[31:16], im[15:0])
+    tw_ref, w_ref,
+    out_ref,                 # [F, N] int32 CFAR output words
+    *,
+    n: int, n1: int, bin_width: int,
+):
+    """Wire-format variant: packed IQ beat words in, packed CFAR words out —
+    the RxFftMagCfarTxChain data plane as ONE kernel. Halves the input HBM
+    read and shrinks the output write 5x vs the float pair form."""
+    w32 = xw_ref[:, :]
+    xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
+    xi = (((w32 & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
+    thr, pk_u8 = _chain_core(xr, xi, tw_ref, w_ref, scal_ref, fscal_ref, n, n1)
+    # {threshold | bin | peak} word (RspChainVanillaTester.scala:164-172)
+    thr_i = jnp.clip(thr, 0.0, float((1 << (31 - bin_width)) - 1)).astype(jnp.int32)
+    bins = jax.lax.broadcasted_iota(jnp.int32, thr.shape, 1) & ((1 << bin_width) - 1)
+    out_ref[:, :] = ((thr_i << (bin_width + 1)) | (bins << 1)
+                     | pk_u8.astype(jnp.int32))
 
 
 def _fft_scale(n: int, cfg: FftConfig) -> float:
@@ -231,37 +258,7 @@ def _fft_scale(n: int, cfg: FftConfig) -> float:
     return _scale_factor(n, cfg.scaling)
 
 
-def fused_chain_ca(
-    x,
-    rt: RuntimeConfig,
-    fft_cfg: FftConfig,
-    cfar_cfg: CfarConfig,
-    interpret: bool = False,
-    *,
-    active_lo: jnp.ndarray | None = None,
-    active_hi: jnp.ndarray | None = None,
-) -> CfarOutput:
-    """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
-    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
-    register is handled by ``fused_chain_ca_op``."""
-    from ..cplx import as_pair
-
-    xp = as_pair(x)
-    n = xp.shape[-1]
-    n1 = n // 128
-    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
-    assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
-
-    batch_shape = xp.shape[:-1]
-    flat = int(np.prod(batch_shape)) if batch_shape else 1
-    re = xp.re.astype(jnp.float32).reshape(flat, n)
-    im = xp.im.astype(jnp.float32).reshape(flat, n)
-    f_pad = (-flat) % BLOCK_FRAMES
-    if f_pad:
-        re = jnp.pad(re, ((0, f_pad), (0, 0)))
-        im = jnp.pad(im, ((0, f_pad), (0, 0)))
-    f_tot = flat + f_pad
-
+def _chain_scalars(rt, cfar_cfg, n, active_lo, active_hi):
     if active_hi is None:
         active_hi = jnp.minimum(rt.cfar_fft_size, n)
     if active_lo is None:
@@ -282,12 +279,48 @@ def fused_chain_ca(
         jnp.asarray(active_lo, jnp.int32),
     ])
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
+    return scalars, fscal
 
+
+def fused_chain_ca(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
+    block_frames: int = BLOCK_FRAMES,
+) -> CfarOutput:
+    """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
+    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
+    register is handled by ``fused_chain_ca_op``."""
+    from ..cplx import as_pair
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    n1 = n // 128
+    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
+
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.float32).reshape(flat, n)
+    im = xp.im.astype(jnp.float32).reshape(flat, n)
+    bf = block_frames
+    f_pad = (-flat) % bf
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    scalars, fscal = _chain_scalars(rt, cfar_cfg, n, active_lo, active_hi)
     tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
     tw_j = jnp.asarray(tw_rows)
     w_j = jnp.asarray(triple)
 
-    grid = (f_tot // BLOCK_FRAMES,)
+    grid = (f_tot // bf,)
     kernel = functools.partial(_chain_kernel, n=n, n1=n1)
     thr, pk = pl.pallas_call(
         kernel,
@@ -295,9 +328,9 @@ def fused_chain_ca(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, n), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -305,9 +338,9 @@ def fused_chain_ca(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -321,6 +354,63 @@ def fused_chain_ca(
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
     return CfarOutput(threshold=thr, peaks=pk)
+
+
+def fused_chain_ca_packed(
+    words: jnp.ndarray,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    block_frames: int = BLOCK_FRAMES,
+) -> jnp.ndarray:
+    """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
+    packed ``{threshold | bin | peak}`` words out — the full
+    ``RxFftMagCfarTxChain`` data plane in one kernel, with half the input HBM
+    read and a 5x smaller output write than the float-pair form."""
+    n = words.shape[-1]
+    n1 = n // 128
+    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    batch_shape = words.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    # int32 view: Mosaic's integer ops are int32; the kernel sign-extends
+    w_in = jax.lax.bitcast_convert_type(
+        jnp.asarray(words, jnp.uint32), jnp.int32).reshape(flat, n)
+    bf = block_frames
+    f_pad = (-flat) % bf
+    if f_pad:
+        w_in = jnp.pad(w_in, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    scalars, fscal = _chain_scalars(rt, cfar_cfg, n, None, None)
+    tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
+
+    grid = (f_tot // bf,)
+    kernel = functools.partial(_chain_kernel_packed, n=n, n1=n1,
+                               bin_width=int(np.log2(n)))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
+        interpret=interpret,
+    )(scalars, fscal, w_in, jnp.asarray(tw_rows), jnp.asarray(triple))
+
+    out = jax.lax.bitcast_convert_type(out[:flat], jnp.uint32)
+    return out.reshape(batch_shape + (n,))
 
 
 def fused_chain_ca_op(
@@ -351,3 +441,34 @@ def fused_chain_ca_op(
         return full_branch(xp)
     is_full = rt.log2_fft_size >= fft_cfg.log2_max
     return jax.lax.cond(is_full, full_branch, small_branch, xp)
+
+
+def fused_wire_chain_op(
+    words: jnp.ndarray,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wire chain honoring the runtime FFT-size register: full size runs the
+    packed single kernel; smaller sizes unpack + XLA FFT + spectrum kernel +
+    pack (one executable, traced register)."""
+    from .. import packing
+    from ..ops.fft import fft_op
+    from .cfar_pallas import fused_mag_cfar
+
+    def full_branch(w):
+        return fused_chain_ca_packed(w, rt, fft_cfg, cfar_cfg,
+                                     interpret=interpret)
+
+    def small_branch(w):
+        p = packing.unpack_iq_pair(w)
+        spec = fft_op(p, rt.log2_fft_size, fft_cfg)
+        out = fused_mag_cfar(spec, rt, cfar_cfg, interpret=interpret)
+        return packing.pack_cfar_words(out.threshold, out.peaks,
+                                       fft_cfg.log2_max)
+
+    if not fft_cfg.runtime_size:
+        return full_branch(words)
+    is_full = rt.log2_fft_size >= fft_cfg.log2_max
+    return jax.lax.cond(is_full, full_branch, small_branch, words)

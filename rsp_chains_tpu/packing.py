@@ -67,7 +67,10 @@ def pack_cfar_words(
         )
     else:
         mid = jnp.asarray(cut, jnp.uint32) & ((1 << bin_width) - 1)
-    thr = jnp.asarray(jnp.clip(threshold, 0, None), jnp.uint32)
+    # saturate to the threshold field width (hardware register semantics);
+    # matches the in-kernel packer (kernels/chain_pallas.py)
+    thr_max = float((1 << (31 - bin_width)) - 1)
+    thr = jnp.asarray(jnp.clip(threshold, 0, thr_max), jnp.uint32)
     pk = jnp.asarray(peaks, jnp.uint32) & 1
     return (thr << (bin_width + 1)) | ((mid & ((1 << bin_width) - 1)) << 1) | pk
 

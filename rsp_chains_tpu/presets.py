@@ -235,6 +235,26 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     ``RxFftMagCfarTxChain`` wire format end to end
     (``RspChainTesterUtils.scala:105-109`` in; ``RspChainVanillaTester.scala:164-172`` out)."""
     cfg = cfg or ChainConfig()
+    from .kernels.cfar_pallas import fused_tail_kind
+
+    if (fused_tail_kind(cfg) == "ca"
+            and cfg.fft.max_size in (256, 512, 1024)
+            and cfg.fft.window is None and cfg.fft.use_mxu):
+        # the whole wire data plane as one kernel: packed words in, packed
+        # words out — half the input HBM read, 5x smaller output write
+        import jax
+
+        from .kernels.chain_pallas import fused_wire_chain_op
+
+        interpret = jax.default_backend() != "tpu"
+        return Chain(cfg, [Stage(
+            "rx_fft_mag_cfar_tx_fused",
+            lambda words, rt: fused_wire_chain_op(
+                jnp.asarray(words, jnp.uint32), rt, cfg.fft, cfg.cfar,
+                interpret=interpret),
+            terminal=True,
+        )])
+
     rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
     core = fft_mag_cfar_chain(cfg)
 

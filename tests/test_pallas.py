@@ -284,3 +284,44 @@ def test_chain_builder_uses_fused_chain_kernel():
                         include_cash=False),
     )
     assert "fft" in fft_mag_cfar_chain(cfg2).stage_names
+
+
+def test_fused_wire_chain_matches_composed(rng):
+    """The packed wire-format kernel (words in -> words out) equals the
+    composed unpack->fft->mag->cfar->pack chain, including the runtime-size
+    register's small branch."""
+    import jax
+
+    from rsp_chains_tpu import packing, rx_fft_mag_cfar_tx_chain
+    from rsp_chains_tpu.configs import ChainConfig, FftConfig
+
+    n = 256
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    import dataclasses
+
+    cfg_x = dataclasses.replace(
+        cfg, cfar=dataclasses.replace(cfg.cfar, use_pallas=False))
+    ch = rx_fft_mag_cfar_tx_chain(cfg)
+    assert ch.stage_names == ("rx_fft_mag_cfar_tx_fused",)
+    ch_x = rx_fft_mag_cfar_tx_chain(cfg_x)
+
+    iq = (rng.randint(-20000, 20000, (2, n))
+          + 1j * rng.randint(-20000, 20000, (2, n))).astype(np.complex64)
+    words = jnp.asarray(packing.pack_iq(jnp.asarray(iq)), jnp.uint32)
+    jf = ch.jit()
+    for size, w, g in ((n, 8, 2), (n // 2, 4, 1)):
+        rt = RuntimeConfig.make(fft_size=size, ref_window_size=w,
+                                guard_window_size=g, threshold_scaler=3.0,
+                                div_sum=int(np.log2(w)))
+        got = np.asarray(jf(words, rt))
+        want = np.asarray(ch_x.jit()(words, rt))
+        tg, bg, pg = packing.unpack_cfar_words(got, int(np.log2(n)))
+        tw_, bw_, pw_ = packing.unpack_cfar_words(want, int(np.log2(n)))
+        np.testing.assert_array_equal(bg, bw_)
+        np.testing.assert_array_equal(pg, pw_)
+        assert np.abs(tg.astype(np.int64) - tw_.astype(np.int64)).max() <= 1
+    assert jf._cache_size() == 1
