@@ -54,10 +54,15 @@ def main():
     ca = CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                     include_cash=False, max_fft_size=n)
 
-    iq = (rng.randint(-20000, 20000, (ch, 256, n))
-          + 1j * rng.randint(-20000, 20000, (ch, 256, n))).astype(np.complex64)
-    x = C(jnp.asarray(iq.real, jnp.float32), jnp.asarray(iq.imag, jnp.float32))
-    words = jnp.asarray(np.asarray(packing.pack_iq(jnp.asarray(iq))), jnp.uint32)
+    re_i = rng.randint(-20000, 20000, (ch, 256, n))
+    im_i = rng.randint(-20000, 20000, (ch, 256, n))
+    x = C(jnp.asarray(re_i, jnp.float32), jnp.asarray(im_i, jnp.float32))
+    # pack on the HOST (complex64 cannot exist on this TPU; device->host
+    # array fetches are unreliable)
+    words_np = ((re_i.astype(np.int16).astype(np.uint16).astype(np.uint32) << 16)
+                | im_i.astype(np.int16).astype(np.uint16).astype(np.uint32))
+    words = jnp.asarray(words_np, jnp.uint32)
+    del packing
 
     # CfarOutput-like shim so measure_per_call's digest works on word outputs
     from rsp_chains_tpu.ops.cfar import CfarOutput

@@ -626,76 +626,98 @@ def _gos_kernel2(
         slab_w = tile + 2 * M
         lag_base = _roll_right(slab, guard + w)     # [j] = slab[j - g - w]
         lead_base = _roll_left(slab, guard + 1)     # [j] = slab[j + g + 1]
-        rows = []
-        for k in range(wmax):
-            # window cell k: base advanced k lanes (independent static rolls —
-            # an incremental roll-by-1 chain serializes the VPU)
-            lag_k = pltpu.roll(lag_base, slab_w - k, axis=1) if k else lag_base
-            lead_k = pltpu.roll(lead_base, slab_w - k, axis=1) if k else lead_base
-            lseg = lag_k[:, M : M + tile]
-            useg = lead_k[:, M : M + tile]
-            lpos = ii_t - guard - w + k
-            upos = ii_t + guard + 1 + k
-            lval = (k < w) & (lpos >= active_lo) & (lpos < active_hi)
-            uval = (k < w) & (upos >= active_lo) & (upos < active_hi)
-            rows.append(jnp.concatenate(
-                [jnp.where(lval, lseg, big), jnp.where(uval, useg, big)],
-                axis=-1))
 
-        if with_cash:
-            @pl.when(cash_active)
-            def _cash():
-                # c holds a zero-padded dyadic-sum pyramid over the row list
-                c = [jnp.where(jnp.isfinite(r), r, 0.0) for r in rows]
-                zero = jnp.zeros_like(c[0])
-                c = c + [zero] * wmax                       # length 2W
-                acc = [zero] * wmax
-                n_bits = wmax.bit_length()
-                for b in range(n_bits):
-                    bit = ((sub_w >> b) & 1) == 1
-                    d = 1 << b
-                    acc = [jnp.where(bit, acc[t] + c[t], acc[t])
-                           for t in range(wmax)]
-                    c = [jnp.where(bit, c[t + d] if t + d < 2 * wmax else zero,
-                                   c[t]) for t in range(2 * wmax)]
-                    if b < n_bits - 1:
-                        c = [c[t] + (c[t + d] if t + d < 2 * wmax else zero)
-                             for t in range(2 * wmax)]
-                # acc[t] = sum of window cells t .. t+sub_w-1
-                lo_k = jnp.concatenate(
-                    [jnp.clip(active_lo + guard + w - ii_t, 0, w),
-                     jnp.clip(active_lo - ii_t - guard - 1, 0, w)], axis=-1)
-                hi_k = jnp.concatenate(
-                    [jnp.broadcast_to(w, ii_t.shape),
-                     jnp.clip(active_hi - ii_t - guard - 1, 0, w)], axis=-1)
-                est = jnp.full((f, 2 * tile), big)
-                for t in range(wmax):
-                    ok = (t >= lo_k) & (t + sub_w <= hi_k)
-                    est = jnp.minimum(est, jnp.where(ok, acc[t], big))
-                est = est / jnp.maximum(sub_w, 1).astype(jnp.float32)
-                est = jnp.where(jnp.isfinite(est), est, 0.0)
-                stat_scr[4] = est[:, :tile]
-                stat_scr[5] = est[:, tile:]
+        # runtime window-size clock gating: only the 2^log2w-row stack is
+        # built, summed, and sorted — the hardware's only-active-stages-toggle
+        # philosophy. A w=32 call through a wmax=64 elaboration runs the
+        # 15-round sort-32 network, not the 21-round sort-64.
+        for L in range(1, max_log2_w + 1):
+            wl = 1 << L
+            if wl > wmax:
+                break
 
-        @pl.when(sort_needed)
-        def _gos():
-            s = list(rows)
-            _bitonic_list(s)
-            lag_nv = (jnp.clip(ii_t - guard, active_lo, active_hi)
-                      - jnp.clip(ii_t - guard - w, active_lo, active_hi))
-            lead_nv = (jnp.clip(ii_t + guard + 1 + w, active_lo, active_hi)
-                       - jnp.clip(ii_t + guard + 1, active_lo, active_hi))
-            nv = jnp.maximum(jnp.concatenate([lag_nv, lead_nv], axis=-1), 0)
-            rank = jnp.concatenate(
-                [jnp.broadcast_to(rank_lagg, ii_t.shape),
-                 jnp.broadcast_to(rank_lead, ii_t.shape)], axis=-1)
-            idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wmax - 1)
-            acc = jnp.zeros((f, 2 * tile), jnp.float32)
-            for k in range(wmax):
-                acc = acc + jnp.where(idx == k, s[k], 0.0)
-            got = jnp.where(nv > 0, acc, 0.0)
-            stat_scr[2] = got[:, :tile]
-            stat_scr[3] = got[:, tile:]
+            @pl.when(log2w == L)
+            def _level(L=L, wl=wl):
+                rows = []
+                for k in range(wl):
+                    # independent static rolls (an incremental roll-by-1 chain
+                    # would serialize the VPU)
+                    lag_k = (pltpu.roll(lag_base, slab_w - k, axis=1)
+                             if k else lag_base)
+                    lead_k = (pltpu.roll(lead_base, slab_w - k, axis=1)
+                              if k else lead_base)
+                    lseg = lag_k[:, M : M + tile]
+                    useg = lead_k[:, M : M + tile]
+                    lpos = ii_t - guard - wl + k
+                    upos = ii_t + guard + 1 + k
+                    lval = (lpos >= active_lo) & (lpos < active_hi)
+                    uval = (upos >= active_lo) & (upos < active_hi)
+                    rows.append(jnp.concatenate(
+                        [jnp.where(lval, lseg, big),
+                         jnp.where(uval, useg, big)], axis=-1))
+
+                if with_cash:
+                    @pl.when(cash_active)
+                    def _cash():
+                        # zero-padded dyadic-sum pyramid over the row list
+                        c = [jnp.where(jnp.isfinite(r), r, 0.0) for r in rows]
+                        zero = jnp.zeros_like(c[0])
+                        c = c + [zero] * wl                  # length 2*wl
+                        acc = [zero] * wl
+                        n_bits = wl.bit_length()
+                        for b in range(n_bits):
+                            bit = ((sub_w >> b) & 1) == 1
+                            d = 1 << b
+                            acc = [jnp.where(bit, acc[t] + c[t], acc[t])
+                                   for t in range(wl)]
+                            c = [jnp.where(
+                                bit, c[t + d] if t + d < 2 * wl else zero,
+                                c[t]) for t in range(2 * wl)]
+                            if b < n_bits - 1:
+                                c = [c[t] + (c[t + d] if t + d < 2 * wl
+                                             else zero)
+                                     for t in range(2 * wl)]
+                        # acc[t] = sum of window cells t .. t+sub_w-1
+                        lo_k = jnp.concatenate(
+                            [jnp.clip(active_lo + guard + wl - ii_t, 0, wl),
+                             jnp.clip(active_lo - ii_t - guard - 1, 0, wl)],
+                            axis=-1)
+                        hi_k = jnp.concatenate(
+                            [jnp.full(ii_t.shape, wl, jnp.int32),
+                             jnp.clip(active_hi - ii_t - guard - 1, 0, wl)],
+                            axis=-1)
+                        est = jnp.full((f, 2 * tile), big)
+                        for t in range(wl):
+                            ok = (t >= lo_k) & (t + sub_w <= hi_k)
+                            est = jnp.minimum(est, jnp.where(ok, acc[t], big))
+                        est = est / jnp.maximum(sub_w, 1).astype(jnp.float32)
+                        est = jnp.where(jnp.isfinite(est), est, 0.0)
+                        stat_scr[4] = est[:, :tile]
+                        stat_scr[5] = est[:, tile:]
+
+                @pl.when(sort_needed)
+                def _gos():
+                    s = list(rows)
+                    _bitonic_list(s)
+                    lag_nv = (jnp.clip(ii_t - guard, active_lo, active_hi)
+                              - jnp.clip(ii_t - guard - wl, active_lo,
+                                         active_hi))
+                    lead_nv = (jnp.clip(ii_t + guard + 1 + wl, active_lo,
+                                        active_hi)
+                               - jnp.clip(ii_t + guard + 1, active_lo,
+                                          active_hi))
+                    nv = jnp.maximum(
+                        jnp.concatenate([lag_nv, lead_nv], axis=-1), 0)
+                    rank = jnp.concatenate(
+                        [jnp.broadcast_to(rank_lagg, ii_t.shape),
+                         jnp.broadcast_to(rank_lead, ii_t.shape)], axis=-1)
+                    idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
+                    acc = jnp.zeros((f, 2 * tile), jnp.float32)
+                    for k in range(wl):
+                        acc = acc + jnp.where(idx == k, s[k], 0.0)
+                    got = jnp.where(nv > 0, acc, 0.0)
+                    stat_scr[2] = got[:, :tile]
+                    stat_scr[3] = got[:, tile:]
 
     s_lag = jnp.where(use_gos, stat_scr[2], stat_scr[0])
     s_lead = jnp.where(use_gos, stat_scr[3], stat_scr[1])

@@ -42,7 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..configs import CfarConfig, FftConfig, RuntimeConfig
 from ..ops.cfar import CfarOutput
-from .cfar_pallas import BLOCK_FRAMES, _ca_cfar_body, _magnitude
+from .cfar_pallas import _ca_cfar_body, _magnitude
+
+# frame-tile height: 128 sublanes measured 0.41 ms vs 0.78 ms at 32 for the
+# bench CPI on v5e (bigger DMA bursts + fewer grid steps; benchmarks/profile_r2d)
+CHAIN_BLOCK_FRAMES = 128
 
 _EPS = 1e-12
 
@@ -291,7 +295,7 @@ def fused_chain_ca(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
-    block_frames: int = BLOCK_FRAMES,
+    block_frames: int = CHAIN_BLOCK_FRAMES,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
@@ -363,7 +367,7 @@ def fused_chain_ca_packed(
     cfar_cfg: CfarConfig,
     interpret: bool = False,
     *,
-    block_frames: int = BLOCK_FRAMES,
+    block_frames: int = CHAIN_BLOCK_FRAMES,
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
     packed ``{threshold | bin | peak}`` words out — the full
