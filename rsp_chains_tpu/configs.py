@@ -239,6 +239,12 @@ class FftConfig:
     # deployments.
     matmul_precision: str = "highest"
     window: Optional[str] = None  # optional pre-FFT window fn name
+    # FFTParams.useBitReverse (RspChain.scala:111): True (the chains' setting)
+    # emits natural-order bins; False reproduces the raw SDF datapath's
+    # bit-reversed output order (a hardware artifact — offered for stream-level
+    # parity with a reorder-less elaboration; not a hot path, and the fused
+    # chain kernels require natural order so presets keep the default).
+    use_bit_reverse: bool = True
 
     def __post_init__(self):
         n = self.max_size

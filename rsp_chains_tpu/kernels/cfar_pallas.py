@@ -557,8 +557,9 @@ def _gos_kernel2(
     scal_ref, fscal_ref,
     re_ref, im_ref,                  # [F, N] full rows
     thr_ref, pk_ref,                 # [F, T] tile outputs (pk int32)
-    row_scr,                         # scratch [F, N + 2*GOS2_MARGIN]
-    tmp_scr,                         # scratch [F, N + 2*GOS2_MARGIN]
+    row_scr,                         # scratch [F, N + 2*GOS2_MARGIN] — mag row
+    ca_scr,                          # scratch [2, F, N + 2*GOS2_MARGIN] — CA rows
+    nb_scr,                          # scratch [2, F, N + 2*GOS2_MARGIN] — peak nbrs
     stat_scr,                        # scratch [6, F, T]
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
@@ -582,34 +583,40 @@ def _gos_kernel2(
     t_idx = pl.program_id(1)
     ts = pl.multiple_of(t_idx * tile, 128)
 
-    re = re_ref[:, :]
-    im = im_ref[:, :]
-    f = re.shape[0]
-
-    mag = _magnitude(re, im, mag_mode)
-    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-    active_row = (col >= active_lo) & (col < active_hi)
-    mag = jnp.where(active_row, mag, 0.0)
-
-    row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
-    row_scr[:, M : M + n] = mag
-
+    f = re_ref.shape[0]
     w = jnp.int32(1) << log2w
 
-    # ---- CA box sums (dyadic + runtime rotations over the padded row) ----
-    row = row_scr[:, :]
-    sel = row
-    box = row
-    for k in range(max_log2_w):
-        box = box + pltpu.roll(box, 1 << k, axis=1)
-        sel = jnp.where(log2w == k + 1, box, sel)
-    lag_row = _roll_right(sel, guard + 1)
-    lead_row = _roll_left(sel, guard + w)
-    inv_div = jnp.exp2(-div.astype(jnp.float32))
-    tmp_scr[:, :] = lag_row
-    stat_scr[0] = tmp_scr[:, pl.ds(M + ts, tile)] * inv_div
-    tmp_scr[:, :] = lead_row
-    stat_scr[1] = tmp_scr[:, pl.ds(M + ts, tile)] * inv_div
+    # ---- full-row work ONCE per frame block: the range-tile grid dimension
+    # is sequential and scratch persists across it, so magnitude, the CA box
+    # sums, and the peak-group neighbor rows are hoisted out of the per-tile
+    # programs (they were recomputed n/tile times before) ----
+    @pl.when(t_idx == 0)
+    def _full_row():
+        mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
+        col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+        active_row = (col >= active_lo) & (col < active_hi)
+        mag = jnp.where(active_row, mag, 0.0)
+
+        row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
+        row_scr[:, M : M + n] = mag
+
+        # CA box sums (dyadic + runtime rotations over the padded row)
+        row = row_scr[:, :]
+        sel = row
+        box = row
+        for k in range(max_log2_w):
+            box = box + pltpu.roll(box, 1 << k, axis=1)
+            sel = jnp.where(log2w == k + 1, box, sel)
+        inv_div = jnp.exp2(-div.astype(jnp.float32))
+        ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
+        ca_scr[1] = _roll_left(sel, guard + w) * inv_div
+
+        # peak-group neighbor rows (cells outside [lo, hi) compare as -inf)
+        jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
+        mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                         row, -jnp.inf)
+        nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
+        nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
 
     ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts
 
@@ -719,8 +726,8 @@ def _gos_kernel2(
                     stat_scr[2] = got[:, :tile]
                     stat_scr[3] = got[:, tile:]
 
-    s_lag = jnp.where(use_gos, stat_scr[2], stat_scr[0])
-    s_lead = jnp.where(use_gos, stat_scr[3], stat_scr[1])
+    s_lag = jnp.where(use_gos, stat_scr[2], ca_scr[0, :, pl.ds(M + ts, tile)])
+    s_lead = jnp.where(use_gos, stat_scr[3], ca_scr[1, :, pl.ds(M + ts, tile)])
     noise = jnp.where(
         mode == 1, jnp.maximum(s_lag, s_lead),
         jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
@@ -733,13 +740,8 @@ def _gos_kernel2(
     mag_t = row_scr[:, pl.ds(M + ts, tile)]
     peaks = (mag_t > thr) & active_t
 
-    jcol = jax.lax.broadcasted_iota(jnp.int32, row_scr.shape, 1) - M
-    mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
-                     row_scr[:, :], -jnp.inf)
-    tmp_scr[:, :] = pltpu.roll(mrow, 1, axis=1)
-    left = tmp_scr[:, pl.ds(M + ts, tile)]
-    tmp_scr[:, :] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
-    right = tmp_scr[:, pl.ds(M + ts, tile)]
+    left = nb_scr[0, :, pl.ds(M + ts, tile)]
+    right = nb_scr[1, :, pl.ds(M + ts, tile)]
     grouped = peaks & (mag_t >= left) & (mag_t >= right)
     pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
                        peaks.astype(jnp.int32))
@@ -757,6 +759,8 @@ def fused_mag_gos_cfar(
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
     version: int = 2,
+    block_frames: int | None = None,
+    range_tile: int | None = None,
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO) with the window sort resident in VMEM. CASH uses the XLA
@@ -766,7 +770,7 @@ def fused_mag_gos_cfar(
 
     xp = as_pair(spectrum)
     n = xp.shape[-1]
-    tile = GOS_RANGE_TILE
+    tile = range_tile if range_tile is not None else GOS_RANGE_TILE
     assert n % tile == 0, f"frame length must be a multiple of {tile}"
     wmax = cfg.max_ref_window
     assert wmax & (wmax - 1) == 0 and wmax <= 1 << MAX_LOG2_W
@@ -775,7 +779,7 @@ def fused_mag_gos_cfar(
     flat = int(np.prod(batch_shape)) if batch_shape else 1
     re = xp.re.astype(jnp.float32).reshape(flat, n)
     im = xp.im.astype(jnp.float32).reshape(flat, n)
-    bf = GOS_BLOCK_FRAMES
+    bf = block_frames if block_frames is not None else GOS_BLOCK_FRAMES
     f_pad = (-flat) % bf
     if f_pad:
         re = jnp.pad(re, ((0, f_pad), (0, 0)))
@@ -812,7 +816,8 @@ def fused_mag_gos_cfar(
                                    with_cash=cfg.include_cash)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS2_MARGIN), jnp.float32),
-            pltpu.VMEM((bf, n + 2 * GOS2_MARGIN), jnp.float32),
+            pltpu.VMEM((2, bf, n + 2 * GOS2_MARGIN), jnp.float32),
+            pltpu.VMEM((2, bf, n + 2 * GOS2_MARGIN), jnp.float32),
             pltpu.VMEM((6, bf, tile), jnp.float32),
         ]
     else:

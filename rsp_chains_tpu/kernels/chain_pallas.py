@@ -12,17 +12,23 @@ output split k = k1 + n1·k2 — the four-step factorization arranged so every
 lane access is 128-aligned):
 
 1. **radix-n1 pass** (VPU): a_{k1}[m2] = Σ_{m1} W_{n1}^{m1·k1} · x_{m1}[m2]
-   over the n1 static 128-lane blocks; the n1² complex coefficients are host
-   constants with exact-zero/±1 terms skipped at build time.
+   over the n1 static 128-lane blocks — host-unrolled radix-2 Cooley-Tukey
+   butterflies (n1·log2(n1)/2 of them) instead of the direct n1² coefficient
+   sum; exact-zero/±1/±i twiddles are folded at build time.
 2. **twiddle** (VPU): ⊙ W_N^{k1·m2}, a precomputed [2, n] operand.
 3. **DFT-128 pass** (MXU): per k1 block, [F,128] @ F128 via Gauss's 3-real-
    matmul complex product; the chain's FFT scaling (DIV_N / expandLogic) is
    folded into the F128 constants.
-4. **output interleave**: X[k1 + n1·k2] sits at c[128·k1 + k2] — a bit-
-   rotation of the lane index, realized as a sequence of bit-transposition
-   roll/select steps built and exhaustively verified on the host
-   (``_bit_perm_steps``).
-5. the shared magnitude + CA/GO/SO CFAR body (``cfar_pallas._ca_cfar_body``).
+4. **magnitude first, then output interleave**: X[k1 + n1·k2] sits at
+   c[128·k1 + k2] — a bit-rotation of the lane index, realized as a sequence
+   of bit-transposition roll/select steps built and exhaustively verified on
+   the host (``_bit_perm_steps``). The magnitude is elementwise, so it
+   commutes with the permutation: computing |·| in block order and permuting
+   the ONE magnitude row costs half the roll/select traffic of permuting the
+   re/im pair (the permutation is the kernel's largest VPU item). The
+   per-lane take-left/take-right masks are host-precomputed int32 operands
+   (``_perm_masks``), not in-kernel iota/shift/compare chains.
+5. the shared CA/GO/SO CFAR body (``cfar_pallas._ca_cfar_body``).
 
 Runtime registers (same 9-scalar file as the spectrum kernel) stay traced —
 no recompiles. The runtime FFT-size register is honored at the chain level:
@@ -111,14 +117,39 @@ def _bit_perm_steps(n: int, n1: int):
     raise AssertionError("bit-permutation decomposition failed")
 
 
-def _apply_bit_perm(x, n: int, n1: int):
-    """Apply the verified interleave steps to a [F, n] value."""
-    i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    for p, q, d in _bit_perm_steps(n, n1):
+@functools.lru_cache(maxsize=None)
+def _perm_masks(n: int, n1: int):
+    """Host-precomputed per-step lane masks for the interleave: int32
+    [n_steps, n] with 1 = take from lane i+d, 2 = take from lane i−d,
+    0 = keep."""
+    steps = _bit_perm_steps(n, n1)
+    i = np.arange(n)
+    m = np.zeros((len(steps), n), np.int32)
+    for s, (p, q, _d) in enumerate(steps):
         bp = (i >> p) & 1
         bq = (i >> q) & 1
-        take_left = (bp == 1) & (bq == 0)    # value comes from lane i + d
-        take_right = (bp == 0) & (bq == 1)   # value comes from lane i - d
+        m[s] = np.where((bp == 1) & (bq == 0), 1,
+                        np.where((bp == 0) & (bq == 1), 2, 0))
+    return m
+
+
+def _apply_bit_perm(x, pm, n: int, n1: int):
+    """Apply the verified interleave steps to a [F, n] value. ``pm`` is the
+    `_perm_masks` operand value ([n_steps, n] int32), or None to rebuild the
+    masks in-kernel from an iota (A/B fallback)."""
+    i = None
+    if pm is None:
+        i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s, (p, q, d) in enumerate(_bit_perm_steps(n, n1)):
+        if pm is None:
+            bp = (i >> p) & 1
+            bq = (i >> q) & 1
+            take_left = (bp == 1) & (bq == 0)
+            take_right = (bp == 0) & (bq == 1)
+        else:
+            sel = pm[s : s + 1, :]                     # [1, n], broadcasts
+            take_left = sel == 1
+            take_right = sel == 2
         left = pltpu.roll(x, x.shape[1] - d, axis=1)   # [j] = x[j + d]
         right = pltpu.roll(x, d, axis=1)               # [j] = x[j - d]
         x = jnp.where(take_left, left, jnp.where(take_right, right, x))
@@ -144,44 +175,87 @@ def _chain_consts(n: int, scale: float):
     return tw_rows, triple
 
 
-def _chain_core(xr, xi, tw_ref, w_ref, scal_ref, fscal_ref, n: int, n1: int):
-    """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
-    (threshold f32, peaks u8)."""
-    mag_mode = scal_ref[7]
-    f = xr.shape[0]
+def _dft_blocks(xr_list, xi_list):
+    """Host-unrolled radix-2 DIT DFT across a list of [F, 128] block value
+    pairs (length a power of two): returns the m-point DFT
+    a_k = Σ_j W_m^{j·k} x_j as block lists in natural k order. Exact-valued
+    twiddles (1, ±i) are folded; the rest cost 4 mults + 2 adds."""
+    m = len(xr_list)
+    if m == 1:
+        return list(xr_list), list(xi_list)
+    er, ei = _dft_blocks(xr_list[0::2], xi_list[0::2])
+    odr, odi = _dft_blocks(xr_list[1::2], xi_list[1::2])
+    h = m // 2
+    out_r = [None] * m
+    out_i = [None] * m
+    for k in range(h):
+        c = np.exp(-2j * np.pi * k / m)
+        cr = float(c.real) if abs(c.real) > _EPS else 0.0
+        ci = float(c.imag) if abs(c.imag) > _EPS else 0.0
+        if cr == 1.0 and ci == 0.0:
+            tr, ti = odr[k], odi[k]
+        elif cr == 0.0 and ci == -1.0:           # × −i
+            tr, ti = odi[k], -odr[k]
+        elif cr == 0.0 and ci == 1.0:            # × +i
+            tr, ti = -odi[k], odr[k]
+        else:
+            tr = cr * odr[k] - ci * odi[k]
+            ti = cr * odi[k] + ci * odr[k]
+        out_r[k] = er[k] + tr
+        out_i[k] = ei[k] + ti
+        out_r[k + h] = er[k] - tr
+        out_i[k + h] = ei[k] - ti
+    return out_r, out_i
 
-    # ---- pass 1: radix-n1 over the 128-lane blocks (VPU) ----
-    xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
-    xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
-    ar_blocks, ai_blocks = [], []
-    for k1 in range(n1):
+
+def _dft_blocks_direct(xr_list, xi_list):
+    """Direct n1² coefficient-sum DFT across blocks (the r1 formulation;
+    kept as the pass-1 A/B baseline)."""
+    m = len(xr_list)
+    out_r, out_i = [], []
+    for k1 in range(m):
         ar = None
         ai = None
 
         def acc(t, u):
             return u if t is None else t + u
 
-        for m1 in range(n1):
-            c = np.exp(-2j * np.pi * (k1 * m1) / n1)
+        for m1 in range(m):
+            c = np.exp(-2j * np.pi * (k1 * m1) / m)
             cr = float(c.real) if abs(c.real) > _EPS else 0.0
             ci = float(c.imag) if abs(c.imag) > _EPS else 0.0
             if cr:
-                re_t = xrb[m1] if cr == 1.0 else (-xrb[m1] if cr == -1.0
-                                                  else cr * xrb[m1])
-                im_t = xib[m1] if cr == 1.0 else (-xib[m1] if cr == -1.0
-                                                  else cr * xib[m1])
+                re_t = xr_list[m1] if cr == 1.0 else (
+                    -xr_list[m1] if cr == -1.0 else cr * xr_list[m1])
+                im_t = xi_list[m1] if cr == 1.0 else (
+                    -xi_list[m1] if cr == -1.0 else cr * xi_list[m1])
                 ar = acc(ar, re_t)
                 ai = acc(ai, im_t)
             if ci:
-                # + i·ci term: re -= ci*xi, im += ci*xr
-                re_t = -xib[m1] if ci == 1.0 else (xib[m1] if ci == -1.0
-                                                   else -ci * xib[m1])
-                im_t = xrb[m1] if ci == 1.0 else (-xrb[m1] if ci == -1.0
-                                                  else ci * xrb[m1])
+                re_t = -xi_list[m1] if ci == 1.0 else (
+                    xi_list[m1] if ci == -1.0 else -ci * xi_list[m1])
+                im_t = xr_list[m1] if ci == 1.0 else (
+                    -xr_list[m1] if ci == -1.0 else ci * xr_list[m1])
                 ar = acc(ar, re_t)
                 ai = acc(ai, im_t)
-        ar_blocks.append(ar)
-        ai_blocks.append(ai)
+        out_r.append(ar)
+        out_i.append(ai)
+    return out_r, out_i
+
+
+def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
+                n: int, n1: int, perm_mag_only: bool = True,
+                pass1_radix2: bool = True):
+    """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
+    (threshold f32, peaks u8)."""
+    mag_mode = scal_ref[7]
+    f = xr.shape[0]
+
+    # ---- pass 1: radix-n1 over the 128-lane blocks (VPU butterflies) ----
+    xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    dft = _dft_blocks if pass1_radix2 else _dft_blocks_direct
+    ar_blocks, ai_blocks = dft(xrb, xib)
     a_re = jnp.concatenate(ar_blocks, axis=1)     # [F, N], block k1 layout
     a_im = jnp.concatenate(ai_blocks, axis=1)
 
@@ -207,12 +281,18 @@ def _chain_core(xr, xi, tw_ref, w_ref, scal_ref, fscal_ref, n: int, n1: int):
     c_re = jnp.concatenate(c_re_blocks, axis=1)
     c_im = jnp.concatenate(c_im_blocks, axis=1)
 
-    # ---- pass 4: natural-order interleave (verified roll network) ----
-    y_re = _apply_bit_perm(c_re, n, n1)
-    y_im = _apply_bit_perm(c_im, n, n1)
+    pm = pm_ref[:, :] if pm_ref is not None else None
+    if perm_mag_only:
+        # ---- magnitude in block order (elementwise — commutes with the
+        # interleave), then ONE natural-order permutation of the mag row ----
+        mag_blk = _magnitude(c_re, c_im, mag_mode)
+        mag = _apply_bit_perm(mag_blk, pm, n, n1)
+    else:
+        y_re = _apply_bit_perm(c_re, pm, n, n1)
+        y_im = _apply_bit_perm(c_im, pm, n, n1)
+        mag = _magnitude(y_re, y_im, mag_mode)
 
-    # ---- magnitude + CFAR (shared body) ----
-    mag = _magnitude(y_re, y_im, mag_mode)
+    # ---- CFAR (shared body) ----
     return _ca_cfar_body(mag, scal_ref, fscal_ref, n)
 
 
@@ -221,12 +301,17 @@ def _chain_kernel(
     xr_ref, xi_ref,          # [F, N] time-domain IQ pair
     tw_ref,                  # [2, N] twiddle rows
     w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
+    pm_ref,                  # [n_steps, N] int32 interleave masks
     thr_ref, pk_ref,         # [F, N] outputs
     *,
-    n: int, n1: int,
+    n: int, n1: int, perm_mag_only: bool = True, mask_operand: bool = True,
+    pass1_radix2: bool = True,
 ):
     thr, pk_u8 = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
-                             scal_ref, fscal_ref, n, n1)
+                             pm_ref if mask_operand else None,
+                             scal_ref, fscal_ref, n, n1,
+                             perm_mag_only=perm_mag_only,
+                             pass1_radix2=pass1_radix2)
     thr_ref[:, :] = thr
     pk_ref[:, :] = pk_u8
 
@@ -234,7 +319,7 @@ def _chain_kernel(
 def _chain_kernel_packed(
     scal_ref, fscal_ref,
     xw_ref,                  # [F, N] int32 beat words (re[31:16], im[15:0])
-    tw_ref, w_ref,
+    tw_ref, w_ref, pm_ref,
     out_ref,                 # [F, N] int32 CFAR output words
     *,
     n: int, n1: int, bin_width: int,
@@ -245,7 +330,8 @@ def _chain_kernel_packed(
     w32 = xw_ref[:, :]
     xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
     xi = (((w32 & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
-    thr, pk_u8 = _chain_core(xr, xi, tw_ref, w_ref, scal_ref, fscal_ref, n, n1)
+    thr, pk_u8 = _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
+                             scal_ref, fscal_ref, n, n1)
     # {threshold | bin | peak} word (RspChainVanillaTester.scala:164-172)
     thr_i = jnp.clip(thr, 0.0, float((1 << (31 - bin_width)) - 1)).astype(jnp.int32)
     bins = jax.lax.broadcasted_iota(jnp.int32, thr.shape, 1) & ((1 << bin_width) - 1)
@@ -296,10 +382,15 @@ def fused_chain_ca(
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
     block_frames: int = CHAIN_BLOCK_FRAMES,
+    perm_mag_only: bool = True,
+    mask_operand: bool = True,
+    pass1_radix2: bool = True,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
-    register is handled by ``fused_chain_ca_op``."""
+    register is handled by ``fused_chain_ca_op``.
+    ``perm_mag_only``/``mask_operand`` are kernel-formulation A/B switches
+    (benchmarks/profile_r2g.py); the defaults are the shipped configuration."""
     from ..cplx import as_pair
 
     xp = as_pair(x)
@@ -323,9 +414,14 @@ def fused_chain_ca(
     tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
     tw_j = jnp.asarray(tw_rows)
     w_j = jnp.asarray(triple)
+    pm = _perm_masks(n, n1)
+    pm_j = jnp.asarray(pm)
 
     grid = (f_tot // bf,)
-    kernel = functools.partial(_chain_kernel, n=n, n1=n1)
+    kernel = functools.partial(_chain_kernel, n=n, n1=n1,
+                               perm_mag_only=perm_mag_only,
+                               mask_operand=mask_operand,
+                               pass1_radix2=pass1_radix2)
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -340,6 +436,8 @@ def fused_chain_ca(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((pm.shape[0], n), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
@@ -353,7 +451,7 @@ def fused_chain_ca(
             jax.ShapeDtypeStruct((f_tot, n), jnp.uint8),
         ],
         interpret=interpret,
-    )(scalars, fscal, re, im, tw_j, w_j)
+    )(scalars, fscal, re, im, tw_j, w_j, pm_j)
 
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
@@ -389,6 +487,7 @@ def fused_chain_ca_packed(
 
     scalars, fscal = _chain_scalars(rt, cfar_cfg, n, None, None)
     tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
+    pm = _perm_masks(n, n1)
 
     grid = (f_tot // bf,)
     kernel = functools.partial(_chain_kernel_packed, n=n, n1=n1,
@@ -405,13 +504,16 @@ def fused_chain_ca_packed(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((pm.shape[0], n), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
         interpret=interpret,
-    )(scalars, fscal, w_in, jnp.asarray(tw_rows), jnp.asarray(triple))
+    )(scalars, fscal, w_in, jnp.asarray(tw_rows), jnp.asarray(triple),
+      jnp.asarray(pm))
 
     out = jax.lax.bitcast_convert_type(out[:flat], jnp.uint32)
     return out.reshape(batch_shape + (n,))

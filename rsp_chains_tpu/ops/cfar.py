@@ -404,7 +404,13 @@ def cfar_op(
     peaks = (mag > threshold) & active
 
     # peak grouping (base+4): keep only local maxima of the magnitude; neighbors
-    # outside the valid cell range count as -inf (frame-edge semantics)
+    # outside the valid cell range count as -inf (frame-edge semantics).
+    # DELIBERATE under WRAP/REFLECT too: the edge policy governs how the noise
+    # ESTIMATE windows treat the frame boundary, while grouping is a
+    # neighbor-adjacency test on the physical frame — a first/last cell has no
+    # physical neighbor beyond the edge, so it can qualify as a local maximum
+    # without a wrapped comparison. The golden model (golden/models.py) and all
+    # kernels share this contract; tests/test_cfar.py pins it.
     neg = jnp.float32(-jnp.inf)
     left = jnp.concatenate([jnp.full(mag.shape[:-1] + (1,), neg), mag[..., :-1]], -1)
     right = jnp.concatenate([mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), neg)], -1)

@@ -24,8 +24,11 @@ TPU-first design decisions (NOT a translation of the SDF pipeline):
   zero-pad to max_size); changing the traced ``log2_fft_size`` scalar between
   calls selects a branch with no recompilation — mirroring the hardware's
   elaborate-max/configure-at-runtime split exactly.
-* ``useBitReverse = true`` (natural-order output) is the only ordering offered —
-  bit-reversed order is an artifact of the hardware SDF datapath.
+* ``useBitReverse`` (``FFTParams`` at ``RspChain.scala:111``): the default
+  ``True`` gives natural-order output (the chains' setting). ``False``
+  reproduces the raw SDF datapath's bit-reversed bin order for stream-level
+  parity with a reorder-less hardware elaboration — implemented as a static
+  index permutation of the active bins per runtime-size branch.
 
 All entry points are representation-polymorphic: a ``cplx.C`` pair in gives a
 pair out (the device path); a complex ndarray in gives a complex ndarray out
@@ -122,6 +125,17 @@ def _cpad_last(c: C, pad: int) -> C:
     return C(jnp.pad(c.re, cfgpad), jnp.pad(c.im, cfgpad))
 
 
+@functools.lru_cache(maxsize=None)
+def _bitrev_idx(n: int) -> np.ndarray:
+    """idx[k] = bit-reversal of k over log2(n) bits (host constant)."""
+    bits = int(np.log2(n))
+    k = np.arange(n)
+    r = np.zeros(n, np.int32)
+    for b in range(bits):
+        r |= ((k >> b) & 1) << (bits - 1 - b)
+    return r
+
+
 def _fixed_size_fft(x: C, n: int, cfg: FftConfig) -> C:
     """FFT of the first n samples of the last axis, zero-padded back to max size."""
     xa = x[..., :n]
@@ -136,6 +150,11 @@ def _fixed_size_fft(x: C, n: int, cfg: FftConfig) -> C:
         y = y * float(2.0 ** -sum(1 for e in stages if not e))
     else:
         y = y * _scale_factor(n, cfg.scaling)
+    if not cfg.use_bit_reverse:
+        # raw-SDF output order: bin k emerges at slot bitrev(k) — a static
+        # permutation of the active bins (see module docstring)
+        idx = jnp.asarray(_bitrev_idx(n))
+        y = C(y.re[..., idx], y.im[..., idx])
     pad = x.shape[-1] - n
     if pad:
         y = _cpad_last(y, pad)

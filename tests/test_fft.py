@@ -101,3 +101,34 @@ def test_rfft_matches_numpy(n, rng):
     want = np.fft.rfft(x, axis=-1)
     assert got.shape == (3, n // 2 + 1)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2 * np.sqrt(n))
+
+
+def test_bit_reversed_output_order(rng):
+    """FFTParams.useBitReverse=false (RspChain.scala:111): the raw SDF datapath
+    emits bin k at slot bitrev(k); with the flag off the op reproduces that
+    stream order exactly (a permutation of the natural-order output)."""
+    from rsp_chains_tpu.ops.fft import _bitrev_idx
+
+    cfg_nat = FftConfig(max_size=256, runtime_size=False)
+    cfg_rev = FftConfig(max_size=256, runtime_size=False, use_bit_reverse=False)
+    x = (rng.randn(256) + 1j * rng.randn(256)).astype(np.complex64)
+    nat = np.asarray(fft_op(jnp.asarray(x), None, cfg_nat))
+    rev = np.asarray(fft_op(jnp.asarray(x), None, cfg_rev))
+    idx = _bitrev_idx(256)
+    np.testing.assert_allclose(rev, nat[idx], rtol=0, atol=0)
+    # bitrev is an involution: permuting back recovers natural order
+    np.testing.assert_allclose(rev[idx], nat, rtol=0, atol=0)
+
+
+def test_bit_reversed_runtime_size(rng):
+    """Bit-reversed order applies per active runtime size: the first n bins
+    are the permuted n-point spectrum, the tail stays zero."""
+    from rsp_chains_tpu.ops.fft import _bitrev_idx
+
+    cfg = FftConfig(max_size=1024, runtime_size=True, use_bit_reverse=False)
+    x = (rng.randn(1024) + 1j * rng.randn(1024)).astype(np.complex64)
+    rt = RuntimeConfig.make(fft_size=256)
+    got = np.asarray(fft_op(jnp.asarray(x), rt.log2_fft_size, cfg))
+    want = fft_golden(x, n=256, scaling="div_n")[_bitrev_idx(256)]
+    np.testing.assert_allclose(got[:256], want, rtol=1e-4, atol=1e-4)
+    assert np.all(got[256:] == 0)
