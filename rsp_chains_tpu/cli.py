@@ -157,6 +157,16 @@ def cmd_stream(args):
         depth=args.depth,
         on_error=lambda s, e: print(f"CPI {s} failed: {e}", file=sys.stderr),
     )
+    ctrl = None
+    if getattr(args, "control_port", None) is not None:
+        # jtag2mm analog: second control master peeking/poking the register
+        # file of the running stream (SURVEY §2.7)
+        from .io.control import ControlServer
+
+        ctrl = ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar,
+                             port=args.control_port).start()
+        print(f"control port: {ctrl.port}", file=sys.stderr)
     n_sub = 0
     with pipe:
         if args.input:
@@ -174,6 +184,8 @@ def cmd_stream(args):
         t0 = time.time()
         while len(metrics) + pipe.stats.frames_failed < n_sub and time.time() - t0 < 120:
             time.sleep(0.01)
+    if ctrl is not None:
+        ctrl.stop()
     st = pipe.stats
     print(f"CPIs: {st.frames_out} ok, {st.frames_failed} failed, "
           f"{st.frames_dropped} dropped; aggregate {st.samples_per_s/1e6:.1f} Msamples/s")
@@ -184,6 +196,22 @@ def cmd_stream(args):
               f"detections/CPI median "
               f"{sorted(m.detections for m in metrics)[len(metrics)//2]}")
     return 0 if st.frames_failed == 0 else 1
+
+
+def cmd_poke(args):
+    """Peek/poke the register file of a running local stream over its debug
+    control port — the jtag2mm debug-master role (SURVEY §2.7)."""
+    import json
+
+    from .io.control import poke
+
+    overrides = {}
+    for ov in args.set or []:
+        k, _, v = ov.partition("=")
+        overrides[k] = float(v) if "." in v else int(v)
+    resp = poke(args.host, args.port, overrides or None)
+    print(json.dumps(resp["regs"], indent=1, sort_keys=True))
+    return 0
 
 
 def cmd_serve(args):
@@ -324,7 +352,19 @@ def main(argv=None):
     pst.add_argument("--frames", type=int, default=32, help="synthetic frame count")
     pst.add_argument("--depth", type=int, default=8, help="ingest queue depth")
     pst.add_argument("--set", action="append", metavar="REG=VAL")
+    pst.add_argument("--control-port", type=int, default=None, metavar="PORT",
+                     help="open a debug peek/poke register port (jtag2mm "
+                          "analog; 0 = ephemeral)")
     pst.set_defaults(fn=cmd_stream)
+
+    ppk = sub.add_parser(
+        "poke", help="peek/poke the register file of a running stream "
+                     "(jtag2mm debug-master analog)")
+    ppk.add_argument("--host", default="127.0.0.1")
+    ppk.add_argument("--port", type=int, required=True)
+    ppk.add_argument("--set", action="append", metavar="REG=VAL",
+                     help="registers to write; omit to just peek")
+    ppk.set_defaults(fn=cmd_poke)
 
     pp = sub.add_parser("plot", help="threshold-vs-spectrum plot (ThresholdPlot analog)")
     pp.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")

@@ -458,6 +458,17 @@ class RuntimeConfig:
     def fft_size(self) -> jnp.ndarray:
         return jnp.left_shift(jnp.int32(1), self.log2_fft_size)
 
+    def peek(self) -> dict:
+        """Read the register file back as plain Python values, keyed by the
+        ``make()`` keyword names (the JTAG/debug-master *read* direction;
+        round-trips through ``make(**peek())``)."""
+        out = {}
+        for f in dataclasses.fields(self):
+            v = np.asarray(getattr(self, f.name))
+            out[f.name] = float(v) if v.dtype.kind == "f" else int(v)
+        out["fft_size"] = 1 << out.pop("log2_fft_size")
+        return out
+
 
 # ---------------------------------------------------------------------------
 # chain-level static bundles (mirror the *Parameters case classes, SURVEY §2.8-2.11)

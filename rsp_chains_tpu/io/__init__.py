@@ -1,4 +1,5 @@
 from . import native
+from .control import ControlServer, poke
 from .framing import (
     FLAG_CONFIG,
     FLAG_LAST,

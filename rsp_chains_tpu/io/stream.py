@@ -120,6 +120,12 @@ class StreamingPipeline:
         with self._rt_lock:
             self._rt = rt
 
+    @property
+    def runtime(self):
+        """The live runtime register file (debug-master read channel)."""
+        with self._rt_lock:
+            return self._rt
+
     def stop(self, wait: bool = True):
         self._stop.set()
         if wait and self._started:

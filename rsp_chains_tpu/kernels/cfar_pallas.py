@@ -57,22 +57,29 @@ PAD = 128                 # lane-aligned zero pad per side; must exceed
 SHIFT_BITS = 7            # dynamic shifts up to 127
 
 
-def _roll_right(x, s):
+def _roll_right(x, s, bits: int = SHIFT_BITS):
     """Rotate right (toward higher lane index) by traced amount ``s`` via
-    bit-decomposed conditional static rolls: out[i] = x[(i - s) mod width]."""
-    for k in range(SHIFT_BITS):
+    bit-decomposed conditional static rolls: out[i] = x[(i - s) mod width].
+    ``bits`` bounds the decomposition — callers whose shift is bounded by
+    elaborated maxima pass fewer bits, dropping whole roll+select steps."""
+    for k in range(bits):
         bit = ((s >> k) & 1) == 1
         x = jnp.where(bit, pltpu.roll(x, 1 << k, axis=1), x)
     return x
 
 
-def _roll_left(x, s):
+def _roll_left(x, s, bits: int = SHIFT_BITS):
     """Rotate left by traced ``s``: out[i] = x[(i + s) mod width]."""
     width = x.shape[-1]
-    for k in range(SHIFT_BITS):
+    for k in range(bits):
         bit = ((s >> k) & 1) == 1
         x = jnp.where(bit, pltpu.roll(x, width - (1 << k), axis=1), x)
     return x
+
+
+def _bits_for(max_value: int) -> int:
+    """Number of shift bits needed for runtime shifts ≤ ``max_value``."""
+    return max(int(np.ceil(np.log2(max_value + 1))), 1)
 
 
 MAG_PASSTHROUGH = 4       # mag_mode register value: input re IS the magnitude
@@ -97,11 +104,41 @@ def _magnitude(re, im, mag_mode):
                             jnp.where(mag_mode == 3, log2m, re))))
 
 
-def _ca_cfar_body(mag, scal_ref, fscal_ref, n: int):
+def _magnitude_into(out_ref, re, im, mag_mode):
+    """``_magnitude`` with the transcendental modes (abs = sqrt, log2) gated
+    behind ``pl.when`` on the runtime mode register, so the sqrt/log pipelines
+    only execute when actually selected — a flat ``jnp.where`` ladder evaluates
+    every branch every call (r2j: the 4-way ladder burns VPU on sqrt+log even
+    for the JPL deployment default). Writes into ``out_ref`` (an output block
+    doubling as scratch) and returns the loaded value."""
+    ar, ai = jnp.abs(re), jnp.abs(im)
+    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
+    jpl = jnp.maximum(u + 0.125 * v, 0.875 * u + 0.5 * v)
+    out_ref[:, :] = jnp.where(
+        mag_mode == 1, re * re + im * im,
+        jnp.where(mag_mode == 2, jpl, re))
+
+    @pl.when(mag_mode == 0)
+    def _():
+        out_ref[:, :] = jnp.sqrt(re * re + im * im)
+
+    @pl.when(mag_mode == 3)
+    def _():
+        out_ref[:, :] = jnp.log2(jnp.maximum(jpl, 1e-30))
+
+    return out_ref[:, :]
+
+
+def _ca_cfar_body(mag, scal_ref, fscal_ref, n: int,
+                  lag_bits: int = SHIFT_BITS, lead_bits: int = SHIFT_BITS):
     """The CA/GO/SO CFAR datapath on a magnitude tile [F, N] (values only).
     Returns (threshold f32 [F, N], peaks u8 [F, N]). Shared by the spectrum
     kernel (`_kernel`) and the fully-fused FFT chain kernel
-    (kernels/chain_pallas.py)."""
+    (kernels/chain_pallas.py).
+
+    ``lag_bits``/``lead_bits`` bound the runtime-rotation decompositions by the
+    elaborated maxima (lag shift ≤ max_guard+1, lead ≤ max_guard+max_ref) —
+    the registers are clamped to those maxima before entering the kernel."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
     div = scal_ref[2]
@@ -134,8 +171,8 @@ def _ca_cfar_body(mag, scal_ref, fscal_ref, n: int):
 
     # ---- lag/lead window sums: runtime rotations ----
     w = (jnp.int32(1) << log2w)
-    lag_row = _roll_right(sel, guard + 1)     # lag(i) = sel[i - guard - 1]
-    lead_row = _roll_left(sel, guard + w)     # lead(i) = sel[i + guard + w]
+    lag_row = _roll_right(sel, guard + 1, lag_bits)   # lag(i) = sel[i-guard-1]
+    lead_row = _roll_left(sel, guard + w, lead_bits)  # lead(i) = sel[i+guard+w]
     lag = lag_row[:, PAD : PAD + n]           # static 128-aligned slice
     lead = lead_row[:, PAD : PAD + n]
 
@@ -177,11 +214,14 @@ def _kernel(
     re_ref, im_ref,        # [F, N] spectrum
     thr_ref, pk_ref,       # [F, N] outputs
     *,
-    n: int,
+    n: int, lag_bits: int = SHIFT_BITS, lead_bits: int = SHIFT_BITS,
 ):
     mag_mode = scal_ref[7]
-    mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
-    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n)
+    # thr_ref doubles as the magnitude scratch (overwritten with the real
+    # threshold below); transcendental modes run under pl.when
+    mag = _magnitude_into(thr_ref, re_ref[:, :], im_ref[:, :], mag_mode)
+    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n,
+                               lag_bits, lead_bits)
     thr_ref[:, :] = thr
     pk_ref[:, :] = pk_u8
 
@@ -241,7 +281,10 @@ def fused_mag_cfar(
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
     grid = (f_tot // BLOCK_FRAMES,)
-    kernel = functools.partial(_kernel, n=n)
+    kernel = functools.partial(
+        _kernel, n=n,
+        lag_bits=_bits_for(cfg.max_guard_window + 1),
+        lead_bits=_bits_for(cfg.max_guard_window + cfg.max_ref_window))
 
     thr, pk = pl.pallas_call(
         kernel,

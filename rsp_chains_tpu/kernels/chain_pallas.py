@@ -133,6 +133,34 @@ def _perm_masks(n: int, n1: int):
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def _perm_matrix(n: int, n1: int):
+    """The interleave as a 0/1 permutation matrix P (bf16 — 0/1 is exact):
+    ``(x @ P)[o] = x[s(o)]`` with s(o) = 128·(o mod n1) + o div n1. Each P
+    column has exactly one 1, so ``hi @ P`` is an exact lane permutation — the
+    hi/lo bf16 split of a f32 row permutes exactly up to the ~2⁻¹⁷ split
+    residual. Two single-pass MXU matmuls replace the 9-step roll/select
+    network when the MXU is otherwise idle (r2j: MXU ≈ 0.14 ms of a 1.7 ms
+    VPU-bound kernel)."""
+    import ml_dtypes
+
+    o = np.arange(n)
+    s = 128 * (o % n1) + (o // n1)
+    p = np.zeros((n, n), np.float32)
+    p[s, o] = 1.0
+    return p.astype(ml_dtypes.bfloat16)
+
+
+def _apply_perm_mxu(x, p_ref):
+    """Permute lanes of [F, n] f32 ``x`` via the hi/lo split and two bf16
+    matmuls against the 0/1 permutation operand."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = p_ref[:, :]
+    return (jnp.dot(xh, p, preferred_element_type=jnp.float32)
+            + jnp.dot(xl, p, preferred_element_type=jnp.float32))
+
+
 def _apply_bit_perm(x, pm, n: int, n1: int):
     """Apply the verified interleave steps to a [F, n] value. ``pm`` is the
     `_perm_masks` operand value ([n_steps, n] int32), or None to rebuild the
@@ -157,9 +185,11 @@ def _apply_bit_perm(x, pm, n: int, n1: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _chain_consts(n: int, scale: float):
+def _chain_consts(n: int, scale: float, split_bf16: bool = False):
     """Host constants: twiddle rows [2, n] and scaled Gauss triple of the
-    128-point DFT [3, 128, 128] (Wr, Wi, Wr+Wi)."""
+    128-point DFT [3, 128, 128] (Wr, Wi, Wr+Wi). With ``split_bf16`` the
+    triple is returned as a [6, 128, 128] bf16 stack (hi parts then residual
+    lo parts) for the two-term bf16 split-matmul path."""
     n1 = n // 128
     j = np.arange(n)
     k1 = j // 128
@@ -172,7 +202,43 @@ def _chain_consts(n: int, scale: float):
     wr = f128.real.astype(np.float32)
     wi = f128.imag.astype(np.float32)
     triple = np.stack([wr, wi, wr + wi])
+    if split_bf16:
+        import ml_dtypes
+
+        hi = triple.astype(ml_dtypes.bfloat16)
+        lo = (triple - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return tw_rows, np.concatenate([hi, lo], axis=0)
     return tw_rows, triple
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_consts_folded(n: int, scale: float, split_bf16: bool = False):
+    """Per-block pass-3 constants with the four-step twiddle FOLDED IN:
+    D_k1 = diag(W_N^{k1·m2}) · F128 · scale. The twiddle multiplies A's
+    contraction axis elementwise, i.e. it row-scales the B matrix — so pass 2
+    disappears into 8 per-block Gauss triples at zero extra MXU cost.
+
+    Returns [n1, 3, 128, 128] f32 (Wr, Wi, Wr+Wi per block), or
+    [n1, 6, 128, 128] bf16 (hi triple then lo triple) when ``split_bf16``."""
+    n1 = n // 128
+    m2 = np.arange(128)
+    km = np.outer(m2, np.arange(128))
+    f128 = np.exp(-2j * np.pi * km / 128) * scale
+    blocks = []
+    for k1 in range(n1):
+        tw = np.exp(-2j * np.pi * (k1 * m2) / n)
+        d = tw[:, None] * f128
+        wr = d.real.astype(np.float32)
+        wi = d.imag.astype(np.float32)
+        blocks.append(np.stack([wr, wi, wr + wi]))
+    stacked = np.stack(blocks)                      # [n1, 3, 128, 128]
+    if split_bf16:
+        import ml_dtypes
+
+        hi = stacked.astype(ml_dtypes.bfloat16)
+        lo = (stacked - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return np.concatenate([hi, lo], axis=1)     # [n1, 6, 128, 128]
+    return stacked
 
 
 def _dft_blocks(xr_list, xi_list):
@@ -243,57 +309,152 @@ def _dft_blocks_direct(xr_list, xi_list):
     return out_r, out_i
 
 
+def _dot_pass3(br, bi, w_ref, dot_impl: str):
+    """The per-block DFT-128 Gauss product under the selected MXU strategy.
+
+    * ``f32``     — float32 matmuls (Mosaic's multi-pass exact path).
+    * ``hi3``     — float32 operands with ``Precision.HIGH`` (3-pass bf16).
+    * ``bf16x2``  — two-term bf16 split of BOTH operands: a ≈ a_hi + a_lo with
+      each term exactly representable in bf16, w precomputed as hi+lo on the
+      host; the (lo·lo) term is dropped (≈2⁻¹⁶ relative — far below the chain's
+      int16-grade inputs). 9 single-pass bf16 matmuls replace 3 multi-pass
+      f32 ones.
+    * ``bf16``    — single-pass bf16 (fastest, ~8-bit mantissa; A/B probe).
+    Returns (c_re, c_im) for the block."""
+    if dot_impl == "f32":
+        wr, wi, wri = w_ref[0], w_ref[1], w_ref[2]
+        t1 = jnp.dot(br, wr, preferred_element_type=jnp.float32)
+        t2 = jnp.dot(bi, wi, preferred_element_type=jnp.float32)
+        t3 = jnp.dot(br + bi, wri, preferred_element_type=jnp.float32)
+    elif dot_impl == "hi3":
+        prec = jax.lax.Precision.HIGH
+        wr, wi, wri = w_ref[0], w_ref[1], w_ref[2]
+        t1 = jnp.dot(br, wr, preferred_element_type=jnp.float32,
+                     precision=prec)
+        t2 = jnp.dot(bi, wi, preferred_element_type=jnp.float32,
+                     precision=prec)
+        t3 = jnp.dot(br + bi, wri, preferred_element_type=jnp.float32,
+                     precision=prec)
+    elif dot_impl == "bf16":
+        wr, wi, wri = w_ref[0], w_ref[1], w_ref[2]
+        bh_r = br.astype(jnp.bfloat16)
+        bh_i = bi.astype(jnp.bfloat16)
+        bh_s = (br + bi).astype(jnp.bfloat16)
+        t1 = jnp.dot(bh_r, wr.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        t2 = jnp.dot(bh_i, wi.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        t3 = jnp.dot(bh_s, wri.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    elif dot_impl == "bf16x2":
+        wrh, wih, wrih = w_ref[0], w_ref[1], w_ref[2]   # bf16 hi
+        wrl, wil, wril = w_ref[3], w_ref[4], w_ref[5]   # bf16 lo
+
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot2(ah, al, wh, wl):
+            return (jnp.dot(ah, wh, preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, wl, preferred_element_type=jnp.float32)
+                    + jnp.dot(al, wh, preferred_element_type=jnp.float32))
+
+        rh, rl = split(br)
+        ih, il = split(bi)
+        sh, sl = split(br + bi)
+        t1 = dot2(rh, rl, wrh, wrl)
+        t2 = dot2(ih, il, wih, wil)
+        t3 = dot2(sh, sl, wrih, wril)
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown dot_impl {dot_impl!r}")
+    return t1 - t2, t3 - t1 - t2
+
+
 def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 n: int, n1: int, perm_mag_only: bool = True,
-                pass1_radix2: bool = True):
+                pass1_radix2: bool = True, dot_impl: str = "f32",
+                fold_twiddle: bool = False, ablate: str = "",
+                lag_bits: int = 7, lead_bits: int = 7, mag_ref=None,
+                perm_impl: str = "roll"):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
-    (threshold f32, peaks u8)."""
+    (threshold f32, peaks u8).
+
+    ``fold_twiddle``: pass 2 is folded into per-block pass-3 constants
+    (``_chain_consts_folded``; ``tw_ref`` must be None).
+    ``ablate``: profiling-only switches that skip a stage (results are WRONG;
+    never exposed through the chain API): 'pass1' / 'twiddle' / 'mxu' /
+    'perm' / 'cfar'."""
     mag_mode = scal_ref[7]
-    f = xr.shape[0]
 
     # ---- pass 1: radix-n1 over the 128-lane blocks (VPU butterflies) ----
     xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
     xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
-    dft = _dft_blocks if pass1_radix2 else _dft_blocks_direct
-    ar_blocks, ai_blocks = dft(xrb, xib)
-    a_re = jnp.concatenate(ar_blocks, axis=1)     # [F, N], block k1 layout
-    a_im = jnp.concatenate(ai_blocks, axis=1)
+    if ablate == "pass1":
+        ar_blocks, ai_blocks = xrb, xib
+    else:
+        dft = _dft_blocks if pass1_radix2 else _dft_blocks_direct
+        ar_blocks, ai_blocks = dft(xrb, xib)
 
-    # ---- pass 2: twiddle (VPU) ----
-    twr = tw_ref[0, :]
-    twi = tw_ref[1, :]
-    b_re = a_re * twr - a_im * twi
-    b_im = a_re * twi + a_im * twr
+    if fold_twiddle:
+        b_re_blocks, b_im_blocks = ar_blocks, ai_blocks
+    else:
+        # ---- pass 2: twiddle (VPU) ----
+        a_re = jnp.concatenate(ar_blocks, axis=1)  # [F, N], block k1 layout
+        a_im = jnp.concatenate(ai_blocks, axis=1)
+        if ablate == "twiddle":
+            b_re, b_im = a_re, a_im
+        else:
+            twr = tw_ref[0, :]
+            twi = tw_ref[1, :]
+            b_re = a_re * twr - a_im * twi
+            b_im = a_re * twi + a_im * twr
+        b_re_blocks = [b_re[:, 128 * k : 128 * (k + 1)] for k in range(n1)]
+        b_im_blocks = [b_im[:, 128 * k : 128 * (k + 1)] for k in range(n1)]
 
     # ---- pass 3: per-block DFT-128 on the MXU (Gauss 3-matmul) ----
-    wr = w_ref[0]
-    wi = w_ref[1]
-    wri = w_ref[2]
     c_re_blocks, c_im_blocks = [], []
     for k1 in range(n1):
-        br = b_re[:, 128 * k1 : 128 * (k1 + 1)]
-        bi = b_im[:, 128 * k1 : 128 * (k1 + 1)]
-        t1 = jnp.dot(br, wr, preferred_element_type=jnp.float32)
-        t2 = jnp.dot(bi, wi, preferred_element_type=jnp.float32)
-        t3 = jnp.dot(br + bi, wri, preferred_element_type=jnp.float32)
-        c_re_blocks.append(t1 - t2)
-        c_im_blocks.append(t3 - t1 - t2)
+        br = b_re_blocks[k1]
+        bi = b_im_blocks[k1]
+        if ablate == "mxu":
+            cr, ci = br, bi
+        else:
+            wk = w_ref[k1] if fold_twiddle else w_ref
+            cr, ci = _dot_pass3(br, bi, wk, dot_impl)
+        c_re_blocks.append(cr)
+        c_im_blocks.append(ci)
     c_re = jnp.concatenate(c_re_blocks, axis=1)
     c_im = jnp.concatenate(c_im_blocks, axis=1)
 
-    pm = pm_ref[:, :] if pm_ref is not None else None
+    def magnitude(re, im):
+        if mag_ref is None:
+            return _magnitude(re, im, mag_mode)
+        from .cfar_pallas import _magnitude_into
+
+        return _magnitude_into(mag_ref, re, im, mag_mode)
+
+    def perm(v):
+        if ablate == "perm":
+            return v
+        if perm_impl == "mxu":
+            return _apply_perm_mxu(v, pm_ref)
+        return _apply_bit_perm(v, pm_ref[:, :] if pm_ref is not None else None,
+                               n, n1)
+
     if perm_mag_only:
         # ---- magnitude in block order (elementwise — commutes with the
         # interleave), then ONE natural-order permutation of the mag row ----
-        mag_blk = _magnitude(c_re, c_im, mag_mode)
-        mag = _apply_bit_perm(mag_blk, pm, n, n1)
+        mag = perm(magnitude(c_re, c_im))
     else:
-        y_re = _apply_bit_perm(c_re, pm, n, n1)
-        y_im = _apply_bit_perm(c_im, pm, n, n1)
-        mag = _magnitude(y_re, y_im, mag_mode)
+        y_re = perm(c_re)
+        y_im = perm(c_im)
+        mag = magnitude(y_re, y_im)
 
     # ---- CFAR (shared body) ----
-    return _ca_cfar_body(mag, scal_ref, fscal_ref, n)
+    if ablate == "cfar":
+        return mag, (mag > fscal_ref[0]).astype(jnp.uint8)
+    return _ca_cfar_body(mag, scal_ref, fscal_ref, n, lag_bits, lead_bits)
 
 
 def _chain_kernel(
@@ -305,13 +466,21 @@ def _chain_kernel(
     thr_ref, pk_ref,         # [F, N] outputs
     *,
     n: int, n1: int, perm_mag_only: bool = True, mask_operand: bool = True,
-    pass1_radix2: bool = True,
+    pass1_radix2: bool = True, dot_impl: str = "f32",
+    fold_twiddle: bool = False, ablate: str = "",
+    lag_bits: int = 7, lead_bits: int = 7, gate_mag: bool = True,
+    perm_impl: str = "roll",
 ):
+    use_pm = perm_impl == "mxu" or mask_operand
     thr, pk_u8 = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
-                             pm_ref if mask_operand else None,
+                             pm_ref if use_pm else None,
                              scal_ref, fscal_ref, n, n1,
                              perm_mag_only=perm_mag_only,
-                             pass1_radix2=pass1_radix2)
+                             pass1_radix2=pass1_radix2, dot_impl=dot_impl,
+                             fold_twiddle=fold_twiddle, ablate=ablate,
+                             lag_bits=lag_bits, lead_bits=lead_bits,
+                             mag_ref=thr_ref if gate_mag else None,
+                             perm_impl=perm_impl)
     thr_ref[:, :] = thr
     pk_ref[:, :] = pk_u8
 
@@ -322,7 +491,9 @@ def _chain_kernel_packed(
     tw_ref, w_ref, pm_ref,
     out_ref,                 # [F, N] int32 CFAR output words
     *,
-    n: int, n1: int, bin_width: int,
+    n: int, n1: int, bin_width: int, dot_impl: str = "f32",
+    fold_twiddle: bool = False, lag_bits: int = 7, lead_bits: int = 7,
+    perm_impl: str = "roll",
 ):
     """Wire-format variant: packed IQ beat words in, packed CFAR words out —
     the RxFftMagCfarTxChain data plane as ONE kernel. Halves the input HBM
@@ -331,7 +502,10 @@ def _chain_kernel_packed(
     xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
     xi = (((w32 & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
     thr, pk_u8 = _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
-                             scal_ref, fscal_ref, n, n1)
+                             scal_ref, fscal_ref, n, n1, dot_impl=dot_impl,
+                             fold_twiddle=fold_twiddle,
+                             lag_bits=lag_bits, lead_bits=lead_bits,
+                             perm_impl=perm_impl)
     # {threshold | bin | peak} word (RspChainVanillaTester.scala:164-172)
     thr_i = jnp.clip(thr, 0.0, float((1 << (31 - bin_width)) - 1)).astype(jnp.int32)
     bins = jax.lax.broadcasted_iota(jnp.int32, thr.shape, 1) & ((1 << bin_width) - 1)
@@ -385,12 +559,26 @@ def fused_chain_ca(
     perm_mag_only: bool = True,
     mask_operand: bool = True,
     pass1_radix2: bool = True,
+    dot_impl: str = "bf16x2",
+    fold_twiddle: bool = False,
+    ablate: str = "",
+    gate_mag: bool = False,
+    perm_impl: str = "mxu",
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
     register is handled by ``fused_chain_ca_op``.
-    ``perm_mag_only``/``mask_operand`` are kernel-formulation A/B switches
-    (benchmarks/profile_r2g.py); the defaults are the shipped configuration."""
+
+    The keyword switches are kernel-formulation A/Bs (benchmarks/profile_r2g
+    through r2k); the defaults are the shipped configuration, chosen on-chip:
+    ``dot_impl='bf16x2'`` because Mosaic lowers f32 dots to SINGLE-PASS bf16
+    (discovered r2i: a pure-bf16 A/B was bit-identical to "f32"), so the
+    two-term split is what actually delivers f32-grade FFT accuracy (~1.5e-6
+    rel, vs ~1.4e-3 for the 1-pass dots — ~47 int16 LSBs, outside the
+    reference's ±2-LSB bar) at ~4% cost; ``perm_impl='mxu'`` because the 0/1
+    permutation matmul beats the 9-step roll/select network by ~0.3 ms/CPI at
+    bench scale AND un-jams the CA body's vreg scheduling (r2k: 1.30 ms vs
+    1.58 ms for the 64x256x1024 CPI)."""
     from ..cplx import as_pair
 
     xp = as_pair(x)
@@ -411,17 +599,32 @@ def fused_chain_ca(
     f_tot = flat + f_pad
 
     scalars, fscal = _chain_scalars(rt, cfar_cfg, n, active_lo, active_hi)
-    tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
+    split = dot_impl == "bf16x2"
+    tw_rows, _ = _chain_consts(n, _fft_scale(n, fft_cfg))
+    if fold_twiddle:
+        triple = _chain_consts_folded(n, _fft_scale(n, fft_cfg),
+                                      split_bf16=split)
+    else:
+        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split)
     tw_j = jnp.asarray(tw_rows)
     w_j = jnp.asarray(triple)
-    pm = _perm_masks(n, n1)
+    pm = _perm_matrix(n, n1) if perm_impl == "mxu" else _perm_masks(n, n1)
     pm_j = jnp.asarray(pm)
 
     grid = (f_tot // bf,)
-    kernel = functools.partial(_chain_kernel, n=n, n1=n1,
-                               perm_mag_only=perm_mag_only,
-                               mask_operand=mask_operand,
-                               pass1_radix2=pass1_radix2)
+    from .cfar_pallas import _bits_for
+
+    kernel = functools.partial(
+        _chain_kernel, n=n, n1=n1,
+        perm_mag_only=perm_mag_only,
+        mask_operand=mask_operand,
+        pass1_radix2=pass1_radix2,
+        dot_impl=dot_impl,
+        fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
+        perm_impl=perm_impl,
+        lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
+        lead_bits=_bits_for(cfar_cfg.max_guard_window
+                            + cfar_cfg.max_ref_window))
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -434,7 +637,8 @@ def fused_chain_ca(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, n), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec(triple.shape,
+                             lambda i, *_ , _nd=triple.ndim: (0,) * _nd,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pm.shape[0], n), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -466,6 +670,9 @@ def fused_chain_ca_packed(
     interpret: bool = False,
     *,
     block_frames: int = CHAIN_BLOCK_FRAMES,
+    dot_impl: str = "bf16x2",
+    fold_twiddle: bool = False,
+    perm_impl: str = "mxu",
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
     packed ``{threshold | bin | peak}`` words out — the full
@@ -486,12 +693,25 @@ def fused_chain_ca_packed(
     f_tot = flat + f_pad
 
     scalars, fscal = _chain_scalars(rt, cfar_cfg, n, None, None)
-    tw_rows, triple = _chain_consts(n, _fft_scale(n, fft_cfg))
-    pm = _perm_masks(n, n1)
+    split = dot_impl == "bf16x2"
+    tw_rows, _ = _chain_consts(n, _fft_scale(n, fft_cfg))
+    if fold_twiddle:
+        triple = _chain_consts_folded(n, _fft_scale(n, fft_cfg),
+                                      split_bf16=split)
+    else:
+        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split)
+    pm = _perm_matrix(n, n1) if perm_impl == "mxu" else _perm_masks(n, n1)
 
     grid = (f_tot // bf,)
-    kernel = functools.partial(_chain_kernel_packed, n=n, n1=n1,
-                               bin_width=int(np.log2(n)))
+    from .cfar_pallas import _bits_for
+
+    kernel = functools.partial(
+        _chain_kernel_packed, n=n, n1=n1,
+        bin_width=int(np.log2(n)), dot_impl=dot_impl,
+        fold_twiddle=fold_twiddle, perm_impl=perm_impl,
+        lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
+        lead_bits=_bits_for(cfar_cfg.max_guard_window
+                            + cfar_cfg.max_ref_window))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -502,7 +722,8 @@ def fused_chain_ca_packed(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, n), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
+                pl.BlockSpec(np.asarray(triple).shape,
+                             lambda i, *_, _nd=np.asarray(triple).ndim: (0,) * _nd,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((pm.shape[0], n), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),

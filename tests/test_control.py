@@ -1,0 +1,101 @@
+"""Debug control port (jtag2mm analog, SURVEY §2.7): peek/poke the register
+file of a RUNNING StreamingPipeline from a second, independent control master."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import rsp_chains_tpu as rsp
+from rsp_chains_tpu.io.control import ControlServer, poke
+from rsp_chains_tpu.io.stream import StreamingPipeline
+
+
+@pytest.fixture(scope="module")
+def chain():
+    cfg = rsp.ChainConfig(
+        fft=rsp.FftConfig(max_size=256),
+        cfar=rsp.CfarConfig(max_ref_window=16, max_fft_size=256,
+                            use_pallas=False),
+    )
+    return rsp.fft_mag_cfar_chain(cfg)
+
+
+def _rt(**kw):
+    base = dict(fft_size=256, ref_window_size=8, guard_window_size=2,
+                threshold_scaler=3.5, div_sum=3)
+    base.update(kw)
+    return rsp.RuntimeConfig.make(**base)
+
+
+def test_peek_returns_live_register_file(chain):
+    pipe = StreamingPipeline(chain.jit(), _rt())
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar) as srv:
+        regs = poke("127.0.0.1", srv.port)["regs"]
+    assert regs["fft_size"] == 256
+    assert regs["threshold_scaler"] == pytest.approx(3.5)
+    assert regs["ref_window_size"] == 8
+    # the peek dict round-trips through make()
+    rt2 = rsp.RuntimeConfig.make(**regs)
+    assert int(rt2.log2_fft_size) == 8
+
+
+def test_poke_applies_to_next_cpi(chain):
+    """A debug-master write lands in the stream at a CPI boundary: CPIs after
+    the poke run with the new threshold scaler (config-before-enable ordering,
+    SURVEY §3.3)."""
+    results = {}
+    lock = threading.Lock()
+
+    def on_result(seq, out, m):
+        with lock:
+            results[seq] = int(np.asarray(out.peaks).sum())
+
+    iq = rsp.golden.three_tone_signal(256, shift_range_factor=4)
+    pipe = StreamingPipeline(chain.jit(), _rt(), on_result=on_result)
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar) as srv:
+        pipe.submit(0, iq[None])
+        deadline = time.time() + 60
+        while 0 not in results and time.time() < deadline:
+            time.sleep(0.01)
+        # hostile-threshold poke: nothing can beat a 1e6x scaler
+        resp = poke("127.0.0.1", srv.port, {"threshold_scaler": 1e6})
+        assert resp["regs"]["threshold_scaler"] == pytest.approx(1e6)
+        pipe.submit(1, iq[None])
+        while 1 not in results and time.time() < deadline:
+            time.sleep(0.01)
+    assert results[0] > 0          # tones detected at the normal scaler
+    assert results[1] == 0         # poked scaler suppresses every detection
+
+
+def test_poke_validation_rejects_bad_writes(chain):
+    """Out-of-range registers are rejected with the stream undisturbed — the
+    elaborated maxima bind the debug master too."""
+    pipe = StreamingPipeline(chain.jit(), _rt())
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar) as srv:
+        with pytest.raises(RuntimeError, match="max_ref_window"):
+            poke("127.0.0.1", srv.port, {"ref_window_size": 64})
+        with pytest.raises(RuntimeError, match="unknown registers"):
+            poke("127.0.0.1", srv.port, {"no_such_reg": 1})
+        # register file unchanged after the rejected writes
+        regs = poke("127.0.0.1", srv.port)["regs"]
+    assert regs["ref_window_size"] == 8
+
+
+def test_cli_poke_roundtrip(chain, capsys):
+    """The ``poke`` CLI subcommand drives the same protocol."""
+    from rsp_chains_tpu import cli
+
+    pipe = StreamingPipeline(chain.jit(), _rt())
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar) as srv:
+        rc = cli.main(["poke", "--port", str(srv.port),
+                       "--set", "threshold_scaler=4.5"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"threshold_scaler": 4.5' in out
+        assert float(np.asarray(pipe.runtime.threshold_scaler)) == 4.5
