@@ -143,7 +143,7 @@ def main():
             verdict["dpk"] = int(dpk)
             verdict["dt"] = measure_per_call(f_pal, x, rt)
         except Exception as e:  # noqa: BLE001
-            verdict["err"] = type(e).__name__
+            verdict["err"] = f"{type(e).__name__}: {e}"[:300]
             return
     t = threading.Thread(target=_validate, daemon=True)
     t.start()

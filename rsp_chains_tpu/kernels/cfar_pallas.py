@@ -82,6 +82,27 @@ def _bits_for(max_value: int) -> int:
     return max(int(np.ceil(np.log2(max_value + 1))), 1)
 
 
+def _roll_right_gated(ref, s, bits: int):
+    """In-place rotate right of a VMEM row tile by traced ``s``: each
+    bit-decomposition step runs under ``pl.when`` on its bit, so a step whose
+    bit is clear costs NOTHING — vs the value-based ``_roll_right`` whose every
+    step pays roll+select whether or not the bit is set (r2l: the CA body is
+    pure VPU passes; halving them is the whole game)."""
+    for k in range(bits):
+        @pl.when(((s >> k) & 1) == 1)
+        def _(k=k):
+            ref[:, :] = pltpu.roll(ref[:, :], 1 << k, axis=1)
+
+
+def _roll_left_gated(ref, s, bits: int):
+    """In-place gated rotate left (see ``_roll_right_gated``)."""
+    width = ref.shape[-1]
+    for k in range(bits):
+        @pl.when(((s >> k) & 1) == 1)
+        def _(k=k):
+            ref[:, :] = pltpu.roll(ref[:, :], width - (1 << k), axis=1)
+
+
 MAG_PASSTHROUGH = 4       # mag_mode register value: input re IS the magnitude
                           # (set by the RDMA-halo tail, which computes the
                           # magnitude inside kernels/pallas_halo.py overlapped
@@ -204,6 +225,79 @@ def _ca_cfar_body(mag, scal_ref, fscal_ref, n: int,
     return thr, pk_u8
 
 
+def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
+                  lag_bits: int, lead2_bits: int,
+                  max_log2w: int = MAX_LOG2_W):
+    """Runtime-GATED CA/GO/SO CFAR datapath writing straight into the output
+    refs, with the padded working row living in the VMEM scratch ``scr``
+    ([F, N + 2·PAD] f32).
+
+    Same math as ``_ca_cfar_body`` (bit-identical: rolls are exact lane
+    permutations and the box-sum addition order is unchanged), but every
+    bit-decomposition step, every dyadic box doubling past the runtime window
+    width, and the whole peak-grouping tail run under ``pl.when`` on the
+    register values — steps that don't apply this call cost nothing. The lead
+    row is produced by rolling the lag row onward (net left ``guard + w`` from
+    the box row), so ``lead2_bits`` must cover ``2·max_guard + max_ref + 1``."""
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    active_hi = scal_ref[6]
+    active_lo = scal_ref[8]
+    scaler = fscal_ref[0]
+    f = mag.shape[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    active = (col >= active_lo) & (col < active_hi)
+    mag = jnp.where(active, mag, 0.0)
+
+    # ---- zero-padded working row in scratch; gated dyadic box build ----
+    scr[:, :PAD] = jnp.zeros((f, PAD), jnp.float32)
+    scr[:, PAD : PAD + n] = mag
+    scr[:, PAD + n :] = jnp.zeros((f, PAD), jnp.float32)
+    for k in range(max_log2w):
+        @pl.when(log2w > k)
+        def _(k=k):
+            row = scr[:, :]
+            scr[:, :] = row + pltpu.roll(row, 1 << k, axis=1)
+    # scr[j] = sum mag-row[j - w + 1 .. j]
+
+    # ---- lag, then lead by rolling the SAME row onward ----
+    _roll_right_gated(scr, guard + 1, lag_bits)
+    lag = scr[:, PAD : PAD + n]               # load: value survives the rolls
+    w = jnp.int32(1) << log2w
+    _roll_left_gated(scr, 2 * guard + w + 1, lead2_bits)
+    lead = scr[:, PAD : PAD + n]
+
+    inv_div = jnp.exp2(-div.astype(jnp.float32))
+    s_lag = lag * inv_div
+    s_lead = lead * inv_div
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  0.5 * (s_lag + s_lead)),
+    )
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    thr_ref[:, :] = jnp.where(active, thr, 0.0)
+
+    peaks = (mag > thr) & active
+    pk_ref[:, :] = peaks.astype(jnp.uint8)
+
+    @pl.when(peak_grouping == 1)
+    def _():
+        # local maxima via width-N wraparound rolls with explicit edge fixes
+        # (frame edges compare against -inf, like _ca_cfar_body's padded row)
+        ninf = jnp.float32(-jnp.inf)
+        m = jnp.where(active, mag, ninf)
+        left = jnp.where(col == 0, ninf, pltpu.roll(m, 1, axis=1))
+        right = jnp.where(col == n - 1, ninf, pltpu.roll(m, n - 1, axis=1))
+        grouped = peaks & (mag >= left) & (mag >= right)
+        pk_ref[:, :] = grouped.astype(jnp.uint8)
+
+
 def _kernel(
     # scalar prefetch (SMEM)
     scal_ref,              # [9] int32: log2w, guard, div, mode, log_or_linear,
@@ -213,17 +307,24 @@ def _kernel(
     # VMEM operands
     re_ref, im_ref,        # [F, N] spectrum
     thr_ref, pk_ref,       # [F, N] outputs
+    scr_ref,               # [F, N + 2*PAD] f32 VMEM scratch (gated body row)
     *,
-    n: int, lag_bits: int = SHIFT_BITS, lead_bits: int = SHIFT_BITS,
+    n: int, max_guard: int, max_ref: int, gated: bool = True,
 ):
     mag_mode = scal_ref[7]
     # thr_ref doubles as the magnitude scratch (overwritten with the real
     # threshold below); transcendental modes run under pl.when
     mag = _magnitude_into(thr_ref, re_ref[:, :], im_ref[:, :], mag_mode)
-    thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n,
-                               lag_bits, lead_bits)
-    thr_ref[:, :] = thr
-    pk_ref[:, :] = pk_u8
+    if gated:
+        _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr_ref, n,
+                      lag_bits=_bits_for(max_guard + 1),
+                      lead2_bits=_bits_for(2 * max_guard + max_ref + 1))
+    else:
+        thr, pk_u8 = _ca_cfar_body(mag, scal_ref, fscal_ref, n,
+                                   _bits_for(max_guard + 1),
+                                   _bits_for(max_guard + max_ref))
+        thr_ref[:, :] = thr
+        pk_ref[:, :] = pk_u8
 
 
 def fused_mag_cfar(
@@ -234,6 +335,7 @@ def fused_mag_cfar(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
+    gated: bool = True,
 ) -> CfarOutput:
     """Fused logmag + CA/GO/SO CFAR over the last axis of a complex spectrum.
 
@@ -282,9 +384,8 @@ def fused_mag_cfar(
 
     grid = (f_tot // BLOCK_FRAMES,)
     kernel = functools.partial(
-        _kernel, n=n,
-        lag_bits=_bits_for(cfg.max_guard_window + 1),
-        lead_bits=_bits_for(cfg.max_guard_window + cfg.max_ref_window))
+        _kernel, n=n, max_guard=cfg.max_guard_window,
+        max_ref=cfg.max_ref_window, gated=gated)
 
     thr, pk = pl.pallas_call(
         kernel,
@@ -302,6 +403,9 @@ def fused_mag_cfar(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BLOCK_FRAMES, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_FRAMES, n + 2 * PAD), jnp.float32),
             ],
         ),
         out_shape=[

@@ -376,7 +376,7 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 pass1_radix2: bool = True, dot_impl: str = "f32",
                 fold_twiddle: bool = False, ablate: str = "",
                 lag_bits: int = 7, lead_bits: int = 7, mag_ref=None,
-                perm_impl: str = "roll"):
+                perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
     (threshold f32, peaks u8).
 
@@ -454,6 +454,13 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
     # ---- CFAR (shared body) ----
     if ablate == "cfar":
         return mag, (mag > fscal_ref[0]).astype(jnp.uint8)
+    if gated_refs is not None:
+        from .cfar_pallas import _ca_cfar_into
+
+        thr_ref, pk_ref, scr_ref = gated_refs
+        _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr_ref, n,
+                      lag_bits=lag_bits, lead2_bits=lead2_bits)
+        return None
     return _ca_cfar_body(mag, scal_ref, fscal_ref, n, lag_bits, lead_bits)
 
 
@@ -464,25 +471,31 @@ def _chain_kernel(
     w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
     pm_ref,                  # [n_steps, N] int32 interleave masks
     thr_ref, pk_ref,         # [F, N] outputs
+    scr_ref,                 # [F, N + 2*PAD] f32 scratch (gated CFAR row)
     *,
     n: int, n1: int, perm_mag_only: bool = True, mask_operand: bool = True,
     pass1_radix2: bool = True, dot_impl: str = "f32",
     fold_twiddle: bool = False, ablate: str = "",
-    lag_bits: int = 7, lead_bits: int = 7, gate_mag: bool = True,
-    perm_impl: str = "roll",
+    lag_bits: int = 7, lead_bits: int = 7, lead2_bits: int = 8,
+    gate_mag: bool = True, perm_impl: str = "roll", gated_cfar: bool = True,
 ):
     use_pm = perm_impl == "mxu" or mask_operand
-    thr, pk_u8 = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
-                             pm_ref if use_pm else None,
-                             scal_ref, fscal_ref, n, n1,
-                             perm_mag_only=perm_mag_only,
-                             pass1_radix2=pass1_radix2, dot_impl=dot_impl,
-                             fold_twiddle=fold_twiddle, ablate=ablate,
-                             lag_bits=lag_bits, lead_bits=lead_bits,
-                             mag_ref=thr_ref if gate_mag else None,
-                             perm_impl=perm_impl)
-    thr_ref[:, :] = thr
-    pk_ref[:, :] = pk_u8
+    gated_refs = (thr_ref, pk_ref, scr_ref) if gated_cfar and not ablate \
+        else None
+    out = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
+                      pm_ref if use_pm else None,
+                      scal_ref, fscal_ref, n, n1,
+                      perm_mag_only=perm_mag_only,
+                      pass1_radix2=pass1_radix2, dot_impl=dot_impl,
+                      fold_twiddle=fold_twiddle, ablate=ablate,
+                      lag_bits=lag_bits, lead_bits=lead_bits,
+                      mag_ref=thr_ref if gate_mag else None,
+                      perm_impl=perm_impl, gated_refs=gated_refs,
+                      lead2_bits=lead2_bits)
+    if out is not None:
+        thr, pk_u8 = out
+        thr_ref[:, :] = thr
+        pk_ref[:, :] = pk_u8
 
 
 def _chain_kernel_packed(
@@ -490,10 +503,11 @@ def _chain_kernel_packed(
     xw_ref,                  # [F, N] int32 beat words (re[31:16], im[15:0])
     tw_ref, w_ref, pm_ref,
     out_ref,                 # [F, N] int32 CFAR output words
+    thr_scr, pk_scr, scr_ref,  # gated-CFAR scratches ([F,N] f32/i32, [F,N+2P])
     *,
     n: int, n1: int, bin_width: int, dot_impl: str = "f32",
     fold_twiddle: bool = False, lag_bits: int = 7, lead_bits: int = 7,
-    perm_impl: str = "roll",
+    lead2_bits: int = 8, perm_impl: str = "roll", gated_cfar: bool = True,
 ):
     """Wire-format variant: packed IQ beat words in, packed CFAR words out —
     the RxFftMagCfarTxChain data plane as ONE kernel. Halves the input HBM
@@ -501,11 +515,17 @@ def _chain_kernel_packed(
     w32 = xw_ref[:, :]
     xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
     xi = (((w32 & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
-    thr, pk_u8 = _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
-                             scal_ref, fscal_ref, n, n1, dot_impl=dot_impl,
-                             fold_twiddle=fold_twiddle,
-                             lag_bits=lag_bits, lead_bits=lead_bits,
-                             perm_impl=perm_impl)
+    gated_refs = (thr_scr, pk_scr, scr_ref) if gated_cfar else None
+    out = _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
+                      scal_ref, fscal_ref, n, n1, dot_impl=dot_impl,
+                      fold_twiddle=fold_twiddle,
+                      lag_bits=lag_bits, lead_bits=lead_bits,
+                      lead2_bits=lead2_bits,
+                      perm_impl=perm_impl, gated_refs=gated_refs)
+    if out is None:
+        thr, pk_u8 = thr_scr[:, :], pk_scr[:, :]
+    else:
+        thr, pk_u8 = out
     # {threshold | bin | peak} word (RspChainVanillaTester.scala:164-172)
     thr_i = jnp.clip(thr, 0.0, float((1 << (31 - bin_width)) - 1)).astype(jnp.int32)
     bins = jax.lax.broadcasted_iota(jnp.int32, thr.shape, 1) & ((1 << bin_width) - 1)
@@ -564,6 +584,7 @@ def fused_chain_ca(
     ablate: str = "",
     gate_mag: bool = False,
     perm_impl: str = "mxu",
+    gated_cfar: bool = True,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
@@ -621,10 +642,13 @@ def fused_chain_ca(
         pass1_radix2=pass1_radix2,
         dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
-        perm_impl=perm_impl,
+        perm_impl=perm_impl, gated_cfar=gated_cfar,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
-                            + cfar_cfg.max_ref_window))
+                            + cfar_cfg.max_ref_window),
+        lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
+                             + cfar_cfg.max_ref_window + 1))
+    from .cfar_pallas import PAD as _CPAD
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -648,6 +672,9 @@ def fused_chain_ca(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bf, n + 2 * _CPAD), jnp.float32),
             ],
         ),
         out_shape=[
@@ -673,6 +700,7 @@ def fused_chain_ca_packed(
     dot_impl: str = "bf16x2",
     fold_twiddle: bool = False,
     perm_impl: str = "mxu",
+    gated_cfar: bool = True,
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
     packed ``{threshold | bin | peak}`` words out — the full
@@ -709,9 +737,13 @@ def fused_chain_ca_packed(
         _chain_kernel_packed, n=n, n1=n1,
         bin_width=int(np.log2(n)), dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, perm_impl=perm_impl,
+        gated_cfar=gated_cfar,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
-                            + cfar_cfg.max_ref_window))
+                            + cfar_cfg.max_ref_window),
+        lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
+                             + cfar_cfg.max_ref_window + 1))
+    from .cfar_pallas import PAD as _CPAD
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -730,6 +762,11 @@ def fused_chain_ca_packed(
             ],
             out_specs=pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bf, n), jnp.float32),
+                pltpu.VMEM((bf, n), jnp.uint8),
+                pltpu.VMEM((bf, n + 2 * _CPAD), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
         interpret=interpret,

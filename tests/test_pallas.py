@@ -70,6 +70,24 @@ def test_peak_grouping(rng):
     _compare(_spec(rng), rt)
 
 
+@pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF])
+@pytest.mark.parametrize("w,g,pg", [(16, 2, 0), (4, 3, 1), (64, 8, 1)])
+def test_gated_body_bit_identical_to_ungated(mode, w, g, pg, rng):
+    """The pl.when-gated CA body (scratch-resident rolls skipped when their
+    register bit is clear) must be BIT-identical to the value-based body —
+    the rolls are exact lane permutations and the box-sum addition order is
+    unchanged, so any difference is a gating bug."""
+    spec = jnp.asarray(_spec(rng))
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode, ref_window_size=w,
+                            guard_window_size=g, peak_grouping=pg,
+                            threshold_scaler=3.5)
+    a = fused_mag_cfar(spec, rt, CFG, interpret=True, gated=True)
+    b = fused_mag_cfar(spec, rt, CFG, interpret=True, gated=False)
+    np.testing.assert_array_equal(np.asarray(a.threshold),
+                                  np.asarray(b.threshold))
+    np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
 def test_frame_padding_non_multiple_of_block(rng):
     spec = _spec(rng, shape=(3, 256))  # 3 frames -> padded to BLOCK_FRAMES
     rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2)
