@@ -131,7 +131,8 @@ def main():
     cfg2 = ChainConfig(
         fft=FftConfig(max_size=n2),
         matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n2),
-        cfar=CfarConfig(max_ref_window=64, max_fft_size=n2),
+        cfar=CfarConfig(max_ref_window=64, max_fft_size=n2,
+                        variant=CfarVariant.CA, include_cash=False),
     )
     pc = rsp.pulse_compression_chain(cfg2, taps=chirp)
     rt2 = RuntimeConfig.make(fft_size=n2, ref_window_size=32,
@@ -153,7 +154,8 @@ def main():
         fft=FftConfig(max_size=n),
         matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n),
         doppler=DopplerConfig(num_pulses=256),
-        cfar=CfarConfig(max_ref_window=64, max_fft_size=n),
+        cfar=CfarConfig(max_ref_window=64, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False),
     )
     rd = rsp.range_doppler_chain(cfg3, taps=lfm_chirp(128, 0.0, 0.25))
     x3 = iq(16, 256, n)

@@ -87,7 +87,7 @@ def _roll_right_gated(ref, s, bits: int):
     bit-decomposition step runs under ``pl.when`` on its bit, so a step whose
     bit is clear costs NOTHING — vs the value-based ``_roll_right`` whose every
     step pays roll+select whether or not the bit is set (r2l: the CA body is
-    pure VPU passes; halving them is the whole game)."""
+    pure VPU passes; fewer/narrower passes are the whole game)."""
     for k in range(bits):
         @pl.when(((s >> k) & 1) == 1)
         def _(k=k):
@@ -229,8 +229,8 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
                   lag_bits: int, lead2_bits: int,
                   max_log2w: int = MAX_LOG2_W):
     """Runtime-GATED CA/GO/SO CFAR datapath writing straight into the output
-    refs, with the padded working row living in the VMEM scratch ``scr``
-    ([F, N + 2·PAD] f32).
+    refs, with the working row living in the VMEM scratch ``scr``
+    ([F, N + PAD] f32 — ONE pad block, used circularly).
 
     Same math as ``_ca_cfar_body`` (bit-identical: rolls are exact lane
     permutations and the box-sum addition order is unchanged), but every
@@ -238,7 +238,15 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
     width, and the whole peak-grouping tail run under ``pl.when`` on the
     register values — steps that don't apply this call cost nothing. The lead
     row is produced by rolling the lag row onward (net left ``guard + w`` from
-    the box row), so ``lead2_bits`` must cover ``2·max_guard + max_ref + 1``."""
+    the box row), so ``lead2_bits`` must cover ``2·max_guard + max_ref + 1``.
+
+    Why one pad block suffices: the row is CIRCULAR under ``pltpu.roll``, and
+    a circular window sum equals the zero-extended linear one whenever the
+    window never spans both ends of the data through the pad — the 128 zeros
+    between mag[n-1] and mag[0] guarantee that for windows ≤ max_ref ≤ 64.
+    Wrapped box values landing in pad lanes [0, w) are exactly the virtual
+    right-extension sums the lead window reads back through the wrap, and pad
+    lanes [64, 128) stay true zero for the lag window's left extension."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
     div = scal_ref[2]
@@ -254,10 +262,9 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
     active = (col >= active_lo) & (col < active_hi)
     mag = jnp.where(active, mag, 0.0)
 
-    # ---- zero-padded working row in scratch; gated dyadic box build ----
+    # ---- circular working row [pad | mag] in scratch; gated box build ----
     scr[:, :PAD] = jnp.zeros((f, PAD), jnp.float32)
     scr[:, PAD : PAD + n] = mag
-    scr[:, PAD + n :] = jnp.zeros((f, PAD), jnp.float32)
     for k in range(max_log2w):
         @pl.when(log2w > k)
         def _(k=k):
@@ -307,7 +314,7 @@ def _kernel(
     # VMEM operands
     re_ref, im_ref,        # [F, N] spectrum
     thr_ref, pk_ref,       # [F, N] outputs
-    scr_ref,               # [F, N + 2*PAD] f32 VMEM scratch (gated body row)
+    scr_ref,               # [F, N + PAD] f32 VMEM scratch (gated body row)
     *,
     n: int, max_guard: int, max_ref: int, gated: bool = True,
 ):
@@ -335,9 +342,15 @@ def fused_mag_cfar(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
-    gated: bool = True,
+    gated: bool = False,
 ) -> CfarOutput:
     """Fused logmag + CA/GO/SO CFAR over the last axis of a complex spectrum.
+
+    ``gated`` selects the pl.when-gated body (``_ca_cfar_into``, bit-identical);
+    measured SLOWER here (0.517 vs 0.466 ms at the [4096x1024] tail scale,
+    results_r2.json) because this kernel's 32-frame tiles amortize the scalar
+    branches poorly — while the 128-frame whole-chain kernel ships gated
+    (1.277 vs 1.306 ms, profile_r2l). Both bodies stay tested.
 
     ``spectrum``: [..., N] pair (``cplx.C``) or complex array, N a multiple of
     128. Returns CfarOutput (threshold float32, peaks bool). Requires a
@@ -405,7 +418,7 @@ def fused_mag_cfar(
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((BLOCK_FRAMES, n + 2 * PAD), jnp.float32),
+                pltpu.VMEM((BLOCK_FRAMES, n + PAD), jnp.float32),
             ],
         ),
         out_shape=[
@@ -1008,6 +1021,43 @@ def fused_mag_gos_cfar(
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = (pk[:flat] != 0).reshape(batch_shape + (n,))
     return CfarOutput(threshold=thr, peaks=pk)
+
+
+def fused_mag_gos_dispatch(
+    spectrum,
+    rt: RuntimeConfig,
+    cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
+) -> CfarOutput:
+    """Runtime CA/GOS kernel dispatch for GOSCA elaborations.
+
+    The reference switches the CA/GOS algorithm register at runtime
+    (``RspChainVanillaTester.scala:124-132``); routing every call of a GOSCA
+    elaboration through the sort kernel pays the full window-stack machinery
+    even in CA mode (1.10 ms vs the dedicated CA kernel's ~0.45-0.57 ms at the
+    [4096x1024] tail scale, benchmarks/results_r2.json). Both kernels live
+    under ONE ``lax.cond`` on the register, so the no-recompile contract holds:
+    CA algorithm + non-CASH mode takes the box-sum kernel, everything else the
+    GOS/CASH kernel. The CA datapaths of both kernels compute identical dyadic
+    box sums (each golden-validated against ``ops.cfar``)."""
+    from ..configs import CfarVariant
+
+    if cfg.variant is CfarVariant.GOS and not cfg.include_cash:
+        # pure-GOS elaboration: the CA algorithm register is not compiled in
+        return fused_mag_gos_cfar(spectrum, rt, cfg, interpret,
+                                  active_lo=active_lo, active_hi=active_hi)
+    ca_like = (rt.cfar_algorithm == 0) & (rt.cfar_mode != 3)
+    return jax.lax.cond(
+        ca_like,
+        lambda s: fused_mag_cfar(s, rt, cfg, interpret,
+                                 active_lo=active_lo, active_hi=active_hi),
+        lambda s: fused_mag_gos_cfar(s, rt, cfg, interpret,
+                                     active_lo=active_lo, active_hi=active_hi),
+        spectrum,
+    )
 
 
 def fused_tail_kind(chain_cfg) -> str | None:

@@ -471,31 +471,45 @@ def _chain_kernel(
     w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
     pm_ref,                  # [n_steps, N] int32 interleave masks
     thr_ref, pk_ref,         # [F, N] outputs
-    scr_ref,                 # [F, N + 2*PAD] f32 scratch (gated CFAR row)
+    scr_ref,                 # [F, N + PAD] f32 scratch (gated CFAR row)
     *,
     n: int, n1: int, perm_mag_only: bool = True, mask_operand: bool = True,
     pass1_radix2: bool = True, dot_impl: str = "f32",
     fold_twiddle: bool = False, ablate: str = "",
     lag_bits: int = 7, lead_bits: int = 7, lead2_bits: int = 8,
     gate_mag: bool = True, perm_impl: str = "roll", gated_cfar: bool = True,
+    row_groups: int = 1,
 ):
+    """``row_groups`` > 1 partitions the tile's frames into independent
+    groups, each running the full FFT->mag->perm->CFAR chain: the groups share
+    no data, so Mosaic's scheduler is free to overlap group i's VPU-bound CFAR
+    with group i+1's MXU-bound FFT/permutation — the single-group kernel is one
+    serial dependency chain whose VPU and MXU halves can never run
+    concurrently (r2m: VPU ~0.9 ms + MXU ~0.58 ms ≈ the 1.35 ms total)."""
     use_pm = perm_impl == "mxu" or mask_operand
-    gated_refs = (thr_ref, pk_ref, scr_ref) if gated_cfar and not ablate \
-        else None
-    out = _chain_core(xr_ref[:, :], xi_ref[:, :], tw_ref, w_ref,
-                      pm_ref if use_pm else None,
-                      scal_ref, fscal_ref, n, n1,
-                      perm_mag_only=perm_mag_only,
-                      pass1_radix2=pass1_radix2, dot_impl=dot_impl,
-                      fold_twiddle=fold_twiddle, ablate=ablate,
-                      lag_bits=lag_bits, lead_bits=lead_bits,
-                      mag_ref=thr_ref if gate_mag else None,
-                      perm_impl=perm_impl, gated_refs=gated_refs,
-                      lead2_bits=lead2_bits)
-    if out is not None:
-        thr, pk_u8 = out
-        thr_ref[:, :] = thr
-        pk_ref[:, :] = pk_u8
+    f = xr_ref.shape[0]
+    gsz = f // row_groups
+    for g in range(row_groups):
+        sl = slice(g * gsz, (g + 1) * gsz)
+        thr_g = thr_ref.at[sl] if row_groups > 1 else thr_ref
+        pk_g = pk_ref.at[sl] if row_groups > 1 else pk_ref
+        scr_g = scr_ref.at[sl] if row_groups > 1 else scr_ref
+        gated_refs = (thr_g, pk_g, scr_g) if gated_cfar and not ablate \
+            else None
+        out = _chain_core(xr_ref[sl, :], xi_ref[sl, :], tw_ref, w_ref,
+                          pm_ref if use_pm else None,
+                          scal_ref, fscal_ref, n, n1,
+                          perm_mag_only=perm_mag_only,
+                          pass1_radix2=pass1_radix2, dot_impl=dot_impl,
+                          fold_twiddle=fold_twiddle, ablate=ablate,
+                          lag_bits=lag_bits, lead_bits=lead_bits,
+                          mag_ref=thr_g if gate_mag else None,
+                          perm_impl=perm_impl, gated_refs=gated_refs,
+                          lead2_bits=lead2_bits)
+        if out is not None:
+            thr, pk_u8 = out
+            thr_g[:, :] = thr
+            pk_g[:, :] = pk_u8
 
 
 def _chain_kernel_packed(
@@ -580,11 +594,12 @@ def fused_chain_ca(
     mask_operand: bool = True,
     pass1_radix2: bool = True,
     dot_impl: str = "bf16x2",
-    fold_twiddle: bool = False,
+    fold_twiddle: bool = True,
     ablate: str = "",
     gate_mag: bool = False,
     perm_impl: str = "mxu",
     gated_cfar: bool = True,
+    row_groups: int = 1,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
@@ -599,7 +614,10 @@ def fused_chain_ca(
     reference's ±2-LSB bar) at ~4% cost; ``perm_impl='mxu'`` because the 0/1
     permutation matmul beats the 9-step roll/select network by ~0.3 ms/CPI at
     bench scale AND un-jams the CA body's vreg scheduling (r2k: 1.30 ms vs
-    1.58 ms for the 64x256x1024 CPI)."""
+    1.58 ms for the 64x256x1024 CPI); ``fold_twiddle=True`` because folding
+    pass 2 into per-block pass-3 constants removes 4 VPU passes for zero MXU
+    cost (r2m: 1.290 vs 1.354 ms, rel err 3.7e-6, 0 peak flips);
+    ``gated_cfar=True`` for the pl.when-gated CA body (r2l, bit-identical)."""
     from ..cplx import as_pair
 
     xp = as_pair(x)
@@ -642,7 +660,7 @@ def fused_chain_ca(
         pass1_radix2=pass1_radix2,
         dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
-        perm_impl=perm_impl, gated_cfar=gated_cfar,
+        perm_impl=perm_impl, gated_cfar=gated_cfar, row_groups=row_groups,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
@@ -674,7 +692,7 @@ def fused_chain_ca(
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bf, n + 2 * _CPAD), jnp.float32),
+                pltpu.VMEM((bf, n + _CPAD), jnp.float32),
             ],
         ),
         out_shape=[
@@ -698,7 +716,7 @@ def fused_chain_ca_packed(
     *,
     block_frames: int = CHAIN_BLOCK_FRAMES,
     dot_impl: str = "bf16x2",
-    fold_twiddle: bool = False,
+    fold_twiddle: bool = True,
     perm_impl: str = "mxu",
     gated_cfar: bool = True,
 ) -> jnp.ndarray:
@@ -765,7 +783,7 @@ def fused_chain_ca_packed(
             scratch_shapes=[
                 pltpu.VMEM((bf, n), jnp.float32),
                 pltpu.VMEM((bf, n), jnp.uint8),
-                pltpu.VMEM((bf, n + 2 * _CPAD), jnp.float32),
+                pltpu.VMEM((bf, n + _CPAD), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((f_tot, n), jnp.int32),

@@ -90,7 +90,7 @@ def _fused_tail_local(cfg: ChainConfig, n_loc: int, axis_name: str = RANGE_AXIS)
     import jax as _jax
 
     from ..kernels.cfar_pallas import (
-        GOS_RANGE_TILE, PAD, fused_mag_cfar, fused_mag_gos_cfar,
+        GOS_RANGE_TILE, PAD, fused_mag_cfar, fused_mag_gos_dispatch,
         fused_tail_kind,
     )
 
@@ -105,7 +105,7 @@ def _fused_tail_local(cfg: ChainConfig, n_loc: int, axis_name: str = RANGE_AXIS)
     n_ext = n_loc + 2 * halo
     if kind == "gos" and n_ext % GOS_RANGE_TILE != 0:
         return None
-    fn = fused_mag_cfar if kind == "ca" else fused_mag_gos_cfar
+    fn = fused_mag_cfar if kind == "ca" else fused_mag_gos_dispatch
     interpret = _jax.default_backend() != "tpu"
 
     def tail(spec_local, rt: RuntimeConfig) -> CfarOutput:

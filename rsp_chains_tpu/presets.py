@@ -85,7 +85,8 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
     * fixed-point fidelity mode (the mag-stage boundary quantization lives
       between the XLA stages) and the LUT-truncated log2 path."""
     from .kernels.cfar_pallas import (
-        GOS_RANGE_TILE, fused_mag_cfar, fused_mag_gos_cfar, fused_tail_kind,
+        GOS_RANGE_TILE, fused_mag_cfar, fused_mag_gos_dispatch,
+        fused_tail_kind,
     )
 
     kind = fused_tail_kind(cfg)
@@ -99,12 +100,13 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
                 lambda x, rt: fused_mag_cfar(x, rt, cfg.cfar, interpret=interpret),
                 terminal=True,
             )]
-        # the GOS kernel carries the CASH sub-window machinery when elaborated
+        # the GOS kernel carries the CASH sub-window machinery when elaborated;
+        # runtime CA-algorithm calls dispatch to the faster box-sum kernel
         if kind == "gos" and cfg.fft.max_size % GOS_RANGE_TILE == 0:
             return [Stage(
                 "mag_gos_cfar_fused",
-                lambda x, rt: fused_mag_gos_cfar(x, rt, cfg.cfar,
-                                                 interpret=interpret),
+                lambda x, rt: fused_mag_gos_dispatch(x, rt, cfg.cfar,
+                                                     interpret=interpret),
                 terminal=True,
             )]
     return [mag_stage(cfg), cfar_stage(cfg)]

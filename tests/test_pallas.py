@@ -88,6 +88,47 @@ def test_gated_body_bit_identical_to_ungated(mode, w, g, pg, rng):
     np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
 
 
+def test_gos_dispatch_routes_ca_register_to_ca_kernel(rng):
+    """A GOSCA elaboration with the runtime algorithm register set to CA must
+    produce the CA kernel's output exactly (the reference flips this register
+    at runtime, RspChainVanillaTester.scala:124-132); set to GOS, the sort
+    kernel's output; and flipping the register must NOT recompile."""
+    import jax
+
+    from rsp_chains_tpu.kernels.cfar_pallas import (
+        fused_mag_cfar, fused_mag_gos_cfar, fused_mag_gos_dispatch,
+    )
+
+    gos_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                         variant=CfarVariant.GOSCA, include_cash=True,
+                         max_fft_size=256)
+    spec = jnp.asarray(_spec(rng))
+    jf = jax.jit(lambda s, r: fused_mag_gos_dispatch(s, r, gos_cfg,
+                                                     interpret=True))
+    rt_ca = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                               guard_window_size=2, threshold_scaler=3.0,
+                               cfar_algorithm=0, index_lagg=4, index_lead=4)
+    rt_gos = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                                guard_window_size=2, threshold_scaler=3.0,
+                                cfar_algorithm=1, index_lagg=4, index_lead=4)
+    got_ca = jf(spec, rt_ca)
+    want_ca = fused_mag_cfar(spec, rt_ca, gos_cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_ca.threshold),
+                                  np.asarray(want_ca.threshold))
+    np.testing.assert_array_equal(np.asarray(got_ca.peaks),
+                                  np.asarray(want_ca.peaks))
+    got_gos = jf(spec, rt_gos)
+    want_gos = fused_mag_gos_cfar(spec, rt_gos, gos_cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_gos.threshold),
+                                  np.asarray(want_gos.threshold))
+    np.testing.assert_array_equal(np.asarray(got_gos.peaks),
+                                  np.asarray(want_gos.peaks))
+    assert jf._cache_size() == 1   # register flip, no recompile
+    # the CA and GOS thresholds genuinely differ (the cond selects something)
+    assert not np.array_equal(np.asarray(got_ca.threshold),
+                              np.asarray(got_gos.threshold))
+
+
 def test_frame_padding_non_multiple_of_block(rng):
     spec = _spec(rng, shape=(3, 256))  # 3 frames -> padded to BLOCK_FRAMES
     rt = RuntimeConfig.make(fft_size=256, ref_window_size=16, guard_window_size=2)
