@@ -910,6 +910,232 @@ def _gos_kernel2(
     pk_ref[:, :] = pk_i32
 
 
+# ---------------------------------------------------------------------------
+# GOS kernel v3 — sliding-merge shared sort
+#
+# v2 sorts every cell's window independently: build 2·w masked rows, run a full
+# bitonic (672 comparators at w=64) over lane-doubled tiles. But the w windows
+# of adjacent cells share w−1 elements, and our lanes ARE the cells — the
+# sorted stack is a function of the window START position, so sorted windows
+# for ALL positions can be built by MERGING: S_{2m}[p] = merge(S_m[p],
+# S_m[p+m]), where the counterpart is a static roll of the same stack. One
+# bitonic MERGE of 2m rows costs m·log2(2m) comparators; the whole ladder to
+# w=64 is Σ 2^L(L+1) = 321 comparators vs 672 — AND:
+#   * no per-row build/mask pass (one +inf mask on the base row replaces 2·w
+#     per-row validity wheres: invalid cells sort to the top, exactly v2's
+#     semantics);
+#   * ONE stack serves BOTH sides — lag and lead statistics are rank-selects
+#     of the same stack at different runtime offsets (two bit-decomposed
+#     rolls), where v2 sorted a lane-doubled [F, 2·tile] stack;
+#   * CASH drops the per-row dyadic pyramid for sliding sums + a sliding MIN
+#     of runtime width (dyadic mins + one runtime roll), independent of the
+#     sort entirely.
+# Runtime window gating as in v2: each elaborated log2w level is its own
+# value-resident @pl.when branch. Golden-identical (tests/test_pallas.py).
+# ---------------------------------------------------------------------------
+
+GOS3_MARGIN = 128   # slab margin per side: window reach w−1 ≤ 63 plus the
+                    # side-offset rolls guard+w ≤ 127 stay inside the margin
+
+
+def _bitonic_merge_list(rows):
+    """In-place ascending bitonic MERGE of a bitonic row list (ascending half
+    followed by descending half): log2(n) stride rounds of compare-exchanges."""
+    n_rows = len(rows)
+    s = n_rows // 2
+    while s >= 1:
+        for bs in range(0, n_rows, 2 * s):
+            for i in range(bs, bs + s):
+                a, b = rows[i], rows[i + s]
+                rows[i] = jnp.minimum(a, b)
+                rows[i + s] = jnp.maximum(a, b)
+        s //= 2
+
+
+def _rank_select_tree(rows, idx):
+    """Value at per-lane rank ``idx`` from ascending-sorted ``rows`` via a
+    binary selection tree (2^L − 1 selects, no adds)."""
+    sel = list(rows)
+    bits = len(rows).bit_length() - 1
+    for bit in reversed(range(bits)):
+        half = 1 << bit
+        take_hi = ((idx >> bit) & 1) == 1
+        sel = [jnp.where(take_hi, sel[i + half], sel[i]) for i in range(half)]
+    return sel[0]
+
+
+def _gos_kernel3(
+    scal_ref, fscal_ref,
+    re_ref, im_ref,                  # [F, N] full rows
+    thr_ref, pk_ref,                 # [F, T] tile outputs (pk int32)
+    row_scr,                         # scratch [F, N + 2*M] — zero-masked mag
+    ca_scr,                          # scratch [2, F, N + 2*M] — CA lag/lead
+    nb_scr,                          # scratch [2, F, N + 2*M] — peak nbrs
+    stat_scr,                        # scratch [6, F, T]
+    *,
+    n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
+):
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    active_hi = scal_ref[6]
+    mag_mode = scal_ref[7]
+    algorithm = scal_ref[8]
+    rank_lagg = scal_ref[9]
+    rank_lead = scal_ref[10]
+    sub_w = scal_ref[11]
+    active_lo = scal_ref[12]
+    scaler = fscal_ref[0]
+
+    M = GOS3_MARGIN
+    t_idx = pl.program_id(1)
+    ts = pl.multiple_of(t_idx * tile, 128)
+
+    f = re_ref.shape[0]
+    w = jnp.int32(1) << log2w
+
+    # ---- hoisted full-row work (as v2; scratch persists across range tiles)
+    @pl.when(t_idx == 0)
+    def _full_row():
+        mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
+        col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+        active_row = (col >= active_lo) & (col < active_hi)
+        mag = jnp.where(active_row, mag, 0.0)
+
+        row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
+        row_scr[:, M : M + n] = mag
+
+        row = row_scr[:, :]
+        sel = row
+        box = row
+        for k in range(max_log2_w):
+            box = box + pltpu.roll(box, 1 << k, axis=1)
+            sel = jnp.where(log2w == k + 1, box, sel)
+        inv_div = jnp.exp2(-div.astype(jnp.float32))
+        ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
+        ca_scr[1] = _roll_left(sel, guard + w) * inv_div
+
+        jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
+        mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                         row, -jnp.inf)
+        nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
+        nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
+
+    ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts
+
+    use_gos = algorithm == 1
+    cash_active = (mode == 3) if with_cash else False
+    sort_needed = use_gos & jnp.logical_not(mode == 3) if with_cash else use_gos
+
+    slab_w = tile + 2 * M
+    # slab lane j holds global cell ts − M + j; all window math below runs in
+    # window-START coordinates over the slab, shared by the lag and lead sides
+    jg = (jax.lax.broadcasted_iota(jnp.int32, (f, slab_w), 1) + ts) - M
+
+    @pl.when(sort_needed)
+    def _sorted_windows():
+        slab = row_scr[:, pl.ds(ts, slab_w)]
+        base = jnp.where((jg >= active_lo) & (jg < active_hi), slab,
+                         jnp.float32(jnp.inf))
+
+        for L in range(1, max_log2_w + 1):
+            wl = 1 << L
+            if wl > wmax:
+                break
+
+            @pl.when(log2w == L)
+            def _level(L=L, wl=wl):
+                rows = [base]
+                for lev in range(L):
+                    m = 1 << lev
+                    shifted = [pltpu.roll(r, slab_w - m, axis=1)
+                               for r in rows]          # [p] = r[p + m]
+                    merged = rows + shifted[::-1]      # bitonic: asc ++ desc
+                    _bitonic_merge_list(merged)
+                    rows = merged
+                # rows[k][p] = k-th smallest of window cells [p, p+wl)
+                nv = (jnp.clip(jg + wl, active_lo, active_hi)
+                      - jnp.clip(jg, active_lo, active_hi))
+                nv = jnp.maximum(nv, 0)
+                for rank, slot, lag_side in ((rank_lagg, 2, True),
+                                             (rank_lead, 3, False)):
+                    idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
+                    val = jnp.where(nv > 0, _rank_select_tree(rows, idx), 0.0)
+                    if lag_side:   # cell i's lag window starts at i − g − w
+                        row_v = _roll_right(val, guard + wl)
+                    else:          # lead window starts at i + g + 1
+                        row_v = _roll_left(val, guard + 1)
+                    stat_scr[slot] = row_v[:, M : M + tile]
+
+    if with_cash:
+        @pl.when(cash_active)
+        def _cash():
+            slab = row_scr[:, pl.ds(ts, slab_w)]   # zero-masked: sums are safe
+            # sliding sub-window sums: S(p, sub_w) by bit-composition with
+            # ONLY static rolls — when bit b is set,
+            # S(p, m+2^b) = R_b[p] + S(p+2^b, m)
+            acc = jnp.zeros_like(slab)
+            r_b = slab
+            n_bits = wmax.bit_length()
+            for b in range(n_bits):
+                bit = ((sub_w >> b) & 1) == 1
+                d = 1 << b
+                acc = jnp.where(bit, r_b + pltpu.roll(acc, slab_w - d, axis=1),
+                                acc)
+                if b < n_bits - 1:
+                    r_b = r_b + pltpu.roll(r_b, slab_w - d, axis=1)
+            # a sub-window is valid iff entirely inside the active range
+            big = jnp.float32(jnp.inf)
+            bm = jnp.where((jg >= active_lo) & (jg + sub_w <= active_hi),
+                           acc, big)
+            # sliding MIN over the m = w − sub_w + 1 sub-window positions of
+            # each reference window: dyadic mins + one runtime-roll compose
+            m_len = jnp.maximum(w - sub_w + 1, 1)
+            dy = bm
+            mins = [dy]
+            for k in range(max_log2_w):
+                dy = jnp.minimum(dy, pltpu.roll(dy, slab_w - (1 << k), axis=1))
+                mins.append(dy)
+            msb = jnp.int32(0)
+            for k in range(1, max_log2_w + 1):
+                msb = jnp.where(m_len >= (1 << k), k, msb)
+            msel = mins[0]
+            for k in range(1, max_log2_w + 1):
+                msel = jnp.where(msb == k, mins[k], msel)
+            rest = _roll_left(msel, m_len - (jnp.int32(1) << msb))
+            est = jnp.minimum(msel, rest) / jnp.maximum(sub_w, 1).astype(
+                jnp.float32)
+            est = jnp.where(jnp.isfinite(est), est, 0.0)
+            stat_scr[4] = _roll_right(est, guard + w)[:, M : M + tile]
+            stat_scr[5] = _roll_left(est, guard + 1)[:, M : M + tile]
+
+    s_lag = jnp.where(use_gos, stat_scr[2], ca_scr[0, :, pl.ds(M + ts, tile)])
+    s_lead = jnp.where(use_gos, stat_scr[3], ca_scr[1, :, pl.ds(M + ts, tile)])
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  0.5 * (s_lag + s_lead)))
+    if with_cash:
+        noise = jnp.where(mode == 3, jnp.maximum(stat_scr[4], stat_scr[5]), noise)
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    active_t = (ii_t >= active_lo) & (ii_t < active_hi)
+    thr = jnp.where(active_t, thr, 0.0)
+    mag_t = row_scr[:, pl.ds(M + ts, tile)]
+    peaks = (mag_t > thr) & active_t
+
+    left = nb_scr[0, :, pl.ds(M + ts, tile)]
+    right = nb_scr[1, :, pl.ds(M + ts, tile)]
+    grouped = peaks & (mag_t >= left) & (mag_t >= right)
+    pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
+                       peaks.astype(jnp.int32))
+
+    thr_ref[:, :] = thr
+    pk_ref[:, :] = pk_i32
+
+
 def fused_mag_gos_cfar(
     spectrum,
     rt: RuntimeConfig,
@@ -918,19 +1144,31 @@ def fused_mag_gos_cfar(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
-    version: int = 2,
+    version: int = 3,
     block_frames: int | None = None,
     range_tile: int | None = None,
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
-    modes CA/GO/SO) with the window sort resident in VMEM. CASH uses the XLA
-    path. ``spectrum``: [..., N] pair or complex, N % 256 == 0.
-    ``active_lo``/``active_hi``: see ``fused_mag_cfar``."""
+    modes CA/GO/SO/CASH) with the window sort resident in VMEM.
+    ``spectrum``: [..., N] pair or complex, N % 256 == 0.
+    ``active_lo``/``active_hi``: see ``fused_mag_cfar``.
+
+    Default v3 (sliding-merge shared sort): on-chip bit-identical to v2 and
+    ~3x faster at the [4096x1024] tail scale (GOS 4.58 -> 1.55 ms, CASH
+    5.51 -> 1.91 ms; benchmarks/results_r2p.json) — full-row tiles so the
+    merge's slab margins amortize, 16-frame blocks."""
     from ..cplx import as_pair
 
     xp = as_pair(spectrum)
     n = xp.shape[-1]
-    tile = range_tile if range_tile is not None else GOS_RANGE_TILE
+    if range_tile is not None:
+        tile = range_tile
+    elif version == 3:
+        # full-row tiles amortize the slab margins (1.97 -> 3.70 ms at tile
+        # 256); cap at 1024 so the value-resident stack stays within VMEM
+        tile = n if (n <= 1024 or n % 1024) else 1024
+    else:
+        tile = GOS_RANGE_TILE
     assert n % tile == 0, f"frame length must be a multiple of {tile}"
     wmax = cfg.max_ref_window
     assert wmax & (wmax - 1) == 0 and wmax <= 1 << MAX_LOG2_W
@@ -939,7 +1177,10 @@ def fused_mag_gos_cfar(
     flat = int(np.prod(batch_shape)) if batch_shape else 1
     re = xp.re.astype(jnp.float32).reshape(flat, n)
     im = xp.im.astype(jnp.float32).reshape(flat, n)
-    bf = block_frames if block_frames is not None else GOS_BLOCK_FRAMES
+    if block_frames is not None:
+        bf = block_frames
+    else:
+        bf = 16 if version == 3 else GOS_BLOCK_FRAMES
     f_pad = (-flat) % bf
     if f_pad:
         re = jnp.pad(re, ((0, f_pad), (0, 0)))
@@ -970,7 +1211,17 @@ def fused_mag_gos_cfar(
     fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
 
     grid = (f_tot // bf, n // tile)
-    if version == 2:
+    if version == 3:
+        kernel = functools.partial(_gos_kernel3, n=n, tile=tile, wmax=wmax,
+                                   max_log2_w=MAX_LOG2_W,
+                                   with_cash=cfg.include_cash)
+        scratch = [
+            pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
+            pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),
+            pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),
+            pltpu.VMEM((6, bf, tile), jnp.float32),
+        ]
+    elif version == 2:
         kernel = functools.partial(_gos_kernel2, n=n, tile=tile, wmax=wmax,
                                    max_log2_w=MAX_LOG2_W,
                                    with_cash=cfg.include_cash)

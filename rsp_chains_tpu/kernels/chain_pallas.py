@@ -151,12 +151,98 @@ def _perm_matrix(n: int, n1: int):
     return p.astype(ml_dtypes.bfloat16)
 
 
-def _apply_perm_mxu(x, p_ref):
+@functools.lru_cache(maxsize=None)
+def _sinv_map(n: int, n1: int):
+    """Natural cell index held by BLOCK-order lane j: the inverse of the
+    interleave s(o) = 128·(o mod n1) + o div n1, i.e.
+    sinv(j) = (j div 128) + n1·(j mod 128)."""
+    j = np.arange(n)
+    return ((j // 128) + n1 * (j % 128)).astype(np.int32)
+
+
+def _box_band_operand(n: int, n1: int, w, guard, inv_div, active_lo, active_hi,
+                      ext: int | None = None):
+    """The CFAR sliding-window sums as a runtime-built 0/1-band MXU operand.
+
+    Returns a bf16 matrix B such that ``mag_block @ B`` yields the
+    natural-order lag/lead reference-window sums directly from the BLOCK-order
+    magnitude row — the output interleave is folded into the band (row j of B
+    is the band row of natural cell ``sinv(j)``), and the CA divider shift
+    2^-divSum is folded into the band *values* (a power of two — exact in
+    bf16). Every runtime register (window size, guard, divSum, active range)
+    lives in the operand's VALUES, so reconfiguration is plain data: no
+    recompile, no pl.when gating, no bit-decomposed rolls.
+
+    ``ext=None``: [N, 2N] — lag-sum columns then lead-sum columns.
+    ``ext=E``:   [N, N+E] — lag sums for natural cells 0..N+E-1; the kernel
+    derives the lead sums by a runtime rotation (lead(c) = lag(c+2g+w+1),
+    exact because the extended columns carry the clipped sums past the frame
+    edge) for 2/3 the matmul width.
+
+    Row validity (cells outside [active_lo, active_hi) contribute nothing —
+    ``EdgePolicy.PARTIAL`` zero-pad semantics, and the runtime CFAR fftSize
+    register) is masked into the band rows, mirroring ``cfar_pallas``'s
+    pre-masked magnitude row."""
+    k_nat = jnp.asarray(_sinv_map(n, n1))[:, None]            # [N, 1]
+    valid = (k_nat >= active_lo) & (k_nat < active_hi)
+    if ext is None:
+        c = jnp.arange(n, dtype=jnp.int32)[None, :]
+        lag = (k_nat >= c - guard - w) & (k_nat <= c - guard - 1)
+        lead = (k_nat >= c + guard + 1) & (k_nat <= c + guard + w)
+        band = jnp.concatenate([lag & valid, lead & valid], axis=1)
+    else:
+        c = jnp.arange(n + ext, dtype=jnp.int32)[None, :]
+        band = (k_nat >= c - guard - w) & (k_nat <= c - guard - 1) & valid
+    return (band.astype(jnp.float32) * inv_div).astype(jnp.bfloat16)
+
+
+def _ca_cfar_tail(mag, s_lag, s_lead, scal_ref, fscal_ref, n: int):
+    """The CA/GO/SO tail after the window sums: mode select, threshold, CUT
+    compare, peak grouping. ``mag`` is the natural-order magnitude row,
+    ``s_lag``/``s_lead`` the divider-scaled window sums (from the MXU band
+    matmul). Pure elementwise VPU + two static ±1 rolls."""
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    active_hi = scal_ref[6]
+    active_lo = scal_ref[8]
+    scaler = fscal_ref[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    active = (col >= active_lo) & (col < active_hi)
+    mag = jnp.where(active, mag, 0.0)
+
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  0.5 * (s_lag + s_lead)))
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    thr = jnp.where(active, thr, 0.0)
+    peaks = (mag > thr) & active
+
+    ninf = jnp.float32(-jnp.inf)
+    m = jnp.where(active, mag, ninf)
+    left = jnp.where(col == 0, ninf, pltpu.roll(m, 1, axis=1))
+    right = jnp.where(col == n - 1, ninf, pltpu.roll(m, n - 1, axis=1))
+    grouped = peaks & (mag >= left) & (mag >= right)
+    pk_u8 = jnp.where(peak_grouping == 1, grouped.astype(jnp.uint8),
+                      peaks.astype(jnp.uint8))
+    return thr, pk_u8
+
+
+def _apply_perm_mxu(x, p_ref, stack_hi_lo: bool = False):
     """Permute lanes of [F, n] f32 ``x`` via the hi/lo split and two bf16
-    matmuls against the 0/1 permutation operand."""
+    matmuls against the 0/1 permutation operand. ``stack_hi_lo`` issues the
+    two split terms as ONE [2F, n] matmul (taller M amortizes the MXU's
+    weight-load pipeline) and adds the halves after."""
     xh = x.astype(jnp.bfloat16)
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     p = p_ref[:, :]
+    if stack_hi_lo:
+        f = x.shape[0]
+        out = jnp.dot(jnp.concatenate([xh, xl], axis=0), p,
+                      preferred_element_type=jnp.float32)
+        return out[:f, :] + out[f:, :]
     return (jnp.dot(xh, p, preferred_element_type=jnp.float32)
             + jnp.dot(xl, p, preferred_element_type=jnp.float32))
 
@@ -376,12 +462,17 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 pass1_radix2: bool = True, dot_impl: str = "f32",
                 fold_twiddle: bool = False, ablate: str = "",
                 lag_bits: int = 7, lead_bits: int = 7, mag_ref=None,
-                perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8):
+                perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8,
+                boxsum_impl: str = "vpu", stack_hi_lo: bool = False):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
     (threshold f32, peaks u8).
 
     ``fold_twiddle``: pass 2 is folded into per-block pass-3 constants
     (``_chain_consts_folded``; ``tw_ref`` must be None).
+    ``boxsum_impl``: 'vpu' — the dyadic-roll CA body (``cfar_pallas``);
+    'mxu' — window sums by the [N, 3N] band matmul (``_box_band_operand``,
+    interleave + lag + lead in one operand); 'mxu2' — [N, 2N+ext] lag-only
+    band with the lead sums derived by a runtime rotation.
     ``ablate``: profiling-only switches that skip a stage (results are WRONG;
     never exposed through the chain API): 'pass1' / 'twiddle' / 'mxu' /
     'perm' / 'cfar'."""
@@ -438,9 +529,36 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
         if ablate == "perm":
             return v
         if perm_impl == "mxu":
-            return _apply_perm_mxu(v, pm_ref)
+            return _apply_perm_mxu(v, pm_ref, stack_hi_lo=stack_hi_lo)
         return _apply_bit_perm(v, pm_ref[:, :] if pm_ref is not None else None,
                                n, n1)
+
+    if boxsum_impl != "vpu" and not ablate:
+        # ---- interleave + CFAR window sums as ONE wide band matmul: the
+        # hi/lo-split block-order magnitude against [P | bands] yields the
+        # natural-order magnitude AND the divider-scaled lag/lead sums in a
+        # single MXU pass; the VPU keeps only the slim compare/group tail ----
+        mag_b = _magnitude(c_re, c_im, mag_mode)
+        big = _apply_perm_mxu(mag_b, pm_ref, stack_hi_lo=stack_hi_lo)
+        mag = big[:, :n]
+        if boxsum_impl == "mxu":
+            s_lag = big[:, n : 2 * n]
+            s_lead = big[:, 2 * n : 3 * n]
+        else:  # 'mxu2': lead(c) = extended-lag(c + 2·guard + w + 1)
+            from .cfar_pallas import _roll_left
+
+            lagext = big[:, n:]
+            w = jnp.int32(1) << scal_ref[0]
+            s_lead = _roll_left(lagext, 2 * scal_ref[1] + w + 1,
+                                lead2_bits)[:, :n]
+            s_lag = lagext[:, :n]
+        thr, pk_u8 = _ca_cfar_tail(mag, s_lag, s_lead, scal_ref, fscal_ref, n)
+        if gated_refs is not None:
+            thr_ref, pk_ref, _scr = gated_refs
+            thr_ref[:, :] = thr
+            pk_ref[:, :] = pk_u8
+            return None
+        return thr, pk_u8
 
     if perm_mag_only:
         # ---- magnitude in block order (elementwise — commutes with the
@@ -478,7 +596,7 @@ def _chain_kernel(
     fold_twiddle: bool = False, ablate: str = "",
     lag_bits: int = 7, lead_bits: int = 7, lead2_bits: int = 8,
     gate_mag: bool = True, perm_impl: str = "roll", gated_cfar: bool = True,
-    row_groups: int = 1,
+    row_groups: int = 1, boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
 ):
     """``row_groups`` > 1 partitions the tile's frames into independent
     groups, each running the full FFT->mag->perm->CFAR chain: the groups share
@@ -494,8 +612,8 @@ def _chain_kernel(
         thr_g = thr_ref.at[sl] if row_groups > 1 else thr_ref
         pk_g = pk_ref.at[sl] if row_groups > 1 else pk_ref
         scr_g = scr_ref.at[sl] if row_groups > 1 else scr_ref
-        gated_refs = (thr_g, pk_g, scr_g) if gated_cfar and not ablate \
-            else None
+        gated_refs = (thr_g, pk_g, scr_g) \
+            if (gated_cfar or boxsum_impl != "vpu") and not ablate else None
         out = _chain_core(xr_ref[sl, :], xi_ref[sl, :], tw_ref, w_ref,
                           pm_ref if use_pm else None,
                           scal_ref, fscal_ref, n, n1,
@@ -505,7 +623,8 @@ def _chain_kernel(
                           lag_bits=lag_bits, lead_bits=lead_bits,
                           mag_ref=thr_g if gate_mag else None,
                           perm_impl=perm_impl, gated_refs=gated_refs,
-                          lead2_bits=lead2_bits)
+                          lead2_bits=lead2_bits, boxsum_impl=boxsum_impl,
+                          stack_hi_lo=stack_hi_lo)
         if out is not None:
             thr, pk_u8 = out
             thr_g[:, :] = thr
@@ -600,6 +719,8 @@ def fused_chain_ca(
     perm_impl: str = "mxu",
     gated_cfar: bool = True,
     row_groups: int = 1,
+    boxsum_impl: str = "vpu",
+    stack_hi_lo: bool = True,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
@@ -617,7 +738,13 @@ def fused_chain_ca(
     1.58 ms for the 64x256x1024 CPI); ``fold_twiddle=True`` because folding
     pass 2 into per-block pass-3 constants removes 4 VPU passes for zero MXU
     cost (r2m: 1.290 vs 1.354 ms, rel err 3.7e-6, 0 peak flips);
-    ``gated_cfar=True`` for the pl.when-gated CA body (r2l, bit-identical)."""
+    ``gated_cfar=True`` for the pl.when-gated CA body (r2l, bit-identical);
+    ``stack_hi_lo=True`` issues the permutation's hi/lo split as one [2F, N]
+    matmul (bit-identical, r2p: 1.257 vs 1.272 ms). ``boxsum_impl`` keeps the
+    VPU dyadic body: the MXU band-matmul variants measured slower (r2o: 'mxu'
+    1.43, 'mxu2' 1.29 vs 1.25 ms — the [F,K]@[K,W] matmuls run ~2.4x off MXU
+    peak at these shapes), shipped as formulation switches with rel ~2e-7
+    on-chip numerics for future hardware."""
     from ..cplx import as_pair
 
     xp = as_pair(x)
@@ -649,6 +776,17 @@ def fused_chain_ca(
     w_j = jnp.asarray(triple)
     pm = _perm_matrix(n, n1) if perm_impl == "mxu" else _perm_masks(n, n1)
     pm_j = jnp.asarray(pm)
+    band_ext = -(-(2 * cfar_cfg.max_guard_window + cfar_cfg.max_ref_window + 1)
+                 // 128) * 128
+    if boxsum_impl != "vpu":
+        assert perm_impl == "mxu", "band matmul subsumes the mxu interleave"
+        assert not ablate, "ablation switches assume the vpu CFAR body"
+        w_rt = jnp.int32(1) << scalars[0]
+        inv_div = jnp.exp2(-scalars[2].astype(jnp.float32))
+        band = _box_band_operand(
+            n, n1, w_rt, scalars[1], inv_div, scalars[8], scalars[6],
+            ext=band_ext if boxsum_impl == "mxu2" else None)
+        pm_j = jnp.concatenate([pm_j, band], axis=1)
 
     grid = (f_tot // bf,)
     from .cfar_pallas import _bits_for
@@ -661,6 +799,7 @@ def fused_chain_ca(
         dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
         perm_impl=perm_impl, gated_cfar=gated_cfar, row_groups=row_groups,
+        boxsum_impl=boxsum_impl, stack_hi_lo=stack_hi_lo,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
@@ -682,7 +821,8 @@ def fused_chain_ca(
                 pl.BlockSpec(triple.shape,
                              lambda i, *_ , _nd=triple.ndim: (0,) * _nd,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((pm.shape[0], n), lambda i, *_: (0, 0),
+                pl.BlockSpec((pm_j.shape[0], pm_j.shape[1]),
+                             lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

@@ -170,8 +170,9 @@ GCFG = CfarConfig(max_ref_window=16, max_guard_window=4, variant=CfarVariant.GOS
                   include_cash=False)
 
 
-def _compare_gos(spec, rt, atol=5e-2):
-    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG, interpret=True)
+def _compare_gos(spec, rt, atol=5e-2, version=2):
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG, interpret=True,
+                             version=version)
     assert got.threshold.shape == spec.shape
     mag = logmag(jnp.asarray(spec), rt.mag_mode)
     want = cfar_op(mag, rt, GCFG)
@@ -183,33 +184,37 @@ def _compare_gos(spec, rt, atol=5e-2):
 @pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
                                   CfarMode.SMALLEST_OF])
 @pytest.mark.parametrize("rank", [0, 7])
-def test_gos_kernel_matches_xla(mode, rank, rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_matches_xla(mode, rank, version, rng):
     spec = _spec(rng, shape=(2, 256))
     rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode,
                             cfar_algorithm=CfarAlgorithm.GOS,
                             ref_window_size=8, guard_window_size=2,
                             index_lagg=rank, index_lead=rank, threshold_scaler=3.0)
-    _compare_gos(spec, rt)
+    _compare_gos(spec, rt, version=version)
 
 
-def test_gos_kernel_runtime_algorithm_switch(rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_runtime_algorithm_switch(version, rng):
     spec = _spec(rng, shape=(2, 256))
     for algo in (CfarAlgorithm.CA, CfarAlgorithm.GOS):
         rt = RuntimeConfig.make(fft_size=256, cfar_algorithm=algo,
                                 ref_window_size=8, guard_window_size=2,
                                 index_lagg=4, index_lead=4)
-        _compare_gos(spec, rt)
+        _compare_gos(spec, rt, version=version)
 
 
-def test_gos_kernel_frame_shrink_and_grouping(rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_frame_shrink_and_grouping(version, rng):
     spec = _spec(rng, shape=(2, 512))
     spec[..., 300:] = 1e6
     rt = RuntimeConfig.make(fft_size=256, cfar_algorithm=CfarAlgorithm.GOS,
                             ref_window_size=8, guard_window_size=2,
                             index_lagg=4, index_lead=4, peak_grouping=1)
-    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG, interpret=True)
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG, interpret=True,
+                             version=version)
     assert np.all(np.asarray(got.threshold)[..., 256:] == 0)
-    _compare_gos(spec, rt)
+    _compare_gos(spec, rt, version=version)
 
 
 def test_gos_kernel_chain_integration(rng):
@@ -236,19 +241,22 @@ GCFG_CASH = CfarConfig(max_ref_window=16, max_guard_window=4,
 
 
 @pytest.mark.parametrize("sw", [3, 4])
-def test_gos_kernel_cash_mode(sw, rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_cash_mode(sw, version, rng):
     spec = _spec(rng, shape=(2, 256))
     rt = RuntimeConfig.make(fft_size=256, cfar_mode=CfarMode.CASH,
                             ref_window_size=8, guard_window_size=2,
                             sub_window_size=sw, threshold_scaler=3.0)
-    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True)
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True,
+                             version=version)
     want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
     np.testing.assert_allclose(np.asarray(got.threshold),
                                np.asarray(want.threshold), rtol=1e-4, atol=5e-2)
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
 
-def test_gos_kernel_cash_runtime_mode_switch(rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_cash_runtime_mode_switch(version, rng):
     """All four modes through the CASH-elaborated kernel (runtime switch)."""
     spec = _spec(rng, shape=(2, 256))
     for mode in (CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
@@ -256,7 +264,8 @@ def test_gos_kernel_cash_runtime_mode_switch(rng):
         rt = RuntimeConfig.make(fft_size=256, cfar_mode=mode,
                                 ref_window_size=8, guard_window_size=2,
                                 sub_window_size=3, threshold_scaler=3.0)
-        got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True)
+        got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH,
+                                 interpret=True, version=version)
         want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
         np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
@@ -281,7 +290,8 @@ def _xla_chain_out(x, rt, fft_cfg, cfar_cfg):
 
 
 @pytest.mark.parametrize("n", [256, 512])
-def test_fused_chain_kernel_matches_xla(n, rng):
+@pytest.mark.parametrize("boxsum", ["vpu", "mxu", "mxu2"])
+def test_fused_chain_kernel_matches_xla(n, boxsum, rng):
     from rsp_chains_tpu.cplx import as_pair
 
     fft_cfg = _FftCfg(max_size=n)
@@ -290,11 +300,66 @@ def test_fused_chain_kernel_matches_xla(n, rng):
     rt = RuntimeConfig.make(fft_size=n, ref_window_size=16, guard_window_size=2,
                             threshold_scaler=3.0, div_sum=4)
     x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
-    got = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True)
+    got = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                         boxsum_impl=boxsum)
     want = _xla_chain_out(as_pair(x), rt, fft_cfg, cfar_cfg)
     np.testing.assert_allclose(np.asarray(got.threshold),
                                np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_fused_chain_stack_hi_lo_bit_identical(rng):
+    """Stacking the hi/lo split terms into one tall matmul is the same math
+    in a different dispatch shape — outputs must be bit-identical."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA,
+                          include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=16, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=4)
+    x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
+    for boxsum in ("vpu", "mxu2"):
+        a = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           boxsum_impl=boxsum, stack_hi_lo=False)
+        b = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           boxsum_impl=boxsum, stack_hi_lo=True)
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
+@pytest.mark.parametrize("boxsum", ["mxu", "mxu2"])
+def test_fused_chain_band_boxsum_modes_and_edges(boxsum, rng):
+    """The MXU band-matmul CFAR path across runtime modes, guard=0, active
+    ranges below the elaborated size, and peak grouping — every register the
+    band operand folds into its values."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=32, max_guard_window=8,
+                          variant=CfarVariant.CA, include_cash=False)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    for mode, w, g, cfar_n, pg in (
+        (CfarMode.CELL_AVERAGING, 16, 1, n, 0),
+        (CfarMode.GREATEST_OF, 8, 4, n, 1),
+        (CfarMode.SMALLEST_OF, 32, 8, n, 0),
+        (CfarMode.CELL_AVERAGING, 8, 2, n // 2, 1),
+    ):
+        rt = RuntimeConfig.make(fft_size=n, cfar_fft_size=cfar_n,
+                                cfar_mode=mode, ref_window_size=w,
+                                guard_window_size=g, threshold_scaler=2.5,
+                                div_sum=int(np.log2(w)), peak_grouping=pg)
+        got = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg,
+                             interpret=True, boxsum_impl=boxsum)
+        want = _xla_chain_out(as_pair(x), rt, fft_cfg, cfar_cfg)
+        np.testing.assert_allclose(np.asarray(got.threshold),
+                                   np.asarray(want.threshold),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.peaks),
+                                      np.asarray(want.peaks))
 
 
 def test_fused_chain_runtime_size_branches(rng):
