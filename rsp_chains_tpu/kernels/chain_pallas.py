@@ -327,21 +327,23 @@ def _chain_consts_folded(n: int, scale: float, split_bf16: bool = False):
     return stacked
 
 
-def _dft_blocks(xr_list, xi_list):
+def _dft_blocks(xr_list, xi_list, sign: int = -1):
     """Host-unrolled radix-2 DIT DFT across a list of [F, 128] block value
     pairs (length a power of two): returns the m-point DFT
-    a_k = Σ_j W_m^{j·k} x_j as block lists in natural k order. Exact-valued
-    twiddles (1, ±i) are folded; the rest cost 4 mults + 2 adds."""
+    a_k = Σ_j W_m^{sign·j·k} x_j as block lists in natural k order (sign=-1:
+    forward; sign=+1: the unscaled inverse — the structural-inverse pass 1 of
+    ``rd_pallas``). Exact-valued twiddles (1, ±i) are folded; the rest cost
+    4 mults + 2 adds."""
     m = len(xr_list)
     if m == 1:
         return list(xr_list), list(xi_list)
-    er, ei = _dft_blocks(xr_list[0::2], xi_list[0::2])
-    odr, odi = _dft_blocks(xr_list[1::2], xi_list[1::2])
+    er, ei = _dft_blocks(xr_list[0::2], xi_list[0::2], sign)
+    odr, odi = _dft_blocks(xr_list[1::2], xi_list[1::2], sign)
     h = m // 2
     out_r = [None] * m
     out_i = [None] * m
     for k in range(h):
-        c = np.exp(-2j * np.pi * k / m)
+        c = np.exp(sign * 2j * np.pi * k / m)
         cr = float(c.real) if abs(c.real) > _EPS else 0.0
         ci = float(c.imag) if abs(c.imag) > _EPS else 0.0
         if cr == 1.0 and ci == 0.0:

@@ -238,7 +238,14 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
     sharded over ``ch``. Per-channel stages (matched filter, Doppler FFT) run with
     zero communication; a sharding constraint scatters the range axis over ``rng``
     (XLA emits the ICI all-to-all); the CFAR tail runs under shard_map with
-    ppermute halo exchange at shard edges."""
+    ppermute halo exchange at shard edges.
+
+    When the elaboration is fusable (``kernels/rd_pallas.py`` constraints) and
+    ``use_pallas``, the zero-communication front half runs the fused MF+Doppler
+    map kernel per channel shard (``emit='map'``) instead of the XLA stages —
+    the multi-chip step then uses the same single-kernel datapath as the
+    single-chip flagship."""
+    from ..kernels.cfar_pallas import fused_tail_kind
     from ..ops.doppler import doppler_fft
     from ..ops.matched_filter import matched_filter
     import numpy as _np
@@ -246,11 +253,37 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
     taps = _np.asarray(taps)  # host-side; the op splits to a real pair
     mf_cfg = cfg.matched_filter
     dop_cfg = cfg.doppler
+    n = cfg.fft.max_size
+    p = dop_cfg.num_pulses if dop_cfg is not None else 0
+    fused_front = (
+        fused_tail_kind(cfg) is not None
+        and mf_cfg is not None and dop_cfg is not None
+        and n % 128 == 0 and n // 128 in (2, 4, 8)
+        and (p & (p - 1)) == 0 and 8 <= p <= 256
+        and mf_cfg.method == "freq" and taps.shape[-1] <= n
+    )
 
     def step(x, rt: RuntimeConfig):
-        y = matched_filter(x, taps, mf_cfg) if mf_cfg is not None else x
-        if dop_cfg is not None:
-            y = doppler_fft(y, dop_cfg)
+        if fused_front:
+            import jax as _jax
+
+            from ..cplx import as_pair
+            from ..kernels.rd_pallas import fused_rd_chain
+
+            interpret = _jax.default_backend() != "tpu"
+            ch_spec = P(CHANNEL_AXIS, None, None)
+            xp = as_pair(x)
+            y = jax.shard_map(
+                lambda xl, rt_: fused_rd_chain(xl, rt_, taps, cfg,
+                                               interpret=interpret,
+                                               emit="map"),
+                mesh=mesh, in_specs=(ch_spec, P()),
+                out_specs=ch_spec, check_vma=False,
+            )(xp, rt)
+        else:
+            y = matched_filter(x, taps, mf_cfg) if mf_cfg is not None else x
+            if dop_cfg is not None:
+                y = doppler_fft(y, dop_cfg)
         nb = y.ndim - 1
         spec = P(CHANNEL_AXIS, *([None] * (nb - 1)), RANGE_AXIS)
         y = lax.with_sharding_constraint(y, NamedSharding(mesh, spec))

@@ -308,7 +308,16 @@ def real_rx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
 def pulse_compression_chain(
     cfg: Optional[ChainConfig] = None, taps: Optional[np.ndarray] = None
 ) -> Chain:
-    """BASELINE config 2: matched filter -> range FFT -> logmag -> CFAR, per pulse."""
+    """BASELINE config 2: matched filter -> range FFT -> logmag -> CFAR, per pulse.
+
+    The matched filter's frequency-domain form makes the stage pair
+    ``matched_filter -> fft`` algebraically collapsible at full runtime size:
+    ``FFT(IFFT(FFT(x)·H)) = FFT(x)·H`` (circular, frame-sized). The collapsed
+    ``spectral_mf`` stage replaces THREE four-step FFT evaluations with one
+    plus an elementwise spectral multiply — exact, not an approximation — and
+    the mag+CFAR tail then runs fused (``tail_stages``). Runtime FFT sizes
+    below the elaborated max change the matched filter itself, so the smaller
+    sizes keep the literal stage composition under one ``lax.cond``."""
     cfg = cfg or ChainConfig(
         fft=FftConfig(max_size=4096),
         matched_filter=MatchedFilterConfig(fft_size=4096),
@@ -317,6 +326,45 @@ def pulse_compression_chain(
         from .golden.fixtures import lfm_chirp
 
         taps = lfm_chirp(cfg.matched_filter.num_taps if cfg.matched_filter else 128)
+    mf_cfg = cfg.matched_filter or MatchedFilterConfig()
+    taps_np = np.asarray(taps)
+    n = cfg.fft.max_size
+    collapsible = (
+        mf_cfg.method == "freq"
+        and cfg.fft.window is None
+        and cfg.fft.use_bit_reverse
+        and not _bit_true(cfg)
+        and taps_np.shape[-1] <= n
+    )
+    if collapsible:
+        import jax
+
+        from .cplx import C, as_pair
+
+        h = np.conj(np.fft.fft(taps_np.astype(np.complex128), n))
+        if mf_cfg.normalize:
+            h = h / max(float(np.sqrt(np.sum(np.abs(taps_np) ** 2))), 1e-30)
+        hr = h.real.astype(np.float32)
+        hi = h.imag.astype(np.float32)
+
+        def spectral_mf(x, rt: RuntimeConfig):
+            xp = as_pair(x)
+
+            def full(xq):
+                s = fft_op(xq, None, cfg.fft)       # static full-size branch
+                return s * C(jnp.asarray(hr), jnp.asarray(hi))
+
+            def small(xq):
+                y = matched_filter(xq, taps_np, mf_cfg)
+                return fft_op(y, rt.log2_fft_size, cfg.fft)
+
+            if not cfg.fft.runtime_size:
+                return full(xp)
+            return jax.lax.cond(rt.log2_fft_size >= cfg.fft.log2_max,
+                                full, small, xp)
+
+        return Chain(cfg, [Stage("spectral_mf", spectral_mf),
+                           *tail_stages(cfg)])
     return Chain(
         cfg,
         [matched_filter_stage(cfg, taps), fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)],
@@ -330,19 +378,65 @@ def range_doppler_chain(
 
     Input: complex CPI blocks [..., P, N] (P pulses slow time, N fast-time range
     samples). Pipeline: matched filter (range) -> Doppler FFT (pulses) -> logmag ->
-    CFAR along range per Doppler bin. One jitted program per CPI."""
+    CFAR along range per Doppler bin. One jitted program per CPI.
+
+    CA-family elaborations with fusable shapes run the whole CPI as ONE Pallas
+    kernel (``kernels/rd_pallas.py``): matched filter in four-step block order
+    (no interleave), Doppler as a dense DFT matmul, CFAR in-kernel — one HBM
+    read, one write. GOS/GOSCA elaborations fuse the MF+Doppler front half
+    (``emit='map'``) into the VMEM-sort mag+CFAR kernel. Everything else
+    composes the XLA stages with the fused tail."""
     cfg = cfg or ChainConfig(doppler=DopplerConfig())
     if taps is None:
         from .golden.fixtures import lfm_chirp
 
         n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
         taps = lfm_chirp(n_taps)
+    from .kernels.cfar_pallas import (
+        GOS_RANGE_TILE, fused_mag_gos_dispatch, fused_tail_kind,
+    )
+
+    kind = fused_tail_kind(cfg)
+    mf_cfg = cfg.matched_filter or MatchedFilterConfig()
+    dop_cfg = cfg.doppler or DopplerConfig()
+    n = cfg.fft.max_size
+    p = dop_cfg.num_pulses
+    taps_np = np.asarray(taps)
+    fusable = (
+        n % 128 == 0 and n // 128 in (2, 4, 8)
+        and (p & (p - 1)) == 0 and 8 <= p <= 256
+        and mf_cfg.method == "freq"
+        and taps_np.shape[-1] <= n
+    )
+    if kind is not None and fusable:
+        import jax
+
+        from .kernels.rd_pallas import fused_rd_chain
+
+        interpret = jax.default_backend() != "tpu"
+        if kind == "ca":
+            return Chain(cfg, [Stage(
+                "rd_fused",
+                lambda x, rt: fused_rd_chain(x, rt, taps_np, cfg,
+                                             interpret=interpret),
+                terminal=True,
+            )])
+        if kind == "gos" and n % GOS_RANGE_TILE == 0:
+            return Chain(cfg, [
+                Stage("rd_map_fused",
+                      lambda x, rt: fused_rd_chain(x, rt, taps_np, cfg,
+                                                   interpret=interpret,
+                                                   emit="map")),
+                Stage("mag_gos_cfar_fused",
+                      lambda x, rt: fused_mag_gos_dispatch(
+                          x, rt, cfg.cfar, interpret=interpret),
+                      terminal=True),
+            ])
     return Chain(
         cfg,
         [
             matched_filter_stage(cfg, taps),
             doppler_stage(cfg),
-            mag_stage(cfg),
-            cfar_stage(cfg),
+            *tail_stages(cfg),
         ],
     )
