@@ -215,13 +215,17 @@ def _rd_kernel(
     wi_ref,                  # [n1, 6, 128, 128] bf16 inverse folded consts
     h_ref,                   # [2, N] f32 block-order MF reference spectrum
     d_ref,                   # [6, P, P] bf16 Doppler DFT Gauss triple (hi/lo)
-    thr_ref, pk_ref,         # [P, N] outputs (thr doubles as mag scratch)
-    yr_scr, yi_scr,          # [P, N] f32 scratch: compressed pulses
-    cfar_scr,                # [P, N + PAD] f32 CFAR working row
+    thr_ref, pk_ref,         # [P, N] outputs
+    y_scr,                   # [P, N + PAD] f32 scratch (see below)
     *,
     n: int, n1: int, p: int, row_group: int, col_tile: int, dot_impl: str,
     emit: str, lag_bits: int, lead2_bits: int,
 ):
+    """VMEM budget: the compressed-pulse pair is stored as yr -> ``thr_ref``
+    (each Doppler column tile reads its slice then overwrites it — value
+    semantics make the read-then-write safe) and yi -> ``y_scr[:, :n]``, whose
+    buffer is then REUSED as the CFAR circular working row ([P, N + PAD]) once
+    the Doppler loop has consumed the pulses. No dedicated RD-map buffers."""
     mag_mode = scal_ref[7]
 
     # ---- matched filter along range, in row groups of pulses ----
@@ -229,14 +233,14 @@ def _rd_kernel(
         sl = slice(g * row_group, (g + 1) * row_group)
         yr, yi = _mf_rows(xr_ref[sl, :], xi_ref[sl, :], wf_ref, wi_ref, h_ref,
                           n1, dot_impl)
-        yr_scr[sl, :] = yr
-        yi_scr[sl, :] = yi
+        thr_ref[sl, :] = yr
+        y_scr[sl, :n] = yi
 
     # ---- Doppler DFT along pulses (sublanes), column-tiled; the magnitude
     # lands straight in thr_ref so the complex RD map never materializes ----
     for t in range(n // col_tile):
         cs = pl.ds(t * col_tile, col_tile)
-        rr, ri = _dot_left(d_ref, yr_scr[:, cs], yi_scr[:, cs], dot_impl)
+        rr, ri = _dot_left(d_ref, thr_ref[:, cs], y_scr[:, cs], dot_impl)
         if emit == "map":
             thr_ref[:, cs] = rr
             pk_ref[:, cs] = ri
@@ -248,7 +252,7 @@ def _rd_kernel(
 
     # ---- CA/GO/SO CFAR along range per Doppler bin (shared gated body) ----
     mag = thr_ref[:, :]
-    _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, cfar_scr, n,
+    _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, y_scr, n,
                   lag_bits=lag_bits, lead2_bits=lead2_bits)
 
 
@@ -341,14 +345,16 @@ def fused_rd_chain(
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((p, n), jnp.float32),
-                pltpu.VMEM((p, n), jnp.float32),
                 pltpu.VMEM((p, n + PAD), jnp.float32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * p, n), dt) for dt in out_dtypes
         ],
+        # the [P, N] channel tile plus constants exceed XLA's 16 MB default
+        # scoped-vmem budget at P=256; v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scalars, fscal, re, im, jnp.asarray(wf), jnp.asarray(wi),
       jnp.asarray(h), jnp.asarray(d))
