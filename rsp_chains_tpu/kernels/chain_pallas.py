@@ -465,7 +465,8 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 fold_twiddle: bool = False, ablate: str = "",
                 lag_bits: int = 7, lead_bits: int = 7, mag_ref=None,
                 perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8,
-                boxsum_impl: str = "vpu", stack_hi_lo: bool = False):
+                boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
+                h_ref=None):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
     (threshold f32, peaks u8).
 
@@ -475,6 +476,9 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
     'mxu' — window sums by the [N, 3N] band matmul (``_box_band_operand``,
     interleave + lag + lead in one operand); 'mxu2' — [N, 2N+ext] lag-only
     band with the lead sums derived by a runtime rotation.
+    ``h_ref``: optional [2, N] BLOCK-order spectral weights multiplied into
+    the spectrum before the magnitude (the collapsed pulse-compression chain:
+    FFT(MF(x)) = FFT(x)·H; see ``rd_pallas._h_block``).
     ``ablate``: profiling-only switches that skip a stage (results are WRONG;
     never exposed through the chain API): 'pass1' / 'twiddle' / 'mxu' /
     'perm' / 'cfar'."""
@@ -519,6 +523,11 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
         c_im_blocks.append(ci)
     c_re = jnp.concatenate(c_re_blocks, axis=1)
     c_im = jnp.concatenate(c_im_blocks, axis=1)
+
+    if h_ref is not None:
+        hr = h_ref[0, :]
+        hi = h_ref[1, :]
+        c_re, c_im = c_re * hr - c_im * hi, c_re * hi + c_im * hr
 
     def magnitude(re, im):
         if mag_ref is None:
@@ -590,15 +599,14 @@ def _chain_kernel(
     tw_ref,                  # [2, N] twiddle rows
     w_ref,                   # [3, 128, 128] scaled Gauss triple of DFT-128
     pm_ref,                  # [n_steps, N] int32 interleave masks
-    thr_ref, pk_ref,         # [F, N] outputs
-    scr_ref,                 # [F, N + PAD] f32 scratch (gated CFAR row)
-    *,
+    *rest,                   # optional h_ref [2, N], then outputs + scratch
     n: int, n1: int, perm_mag_only: bool = True, mask_operand: bool = True,
     pass1_radix2: bool = True, dot_impl: str = "f32",
     fold_twiddle: bool = False, ablate: str = "",
     lag_bits: int = 7, lead_bits: int = 7, lead2_bits: int = 8,
     gate_mag: bool = True, perm_impl: str = "roll", gated_cfar: bool = True,
     row_groups: int = 1, boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
+    with_h: bool = False,
 ):
     """``row_groups`` > 1 partitions the tile's frames into independent
     groups, each running the full FFT->mag->perm->CFAR chain: the groups share
@@ -606,6 +614,11 @@ def _chain_kernel(
     with group i+1's MXU-bound FFT/permutation — the single-group kernel is one
     serial dependency chain whose VPU and MXU halves can never run
     concurrently (r2m: VPU ~0.9 ms + MXU ~0.58 ms ≈ the 1.35 ms total)."""
+    if with_h:
+        h_ref, thr_ref, pk_ref, scr_ref = rest
+    else:
+        h_ref = None
+        thr_ref, pk_ref, scr_ref = rest
     use_pm = perm_impl == "mxu" or mask_operand
     f = xr_ref.shape[0]
     gsz = f // row_groups
@@ -626,7 +639,7 @@ def _chain_kernel(
                           mag_ref=thr_g if gate_mag else None,
                           perm_impl=perm_impl, gated_refs=gated_refs,
                           lead2_bits=lead2_bits, boxsum_impl=boxsum_impl,
-                          stack_hi_lo=stack_hi_lo)
+                          stack_hi_lo=stack_hi_lo, h_ref=h_ref)
         if out is not None:
             thr, pk_u8 = out
             thr_g[:, :] = thr
@@ -723,10 +736,19 @@ def fused_chain_ca(
     row_groups: int = 1,
     boxsum_impl: str = "vpu",
     stack_hi_lo: bool = True,
+    h_block=None,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
-    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024}. The runtime size
-    register is handled by ``fused_chain_ca_op``.
+    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024} (headline shapes;
+    the MXU-permutation interleave) or {2048, 4096} (pulse-compression
+    frames; the [N, N] permutation operand no longer fits VMEM, so the
+    interleave runs as the verified roll/select bit-transposition network and
+    the scoped-VMEM budget is raised). The runtime size register is handled
+    by ``fused_chain_ca_op``.
+
+    ``h_block``: optional host [2, N] float32 BLOCK-order spectral weights
+    (``rd_pallas._h_block``) multiplied into the spectrum before the
+    magnitude — the collapsed pulse-compression chain in one kernel.
 
     The keyword switches are kernel-formulation A/Bs (benchmarks/profile_r2g
     through r2k); the defaults are the shipped configuration, chosen on-chip:
@@ -752,8 +774,13 @@ def fused_chain_ca(
     xp = as_pair(x)
     n = xp.shape[-1]
     n1 = n // 128
-    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    assert n == fft_cfg.max_size and n1 in (2, 4, 8, 16, 32), n
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
+    if n1 > 8:
+        # the [N, N] permutation operand is n²·2 bytes — past VMEM at 2048+;
+        # the roll/select network scales as O(log n) passes
+        perm_impl = "roll"
+        boxsum_impl = "vpu"
 
     batch_shape = xp.shape[:-1]
     flat = int(np.prod(batch_shape)) if batch_shape else 1
@@ -802,31 +829,46 @@ def fused_chain_ca(
         fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
         perm_impl=perm_impl, gated_cfar=gated_cfar, row_groups=row_groups,
         boxsum_impl=boxsum_impl, stack_hi_lo=stack_hi_lo,
+        with_h=h_block is not None,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
         lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
                              + cfar_cfg.max_ref_window + 1))
     from .cfar_pallas import PAD as _CPAD
+    in_specs = [
+        pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, n), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(triple.shape,
+                     lambda i, *_ , _nd=triple.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pm_j.shape[0], pm_j.shape[1]),
+                     lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [scalars, fscal, re, im, tw_j, w_j, pm_j]
+    if h_block is not None:
+        h_j = jnp.asarray(np.asarray(h_block, np.float32))
+        assert h_j.shape == (2, n), h_j.shape
+        in_specs.append(pl.BlockSpec((2, n), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(h_j)
+    extra = {}
+    if n1 > 8:
+        # [bf, 4096] tiles: in/out windows + folded constants exceed the
+        # default 16 MB scoped budget (v5e: 128 MB physical VMEM)
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     thr, pk = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, n), lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(triple.shape,
-                             lambda i, *_ , _nd=triple.ndim: (0,) * _nd,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((pm_j.shape[0], pm_j.shape[1]),
-                             lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -842,7 +884,8 @@ def fused_chain_ca(
             jax.ShapeDtypeStruct((f_tot, n), jnp.uint8),
         ],
         interpret=interpret,
-    )(scalars, fscal, re, im, tw_j, w_j, pm_j)
+        **extra,
+    )(*operands)
 
     thr = thr[:flat].reshape(batch_shape + (n,))
     pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)

@@ -336,6 +336,41 @@ def pulse_compression_chain(
         and not _bit_true(cfg)
         and taps_np.shape[-1] <= n
     )
+    from .kernels.cfar_pallas import fused_tail_kind
+
+    if (collapsible and fused_tail_kind(cfg) == "ca"
+            and n % 128 == 0 and n // 128 in (2, 4, 8, 16, 32)
+            and cfg.fft.use_mxu):
+        # the whole collapsed chain as ONE kernel: in-kernel four-step FFT,
+        # the reference spectrum multiplied in block order, fused mag+CFAR
+        import jax
+
+        from .cplx import as_pair
+        from .kernels.cfar_pallas import fused_mag_cfar
+        from .kernels.chain_pallas import fused_chain_ca
+        from .kernels.rd_pallas import _h_block
+
+        hb = _h_block(taps_np, n, mf_cfg.normalize)
+        interpret = jax.default_backend() != "tpu"
+
+        def pc_fused(x, rt: RuntimeConfig):
+            xp = as_pair(x)
+
+            def full(xq):
+                return fused_chain_ca(xq, rt, cfg.fft, cfg.cfar,
+                                      interpret=interpret, h_block=hb)
+
+            def small(xq):
+                y = matched_filter(xq, taps_np, mf_cfg)
+                s = fft_op(y, rt.log2_fft_size, cfg.fft)
+                return fused_mag_cfar(s, rt, cfg.cfar, interpret=interpret)
+
+            if not cfg.fft.runtime_size:
+                return full(xp)
+            return jax.lax.cond(rt.log2_fft_size >= cfg.fft.log2_max,
+                                full, small, xp)
+
+        return Chain(cfg, [Stage("pc_fused", pc_fused, terminal=True)])
     if collapsible:
         import jax
 

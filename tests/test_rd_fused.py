@@ -186,7 +186,8 @@ def _xla_pc(x, rt, cfg):
 def test_pulse_compression_collapse_matches_composition_full_size():
     cfg = _pc_cfg()
     chain = pulse_compression_chain(cfg, taps=TAPS)
-    assert chain.stages[0].name == "spectral_mf"
+    # CA-fusable elaboration: the whole collapsed chain is ONE kernel
+    assert [s.name for s in chain.stages] == ["pc_fused"]
     rng = np.random.RandomState(5)
     x = as_pair((rng.randn(3, N) + 1j * rng.randn(3, N)).astype(np.complex64))
     rt = _rt()
@@ -210,6 +211,49 @@ def test_pulse_compression_runtime_small_size_branch():
     thr_w = np.asarray(want.threshold)
     np.testing.assert_allclose(np.asarray(got.threshold), thr_w,
                                rtol=1e-4, atol=1e-5 * np.abs(thr_w).max())
+
+
+def test_pulse_compression_spectral_mf_path_for_gosca():
+    """Non-CA elaborations keep the spectral_mf collapse + the GOS tail."""
+    cfg = dataclasses.replace(
+        _pc_cfg(),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4, max_fft_size=N,
+                        variant=CfarVariant.GOSCA, include_cash=True))
+    chain = pulse_compression_chain(cfg, taps=TAPS)
+    assert chain.stages[0].name == "spectral_mf"
+    rng = np.random.RandomState(9)
+    x = as_pair((rng.randn(2, N) + 1j * rng.randn(2, N)).astype(np.complex64))
+    rt = _rt(cfar_algorithm=1, index_lagg=6, index_lead=6)
+    got = chain.jit()(x, rt)
+    want = _xla_pc(x, rt, cfg)
+    scale = np.abs(np.asarray(want.threshold)).max()
+    assert np.abs(np.asarray(got.threshold)
+                  - np.asarray(want.threshold)).max() / scale < 1e-4
+
+
+def test_pulse_compression_fused_n4096_lowers():
+    """The 4096-point elaboration (BASELINE config 2) lowers with the
+    roll/select interleave and the h_block operand (lowering only — the
+    interpret-mode execution at 4096 is exercised on-chip)."""
+    import jax
+
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=4096),
+        matched_filter=MatchedFilterConfig(num_taps=128, fft_size=4096),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=4096, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+    taps = lfm_chirp(128, 0.0, 0.25)
+    chain = pulse_compression_chain(cfg, taps=taps)
+    assert [s.name for s in chain.stages] == ["pc_fused"]
+    rng = np.random.RandomState(10)
+    x = as_pair((rng.randn(1, 4096) + 1j * rng.randn(1, 4096))
+                .astype(np.complex64))
+    rt = RuntimeConfig.make(fft_size=4096, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=8.0,
+                            div_sum=4)
+    jax.jit(chain.__call__).lower(x, rt)  # must trace + lower cleanly
 
 
 def test_sharded_rd_pipeline_fused_front_matches_unsharded():
