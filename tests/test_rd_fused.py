@@ -85,14 +85,25 @@ def test_fused_rd_go_so_modes_and_runtime_registers_no_recompile():
     cfg = _cfg()
     cpi = as_pair(_cpi(b=1, seed=1))
     f = jax.jit(lambda x, r: fused_rd_chain(x, r, TAPS, cfg, interpret=True))
-    for mode, w, g in ((0, 8, 2), (1, 16, 4), (2, 4, 1)):
-        rt = _rt(cfar_mode=mode, ref_window_size=w, guard_window_size=g,
-                 div_sum=int(np.log2(w)))
+    cases = [
+        dict(cfar_mode=0, ref_window_size=8, guard_window_size=2, div_sum=3),
+        dict(cfar_mode=1, ref_window_size=16, guard_window_size=4, div_sum=4),
+        dict(cfar_mode=2, ref_window_size=4, guard_window_size=1, div_sum=2),
+        dict(peak_grouping=1),
+        dict(log_or_linear=0, mag_mode=3, threshold_scaler=1.5),
+        dict(mag_mode=1),
+        dict(cfar_fft_size=N // 2),  # runtime CFAR active-range register
+    ]
+    for kw in cases:
+        rt = _rt(**kw)
         want = _xla_rd(cpi, rt, cfg)
         got = f(cpi, rt)
-        scale = np.abs(np.asarray(want.threshold)).max()
-        assert np.abs(np.asarray(got.threshold)
-                      - np.asarray(want.threshold)).max() / scale < 1e-4
+        thr_w = np.asarray(want.threshold)
+        scale = max(np.abs(thr_w).max(), 1e-9)
+        assert np.abs(np.asarray(got.threshold) - thr_w).max() / scale \
+            < 1e-4, kw
+        flips = int(np.sum(np.asarray(got.peaks) != np.asarray(want.peaks)))
+        assert flips <= 2, (kw, flips)
     assert f._cache_size() == 1
 
 
@@ -285,3 +296,16 @@ def test_sharded_rd_pipeline_fused_front_matches_unsharded():
     thr_u = np.asarray(out_u.threshold)
     scale = np.abs(thr_u).max()
     assert np.abs(np.asarray(out_s.threshold) - thr_u).max() / scale < 1e-4
+
+
+def test_pc_fused_no_recompile_across_runtime_sizes():
+    """The full/small runtime-size branches live under ONE lax.cond — the
+    fft-size register stays a traced scalar (no recompile)."""
+    cfg = _pc_cfg()
+    chain = pulse_compression_chain(cfg, taps=TAPS)
+    jc = chain.jit()
+    rng = np.random.RandomState(11)
+    x = as_pair((rng.randn(2, N) + 1j * rng.randn(2, N)).astype(np.complex64))
+    jc(x, _rt())
+    jc(x, _rt(fft_size=N // 2))
+    assert jc._cache_size() == 1
