@@ -19,7 +19,8 @@ import time
 
 
 PRESETS = ("fft_mag_cfar", "rsp_vanilla", "chain_with_mem", "rx_tx",
-           "pulse_compression", "range_doppler", "real_rx")
+           "pulse_compression", "range_doppler", "real_rx",
+           "beamformed_rd", "integrated_search")
 
 
 def _build_chain(preset: str):
@@ -33,7 +34,35 @@ def _build_chain(preset: str):
         "pulse_compression": P.pulse_compression_chain,
         "range_doppler": P.range_doppler_chain,
         "real_rx": P.real_rx_chain,
+        "beamformed_rd": P.beamformed_rd_chain,
+        "integrated_search": P.integrated_search_chain,
     }[preset]()
+
+
+def _default_cpi(preset: str, cfg):
+    """Synthetic CPI fixture for the 2-D presets (no --input): one LFM target
+    at range bin N/4, Doppler 0.1 cycles/pulse; beamformed_rd replicates it
+    over 8 array channels with the ULA phase of a 10-degree target so exactly
+    one beam lights up."""
+    import numpy as np
+
+    from .golden import chirp_with_targets, lfm_chirp
+
+    n = cfg.fft.max_size
+    p = (cfg.doppler.num_pulses if cfg.doppler is not None else 64)
+    from .configs import MatchedFilterConfig
+
+    n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
+    chirp = lfm_chirp(min(n_taps, n // 4), 0.0, 0.25)
+    cpi = chirp_with_targets(p, n, chirp, [(n // 4, 1.0, 0.1)], noise_db=-40)
+    if preset == "beamformed_rd":
+        from .ops.beamform import ula_steering
+
+        # element-space replica: arriving wavefront of a 10-degree target
+        # (beamform conjugates the steering weights internally)
+        a = ula_steering(8, np.deg2rad([10.0]))[0]   # [C]
+        cpi = a[:, None, None] * cpi[None]           # [C, P, N]
+    return cpi
 
 
 def _runtime(overrides: list[str], cfar_cfg=None):
@@ -87,6 +116,10 @@ def cmd_run(args):
                         jnp.float32)
         print(f"(no --input: real part of the canonical {n}-pt three-tone fixture)",
               file=sys.stderr)
+    elif args.preset in ("range_doppler", "beamformed_rd", "integrated_search"):
+        x = as_pair(_default_cpi(args.preset, chain.cfg))
+        print("(no --input: synthetic one-target LFM CPI fixture)",
+              file=sys.stderr)
     else:
         from .golden import three_tone_signal
 
@@ -106,6 +139,23 @@ def cmd_run(args):
         peaks = np.flatnonzero(np.asarray(out.peaks).reshape(-1))
         print(f"detections ({peaks.size}): {peaks[:32].tolist()}"
               + (" ..." if peaks.size > 32 else ""))
+        if getattr(args, "top_k", 0):
+            # fixed-size serving egress: top-K detection list per frame
+            from .ops.detect import compact_detections
+
+            # rank by the CUT magnitude when elaborated (send_cut), else by
+            # the local threshold (a monotone noise proxy at the detection)
+            cut = out.cut if getattr(out, "cut", None) is not None \
+                else out.threshold
+            dl = compact_detections(cut, out, max_detections=args.top_k)
+            bins = np.asarray(dl.bins).reshape(-1, args.top_k)
+            vals = np.asarray(dl.values).reshape(-1, args.top_k)
+            cnt = np.asarray(dl.count).reshape(-1)
+            for i in range(min(4, bins.shape[0])):
+                k = int(cnt[i])
+                pairs = ", ".join(f"{b}:{v:.3g}"
+                                  for b, v in zip(bins[i][:k], vals[i][:k]))
+                print(f"top-{args.top_k} frame {i} (count {k}): {pairs}")
     return 0
 
 
@@ -329,6 +379,9 @@ def main(argv=None):
     pr.add_argument("--preset", choices=PRESETS, default="fft_mag_cfar")
     pr.add_argument("--input", help=".npy complex IQ (or uint32 words for rx_tx)")
     pr.add_argument("--output", help=".npz to write threshold/peaks")
+    pr.add_argument("--top-k", type=int, default=0, metavar="K",
+                    help="also print a strength-sorted top-K detection list "
+                         "per frame (ops/detect.py serving egress)")
     pr.add_argument("--set", action="append", metavar="REG=VAL",
                     help="runtime register override (RuntimeConfig.make kwarg)")
     pr.set_defaults(fn=cmd_run)

@@ -291,7 +291,9 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
     thr_ref[:, :] = jnp.where(active, thr, 0.0)
 
     peaks = (mag > thr) & active
-    pk_ref[:, :] = peaks.astype(jnp.uint8)
+    # cast to the ref's dtype: uint8 normally; int32 for callers whose row
+    # count is below the (32, 128) int8-family minimum tile (rd_pallas)
+    pk_ref[:, :] = peaks.astype(pk_ref.dtype)
 
     @pl.when(peak_grouping == 1)
     def _():
@@ -302,7 +304,7 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
         left = jnp.where(col == 0, ninf, pltpu.roll(m, 1, axis=1))
         right = jnp.where(col == n - 1, ninf, pltpu.roll(m, n - 1, axis=1))
         grouped = peaks & (mag >= left) & (mag >= right)
-        pk_ref[:, :] = grouped.astype(jnp.uint8)
+        pk_ref[:, :] = grouped.astype(pk_ref.dtype)
 
 
 def _kernel(
@@ -1109,6 +1111,12 @@ def _gos_kernel3(
             est = jnp.minimum(msel, rest) / jnp.maximum(sub_w, 1).astype(
                 jnp.float32)
             est = jnp.where(jnp.isfinite(est), est, 0.0)
+            # sub_w > w: no sub-window fits inside the reference window, so
+            # the statistic is 0 (golden `_cash_stat`: sub_cnt == sub_w never
+            # holds; v2: t + sub_w <= wl never holds) — without this the
+            # m_len=1 clamp above would return a sum spanning guard cells
+            # and the CUT
+            est = jnp.where(sub_w <= w, est, 0.0)
             stat_scr[4] = _roll_right(est, guard + w)[:, M : M + tile]
             stat_scr[5] = _roll_left(est, guard + 1)[:, M : M + tile]
 
@@ -1165,8 +1173,13 @@ def fused_mag_gos_cfar(
         tile = range_tile
     elif version == 3:
         # full-row tiles amortize the slab margins (1.97 -> 3.70 ms at tile
-        # 256); cap at 1024 so the value-resident stack stays within VMEM
-        tile = n if (n <= 1024 or n % 1024) else 1024
+        # 256); cap at 1024 so the value-resident stack stays within the
+        # 16 MB scoped-VMEM budget. The cap must hold for EVERY n — the
+        # sharded tail calls with halo-extended n (e.g. 1280 = 1024 + 2·128),
+        # so pick the largest divisor of n among {1024, 512, 256}.
+        tile = next((t for t in (1024, 512, 256) if n % t == 0), None)
+        assert tile is not None, f"frame length {n} not a multiple of 256"
+        tile = min(tile, n)
     else:
         tile = GOS_RANGE_TILE
     assert n % tile == 0, f"frame length must be a multiple of {tile}"

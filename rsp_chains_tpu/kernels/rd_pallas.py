@@ -103,20 +103,50 @@ def _inv_folded(n: int, split_bf16: bool = True):
     return stacked
 
 
-def _h_block(taps: np.ndarray, n: int, normalize: bool) -> np.ndarray:
+def _h_natural(taps: np.ndarray, n: int, normalize: bool) -> np.ndarray:
     """Matched-filter reference spectrum H = conj(FFT_n(pad(taps)))[/||taps||]
-    permuted into the four-step BLOCK order (lane j holds H of natural bin
-    sinv(j)), so the in-kernel spectral multiply needs no interleave.
-    Returns [2, n] f32 (re, im). Matches ``ops.matched_filter.matched_filter``
-    (``hf = FFT(pad(taps)).conj()``, optional 1/||taps|| normalization)."""
+    in natural bin order (complex128 host constant). Matches
+    ``ops.matched_filter.matched_filter`` (``hf = FFT(pad(taps)).conj()``,
+    optional 1/||taps|| normalization) — the single source for the collapsed
+    ``spectral_mf`` preset stage and the in-kernel block-order operands."""
     t = np.asarray(taps).astype(np.complex128)
     assert t.ndim == 1 and t.shape[0] <= n
     h = np.conj(np.fft.fft(t, n))
     if normalize:
         h = h / max(np.sqrt(np.sum(np.abs(t) ** 2)), 1e-30)
+    return h
+
+
+def _h_block(taps: np.ndarray, n: int, normalize: bool) -> np.ndarray:
+    """``_h_natural`` permuted into the four-step BLOCK order (lane j holds H
+    of natural bin sinv(j)), so the in-kernel spectral multiply needs no
+    interleave. Returns [2, n] f32 (re, im)."""
+    h = _h_natural(taps, n, normalize)
     n1 = n // 128
     hb = h[np.asarray(_sinv_map(n, n1))]
     return np.stack([hb.real, hb.imag]).astype(np.float32)
+
+
+def rd_fusable(cfg: ChainConfig, taps) -> bool:
+    """Whether this elaboration + replica fit the fused RD kernel's
+    constraints — the single eligibility predicate shared by
+    ``presets.range_doppler_chain`` and ``parallel.sharded.
+    make_sharded_rd_pipeline`` (and mirrored by ``fused_rd_chain``'s own
+    asserts): frame length a {2,4,8}·128 four-step shape, pulse count a power
+    of two in [8, 256] (the dense [P, P] Doppler operand), frequency-domain
+    frame-sized matched filter, replica no longer than the frame."""
+    mf_cfg = cfg.matched_filter
+    dop_cfg = cfg.doppler
+    if mf_cfg is None or dop_cfg is None:
+        return False
+    n = cfg.fft.max_size
+    p = dop_cfg.num_pulses
+    return (
+        n % 128 == 0 and n // 128 in (2, 4, 8)
+        and (p & (p - 1)) == 0 and 8 <= p <= 256
+        and mf_cfg.method == "freq"
+        and np.asarray(taps).shape[-1] <= n
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -318,7 +348,10 @@ def fused_rd_chain(
         lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
                              + cfar_cfg.max_ref_window + 1))
 
-    out_dtypes = [jnp.float32, jnp.float32 if emit == "map" else jnp.uint8]
+    # uint8 outputs need the (32, 128) int8-family minimum tile (CLAUDE.md);
+    # small-CPI elaborations (8/16 pulses) emit int32 peaks instead
+    pk_dtype = jnp.uint8 if p >= 32 else jnp.int32
+    out_dtypes = [jnp.float32, jnp.float32 if emit == "map" else pk_dtype]
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -246,6 +246,7 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
     the multi-chip step then uses the same single-kernel datapath as the
     single-chip flagship."""
     from ..kernels.cfar_pallas import fused_tail_kind
+    from ..kernels.rd_pallas import rd_fusable
     from ..ops.doppler import doppler_fft
     from ..ops.matched_filter import matched_filter
     import numpy as _np
@@ -253,15 +254,7 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
     taps = _np.asarray(taps)  # host-side; the op splits to a real pair
     mf_cfg = cfg.matched_filter
     dop_cfg = cfg.doppler
-    n = cfg.fft.max_size
-    p = dop_cfg.num_pulses if dop_cfg is not None else 0
-    fused_front = (
-        fused_tail_kind(cfg) is not None
-        and mf_cfg is not None and dop_cfg is not None
-        and n % 128 == 0 and n // 128 in (2, 4, 8)
-        and (p & (p - 1)) == 0 and 8 <= p <= 256
-        and mf_cfg.method == "freq" and taps.shape[-1] <= n
-    )
+    fused_front = fused_tail_kind(cfg) is not None and rd_fusable(cfg, taps)
 
     def step(x, rt: RuntimeConfig):
         if fused_front:

@@ -375,10 +375,9 @@ def pulse_compression_chain(
         import jax
 
         from .cplx import C, as_pair
+        from .kernels.rd_pallas import _h_natural
 
-        h = np.conj(np.fft.fft(taps_np.astype(np.complex128), n))
-        if mf_cfg.normalize:
-            h = h / max(float(np.sqrt(np.sum(np.abs(taps_np) ** 2))), 1e-30)
+        h = _h_natural(taps_np, n, mf_cfg.normalize)
         hr = h.real.astype(np.float32)
         hi = h.imag.astype(np.float32)
 
@@ -432,18 +431,11 @@ def range_doppler_chain(
     )
 
     kind = fused_tail_kind(cfg)
-    mf_cfg = cfg.matched_filter or MatchedFilterConfig()
-    dop_cfg = cfg.doppler or DopplerConfig()
     n = cfg.fft.max_size
-    p = dop_cfg.num_pulses
     taps_np = np.asarray(taps)
-    fusable = (
-        n % 128 == 0 and n // 128 in (2, 4, 8)
-        and (p & (p - 1)) == 0 and 8 <= p <= 256
-        and mf_cfg.method == "freq"
-        and taps_np.shape[-1] <= n
-    )
-    if kind is not None and fusable:
+    from .kernels.rd_pallas import rd_fusable
+
+    if kind is not None and rd_fusable(cfg, taps_np):
         import jax
 
         from .kernels.rd_pallas import fused_rd_chain
@@ -475,3 +467,106 @@ def range_doppler_chain(
             *tail_stages(cfg),
         ],
     )
+
+
+def beamformed_rd_chain(
+    cfg: Optional[ChainConfig] = None,
+    taps: Optional[np.ndarray] = None,
+    angles_rad: Optional[np.ndarray] = None,
+    num_channels: int = 8,
+) -> Chain:
+    """Multi-channel front end: element-space CPI -> beams -> range-Doppler.
+
+    The reference processes one channel per elaborated chain; an array front
+    end would be N chain instances behind an analog/digital beamformer
+    (SURVEY §2.15 "data parallel over channels/beams"). Here beam formation is
+    one ``[beams, channels]`` complex matmul on the MXU (``ops/beamform.py``)
+    ahead of the fused RD chain — the beam axis then plays the channel role.
+
+    Input: ``[..., C, P, N]`` element-space IQ CPI blocks (C array channels).
+    Output: ``CfarOutput`` over ``[..., B, P, N]`` per-beam RD maps."""
+    from .cplx import C as _C, as_pair
+    from .ops.beamform import beamform, ula_steering
+
+    cfg = cfg or ChainConfig(doppler=DopplerConfig())
+    if angles_rad is None:
+        angles_rad = np.deg2rad(np.linspace(-60, 60, 8))
+    weights = ula_steering(num_channels, angles_rad)
+
+    def bf(x, rt):
+        xp = as_pair(x)
+        c, p, n = xp.shape[-3:]
+        assert c == num_channels, (c, num_channels)
+        flatt = xp.reshape(xp.shape[:-2] + (p * n,))   # [..., C, P*N]
+        y = beamform(flatt, weights)                   # [..., B, P*N]
+        return y.reshape(y.shape[:-1] + (p, n))
+
+    rd = range_doppler_chain(cfg, taps=taps)
+    return Chain(cfg, [Stage("beamform", bf), *rd.stages])
+
+
+def integrated_search_chain(
+    cfg: Optional[ChainConfig] = None,
+    taps: Optional[np.ndarray] = None,
+    mode: str = "noncoherent",
+    m_of_n: int = 0,
+) -> Chain:
+    """Search-mode pulse integration (no Doppler filter bank): matched filter
+    per pulse, then one of the three classic integration gains
+    (``ops/integrate.py``) ahead of or behind the CFAR:
+
+    * ``mode='noncoherent'`` — magnitude sum over pulses, CFAR on the
+      integrated range profile (post-detection integration gain);
+    * ``mode='coherent'`` — complex pulse sum before the magnitude (full
+      10·log10(P) gain for phase-stable returns);
+    * ``mode='binary'`` — per-pulse CFAR decisions fused m-of-n
+      (``m_of_n`` ≥ 1; the classic double-threshold detector).
+
+    Input: ``[..., P, N]`` IQ CPI. Output: ``CfarOutput`` over ``[..., N]``
+    (binary mode: peaks are the m-of-n fusion; threshold is the per-pulse
+    mean threshold for observability)."""
+    from .ops.integrate import (
+        binary_integration, coherent_integration, noncoherent_integration,
+    )
+
+    cfg = cfg or ChainConfig()
+    if taps is None:
+        from .golden.fixtures import lfm_chirp
+
+        n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
+        taps = lfm_chirp(n_taps)
+    assert mode in ("noncoherent", "coherent", "binary"), mode
+    if mode == "binary":
+        assert m_of_n >= 1, "binary integration needs m_of_n >= 1"
+
+    mf = matched_filter_stage(cfg, taps)
+    mag = mag_stage(cfg)
+    cfar = cfar_stage(cfg)
+
+    if mode == "coherent":
+        def integ(x, rt):
+            from .cplx import C as _C
+
+            return _C(coherent_integration(x.re), coherent_integration(x.im))
+
+        stages = [mf, Stage("coherent_integration", integ), mag, cfar]
+    elif mode == "noncoherent":
+        stages = [
+            mf, mag,
+            Stage("noncoherent_integration",
+                  lambda m, rt: noncoherent_integration(m)),
+            cfar,
+        ]
+    else:
+        def fuse(out, rt):
+            from .ops.cfar import CfarOutput
+
+            return CfarOutput(
+                threshold=jnp.mean(out.threshold, axis=-2),
+                peaks=binary_integration(out.peaks, m_of_n),
+                noise=None, cut=None,
+            )
+
+        stages = [mf, mag, cfar,
+                  Stage("binary_integration", fuse, terminal=True)]
+    return Chain(cfg, stages)

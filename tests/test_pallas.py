@@ -256,6 +256,48 @@ def test_gos_kernel_cash_mode(sw, version, rng):
 
 
 @pytest.mark.parametrize("version", [2, 3])
+def test_gos_kernel_cash_sub_window_exceeds_ref_window(version, rng):
+    """Runtime sub_window_size > ref_window_size: no sub-window fits, so the
+    CASH statistic is 0 and the threshold is pure scaler — the golden/v2
+    semantics. RuntimeConfig.make validates this combination away, but the
+    server's JSON config frames and CLI --set can write raw registers
+    (dataclasses.replace below), so the kernels must clamp defensively
+    (the r2 guard-window lesson, ADVICE round 1)."""
+    import dataclasses
+
+    spec = _spec(rng, shape=(2, 256))
+    rt = RuntimeConfig.make(fft_size=256, cfar_mode=CfarMode.CASH,
+                            ref_window_size=8, guard_window_size=2,
+                            sub_window_size=4, threshold_scaler=3.0)
+    rt = dataclasses.replace(rt, sub_window_size=jnp.asarray(16, jnp.int32))
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True,
+                             version=version)
+    want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_gos_kernel_v3_halo_extended_frame_length(rng):
+    """The sharded tail calls with halo-extended lengths (e.g. 1280 =
+    1024 + 2*PAD) that are NOT multiples of 1024 — the v3 tile picker must
+    fall back to a 256-aligned divisor instead of a full-row tile that would
+    blow the scoped-VMEM budget on-chip."""
+    spec = _spec(rng, shape=(2, 1280))
+    rt = RuntimeConfig.make(fft_size=1024, cfar_mode=CfarMode.GREATEST_OF,
+                            ref_window_size=8, guard_window_size=2,
+                            cfar_algorithm=CfarAlgorithm.GOS,
+                            index_lagg=4, index_lead=4, threshold_scaler=3.0,
+                            cfar_fft_size=1280)
+    got = fused_mag_gos_cfar(jnp.asarray(spec), rt, GCFG_CASH, interpret=True,
+                             version=3)
+    want = cfar_op(logmag(jnp.asarray(spec), rt.mag_mode), rt, GCFG_CASH,
+                   active_hi=jnp.asarray(1280, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=5e-2)
+
+
+@pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_cash_runtime_mode_switch(version, rng):
     """All four modes through the CASH-elaborated kernel (runtime switch)."""
     spec = _spec(rng, shape=(2, 256))

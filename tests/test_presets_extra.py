@@ -1,0 +1,146 @@
+"""Beamformed RD and integrated-search presets — the reachability layer for
+ops/beamform.py, ops/integrate.py and ops/detect.py (every op must be
+reachable from a preset, like the r1 real_rx fix for rfft_op)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rsp_chains_tpu import (
+    CfarConfig,
+    CfarVariant,
+    ChainConfig,
+    DopplerConfig,
+    FftConfig,
+    MatchedFilterConfig,
+    RuntimeConfig,
+)
+from rsp_chains_tpu.cplx import as_pair
+from rsp_chains_tpu.golden import chirp_with_targets, lfm_chirp
+from rsp_chains_tpu.ops.beamform import ula_steering
+from rsp_chains_tpu.presets import beamformed_rd_chain, integrated_search_chain
+
+P, N = 16, 256
+TAPS = lfm_chirp(32, 0.0, 0.25)
+
+
+def _cfg():
+    return ChainConfig(
+        fft=FftConfig(max_size=N),
+        matched_filter=MatchedFilterConfig(num_taps=len(TAPS), fft_size=N),
+        doppler=DopplerConfig(num_pulses=P, window=None),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=N, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+
+
+def _rt(**kw):
+    kw.setdefault("fft_size", N)
+    kw.setdefault("ref_window_size", 8)
+    kw.setdefault("guard_window_size", 2)
+    kw.setdefault("threshold_scaler", 8.0)
+    kw.setdefault("div_sum", 4)
+    return RuntimeConfig.make(**kw)
+
+
+def test_beamformed_rd_target_lands_in_expected_beam():
+    cfg = _cfg()
+    angles = np.deg2rad(np.linspace(-60, 60, 8))
+    chain = beamformed_rd_chain(cfg, taps=TAPS, angles_rad=angles,
+                                num_channels=8)
+    assert chain.stages[0].name == "beamform"
+
+    fd, delay, tgt_deg = 0.25, 50, 10.0
+    cpi = chirp_with_targets(P, N, TAPS, [(delay, 1.0, fd)], noise_db=-60)
+    a = ula_steering(8, np.deg2rad([tgt_deg]))[0]
+    x = (a[:, None, None] * cpi[None]).astype(np.complex64)   # [C, P, N]
+
+    out = chain.jit()(as_pair(x), _rt())
+    pk = np.asarray(out.peaks)                                # [B, P, N]
+    beam_star = int(np.argmin(np.abs(angles - np.deg2rad(tgt_deg))))
+    assert pk[beam_star, P // 2 + int(fd * P), delay]
+    # the target beam carries the strongest threshold response of all beams
+    energy = np.asarray(out.threshold).sum(axis=(1, 2))
+    assert int(np.argmax(energy)) == beam_star
+
+
+def test_integrated_search_noncoherent_matches_manual_composition():
+    from rsp_chains_tpu.ops.cfar import cfar_op
+    from rsp_chains_tpu.ops.integrate import noncoherent_integration
+    from rsp_chains_tpu.ops.logmag import logmag
+    from rsp_chains_tpu.ops.matched_filter import matched_filter
+
+    cfg = _cfg()
+    chain = integrated_search_chain(cfg, taps=TAPS, mode="noncoherent")
+    rng = np.random.RandomState(0)
+    x = (rng.randn(2, P, N) + 1j * rng.randn(2, P, N)).astype(np.complex64)
+    rt = _rt(threshold_scaler=3.0)
+    got = chain.jit()(as_pair(x), rt)
+    m = logmag(matched_filter(as_pair(x), TAPS, cfg.matched_filter),
+               rt.mag_mode, cfg.mag)
+    want = cfar_op(noncoherent_integration(m), rt, cfg.cfar)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks),
+                                  np.asarray(want.peaks))
+    assert got.threshold.shape == (2, N)
+
+
+def test_integrated_search_gain_over_single_pulse():
+    """Non-coherent integration raises detection: a target invisible to a
+    single pulse's CFAR at high scaler is detected on the integrated map."""
+    cfg = _cfg()
+    cpi = chirp_with_targets(P, N, TAPS, [(100, 0.45, 0.0)], noise_db=-12)
+    rt = _rt(threshold_scaler=4.0)
+    chain = integrated_search_chain(cfg, taps=TAPS, mode="noncoherent")
+    out = chain.jit()(as_pair(cpi), rt)
+    assert np.asarray(out.peaks)[100]
+
+
+def test_integrated_search_binary_m_of_n():
+    cfg = _cfg()
+    cpi = chirp_with_targets(P, N, TAPS, [(80, 1.0, 0.0)], noise_db=-30)
+    rt = _rt(threshold_scaler=4.0)
+    chain = integrated_search_chain(cfg, taps=TAPS, mode="binary",
+                                    m_of_n=P // 2)
+    out = chain.jit()(as_pair(cpi), rt)
+    pk = np.asarray(out.peaks)
+    assert pk.shape == (N,)
+    assert pk[80]
+
+    from rsp_chains_tpu.ops.cfar import cfar_op
+    from rsp_chains_tpu.ops.integrate import binary_integration
+    from rsp_chains_tpu.ops.logmag import logmag
+    from rsp_chains_tpu.ops.matched_filter import matched_filter
+
+    m = logmag(matched_filter(as_pair(cpi), TAPS, cfg.matched_filter),
+               rt.mag_mode, cfg.mag)
+    per_pulse = cfar_op(m, rt, cfg.cfar)
+    want = binary_integration(per_pulse.peaks, P // 2)
+    np.testing.assert_array_equal(pk, np.asarray(want))
+
+
+def test_integrated_search_coherent_mode_runs():
+    cfg = _cfg()
+    cpi = chirp_with_targets(P, N, TAPS, [(60, 1.0, 0.0)], noise_db=-30)
+    chain = integrated_search_chain(cfg, taps=TAPS, mode="coherent")
+    out = chain.jit()(as_pair(cpi), _rt(threshold_scaler=4.0))
+    assert np.asarray(out.peaks)[60]
+
+
+def test_compact_detections_through_cli_run_top_k(capsys):
+    """The --top-k serving egress path end to end through the CLI."""
+    import sys
+
+    from rsp_chains_tpu import cli
+
+    argv = ["prog", "run", "--preset", "fft_mag_cfar", "--top-k", "8"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        rc = cli.main()
+    finally:
+        sys.argv = old
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top-8 frame 0" in out
