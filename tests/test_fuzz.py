@@ -107,3 +107,54 @@ def test_full_chain_random_register_files(trial):
                                        f"mode={mode} algo={algo} rank={rank}")
     np.testing.assert_array_equal(np.asarray(out.peaks)[:n], pk_g)
     assert not np.asarray(out.peaks)[n:].any()
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fused_rd_random_register_files(trial):
+    """Random register files through ONE compiled fused RD kernel vs the XLA
+    stage composition (matched filter -> Doppler -> mag -> CFAR)."""
+    import jax
+
+    from rsp_chains_tpu.configs import (
+        ChainConfig, DopplerConfig, FftConfig, MatchedFilterConfig,
+    )
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import lfm_chirp
+    from rsp_chains_tpu.kernels.rd_pallas import fused_rd_chain
+    from rsp_chains_tpu.ops.doppler import doppler_fft
+    from rsp_chains_tpu.ops.matched_filter import matched_filter
+
+    rng = np.random.RandomState(3000 + trial)
+    p, n = 16, 256
+    taps = lfm_chirp(32, 0.0, 0.25)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        matched_filter=MatchedFilterConfig(num_taps=32, fft_size=n),
+        doppler=DopplerConfig(num_pulses=p, window="hann"),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=n, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+    w = int(rng.choice([4, 8, 16]))
+    rt = RuntimeConfig.make(
+        fft_size=n,
+        cfar_mode=int(rng.randint(0, 3)),
+        ref_window_size=w,
+        guard_window_size=int(rng.randint(1, min(w, 5))),
+        threshold_scaler=float(rng.uniform(1.0, 8.0)),
+        div_sum=int(np.log2(w)),
+        peak_grouping=int(rng.randint(0, 2)),
+        mag_mode=int(rng.choice([0, 1, 2])),
+        log_or_linear=int(rng.randint(0, 2)),
+    )
+    cpi = as_pair((rng.randn(2, p, n) + 1j * rng.randn(2, p, n))
+                  .astype(np.complex64))
+    got = fused_rd_chain(cpi, rt, taps, cfg, interpret=True)
+    m = logmag(doppler_fft(matched_filter(cpi, taps, cfg.matched_filter),
+                           cfg.doppler), rt.mag_mode)
+    want = cfar_op(m, rt, cfg.cfar)
+    thr_w = np.asarray(want.threshold)
+    scale = max(np.abs(thr_w).max(), 1e-9)
+    assert np.abs(np.asarray(got.threshold) - thr_w).max() / scale < 1e-4
+    flips = int(np.sum(np.asarray(got.peaks) != np.asarray(want.peaks)))
+    assert flips <= 2, flips
