@@ -227,9 +227,16 @@ class FftConfig:
     # expand_logic[k]=0 divides by 2 (the hardware truncates the grown LSB,
     # keepMSBorLSB=MSB). In float semantics this is an overall factor
     # 2^-(#zeros among the active stages), which adapts to the runtime size.
-    # Overrides ``scaling`` when set. LSB-keep (wraparound overflow) has no
-    # float analog and is unsupported.
+    # Overrides ``scaling`` when set.
     expand_logic: Optional[tuple] = None
+    # Per-stage truncation side, mirroring FFTParams.keepMSBorLSB
+    # (RspChainVanillaTester.scala:214): length log2(max_size); True = keep
+    # MSBs (divide by 2, RoundHalfUp — the chains' tested setting), False =
+    # keep LSBs (wraparound overflow, the raw hardware trim). LSB-keep has no
+    # float analog: the float FFT rejects it; the bit-true integer pipeline
+    # (``ops/bit_true.py``) reproduces it exactly. Only consulted on
+    # non-expanding stages (an expanding stage grows the word instead).
+    keep_msb_or_lsb: Optional[tuple] = None
     use_mxu: bool = True  # 4-step matmul FFT on the MXU vs jnp.fft.fft
                           # (NOTE: jnp.fft is unavailable on some TPU runtimes)
     # MXU contraction precision: "highest" runs f32-grade multi-pass matmuls
@@ -250,6 +257,10 @@ class FftConfig:
         n = self.max_size
         assert n > 0 and (n & (n - 1)) == 0, "fft max_size must be a power of two"
         assert 2 ** self.min_log2_size <= n
+        if self.keep_msb_or_lsb is not None:
+            assert len(self.keep_msb_or_lsb) == self.log2_max, (
+                "keep_msb_or_lsb must have one entry per stage "
+                f"(log2(max_size) = {self.log2_max})")
 
     @property
     def log2_max(self) -> int:

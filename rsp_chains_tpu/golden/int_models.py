@@ -17,8 +17,17 @@ def _rhu(v, k: int):
     return (v + (1 << (k - 1))) >> k
 
 
-def int_fft_golden(xr, xi, expand_logic=None):
-    """Radix-2 DIF integer FFT, natural order out, int64 numpy."""
+def _wrap16(v):
+    return ((v + 32768) & 0xFFFF) - 32768
+
+
+def int_fft_golden(xr, xi, expand_logic=None, keep_msb=None):
+    """Radix-2 DIF integer FFT, natural order out, int64 numpy.
+
+    ``keep_msb[s]`` (default all-True): non-expanding stage trim side — True
+    halves with RoundHalfUp, False keeps LSBs with wraparound overflow (and
+    wraps the post-twiddle product, whose unhalved input can overflow the
+    16-bit proto). Mirrors ``ops.bit_true._fft_int_fixed``."""
     xr = np.asarray(xr, np.int64).copy()
     xi = np.asarray(xi, np.int64).copy()
     n = xr.shape[-1]
@@ -28,21 +37,29 @@ def int_fft_golden(xr, xi, expand_logic=None):
         half = m >> 1
         yr = np.empty_like(xr)
         yi = np.empty_like(xi)
+        trim = None
+        if expand_logic is None or not expand_logic[s]:
+            trim = "msb" if (keep_msb is None or keep_msb[s]) else "lsb"
         for b0 in range(0, n, m):
             for j in range(half):
                 a_r, a_i = xr[..., b0 + j], xi[..., b0 + j]
                 b_r, b_i = xr[..., b0 + j + half], xi[..., b0 + j + half]
                 sr, si = a_r + b_r, a_i + b_i
                 dr, di = a_r - b_r, a_i - b_i
-                if expand_logic is None or not expand_logic[s]:
+                if trim == "msb":
                     sr, si = _rhu(sr, 1), _rhu(si, 1)
                     dr, di = _rhu(dr, 1), _rhu(di, 1)
+                elif trim == "lsb":
+                    sr, si = _wrap16(sr), _wrap16(si)
+                    dr, di = _wrap16(dr), _wrap16(di)
                 w = np.exp(-2j * np.pi * j / m)
                 wr = int(np.round(w.real * 32768.0))
                 wi = int(np.round(w.imag * 32768.0))
                 yr[..., b0 + j], yi[..., b0 + j] = sr, si
                 yr[..., b0 + j + half] = _rhu(dr * wr - di * wi, 15)
                 yi[..., b0 + j + half] = _rhu(dr * wi + di * wr, 15)
+        if trim == "lsb":
+            yr, yi = _wrap16(yr), _wrap16(yi)
         xr, xi = yr, yi
     rev = [int(format(k, f"0{p}b")[::-1], 2) for k in range(n)]
     return xr[..., rev], xi[..., rev]

@@ -682,6 +682,11 @@ def _chain_kernel_packed(
 
 
 def _fft_scale(n: int, cfg: FftConfig) -> float:
+    # LSB-keep stages (wraparound overflow) have no float analog; the float
+    # kernels must not silently ignore them (ops.fft.fft_op raises the
+    # user-facing error; presets route such elaborations off the kernels)
+    assert cfg.keep_msb_or_lsb is None or all(cfg.keep_msb_or_lsb), (
+        "keepMSBorLSB = LSB has no float analog (bit-true pipeline only)")
     if cfg.expand_logic is not None:
         stages = cfg.expand_logic[: int(np.log2(n))]
         return float(2.0 ** -sum(1 for e in stages if not e))

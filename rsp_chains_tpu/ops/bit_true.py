@@ -84,8 +84,23 @@ def stage_twiddles(n: int):
     return stages, rev
 
 
-def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple]):
-    """Static-size integer FFT of the first n lanes; returns int32 pair."""
+def wrap16(v):
+    """Trim to the 16-bit two's-complement grid with WRAPAROUND overflow —
+    the hardware's keepMSBorLSB = LSB stage trim (the grown MSB is dropped;
+    dsptools Wrap overflow)."""
+    return ((v + 32768) & 0xFFFF) - 32768
+
+
+def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple],
+                   keep_msb: Optional[tuple] = None):
+    """Static-size integer FFT of the first n lanes; returns int32 pair.
+
+    ``keep_msb[s]`` (default all-True): on a non-expanding stage, True halves
+    with RoundHalfUp (keep MSBs — the chains' tested setting); False keeps the
+    LSBs with wraparound overflow (``FFTParams.keepMSBorLSB``,
+    ``RspChainVanillaTester.scala:214``). LSB stages also wrap the post-
+    twiddle product back to the 16-bit proto (their unhalved 17-bit butterfly
+    can overflow it; MSB stages cannot)."""
     stages, rev = stage_twiddles(n)
     for s, (wr_np, wi_np) in enumerate(stages):
         half = (n >> s) >> 1
@@ -99,12 +114,19 @@ def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple]):
         sub_i = jnp.roll(xi, half, axis=-1) - xi
         sr = jnp.where(b_lane, sub_r, add_r)
         si = jnp.where(b_lane, sub_i, add_i)
+        lsb_stage = False
         if expand_logic is None or not expand_logic[s]:
-            sr, si = rhu(sr, 1), rhu(si, 1)   # keepMSB: halve before twiddle
+            if keep_msb is None or keep_msb[s]:
+                sr, si = rhu(sr, 1), rhu(si, 1)  # keepMSB: halve pre-twiddle
+            else:
+                sr, si = wrap16(sr), wrap16(si)  # keepLSB: wraparound trim
+                lsb_stage = True
         wr = jnp.asarray(wr_np)
         wi = jnp.asarray(wi_np)
         xr = rhu(sr * wr - si * wi, 15)
         xi = rhu(sr * wi + si * wr, 15)
+        if lsb_stage:
+            xr, xi = wrap16(xr), wrap16(xi)
     rev_j = jnp.asarray(rev)
     return jnp.take(xr, rev_j, axis=-1), jnp.take(xi, rev_j, axis=-1)
 
@@ -113,7 +135,9 @@ def _fft_int_branch(x: C, n: int, cfg: FftConfig) -> C:
     xr = x.re.astype(jnp.int32)[..., :n]
     xi = x.im.astype(jnp.int32)[..., :n]
     el = cfg.expand_logic
-    yr, yi = _fft_int_fixed(xr, xi, n, None if el is None else tuple(el))
+    km = cfg.keep_msb_or_lsb
+    yr, yi = _fft_int_fixed(xr, xi, n, None if el is None else tuple(el),
+                            None if km is None else tuple(km))
     pad = x.shape[-1] - n
     if pad:
         cfgpad = [(0, 0)] * (yr.ndim - 1) + [(0, pad)]

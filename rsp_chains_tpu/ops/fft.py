@@ -178,6 +178,12 @@ def fft_op(
     assert xp.shape[-1] == cfg.max_size, (
         f"frame length {xp.shape[-1]} != elaborated max_size {cfg.max_size}"
     )
+    if cfg.keep_msb_or_lsb is not None and not all(cfg.keep_msb_or_lsb):
+        raise ValueError(
+            "keepMSBorLSB = LSB stages (wraparound overflow) have no float "
+            "analog — elaborate the bit-true integer pipeline instead "
+            "(FixedPointConfig(enabled=True, bit_true=True) routes the chain "
+            "through ops.bit_true.fft_int_op, which reproduces them exactly)")
     if not cfg.runtime_size or log2_fft_size is None:
         return like(x, _fixed_size_fft(xp, cfg.max_size, cfg))
     lo = cfg.min_log2_size

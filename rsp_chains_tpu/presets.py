@@ -161,6 +161,8 @@ def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
         cfg.fft.max_size in (256, 512, 1024)
         and cfg.fft.window is None
         and cfg.fft.use_mxu
+        and (cfg.fft.keep_msb_or_lsb is None
+             or all(cfg.fft.keep_msb_or_lsb))   # LSB-keep: no float analog
     )
     if fused_tail_kind(cfg) == "ca" and fusable_fft:
         import jax
@@ -241,7 +243,9 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
 
     if (fused_tail_kind(cfg) == "ca"
             and cfg.fft.max_size in (256, 512, 1024)
-            and cfg.fft.window is None and cfg.fft.use_mxu):
+            and cfg.fft.window is None and cfg.fft.use_mxu
+            and (cfg.fft.keep_msb_or_lsb is None
+                 or all(cfg.fft.keep_msb_or_lsb))):
         # the whole wire data plane as one kernel: packed words in, packed
         # words out — half the input HBM read, 5x smaller output write
         import jax
@@ -335,6 +339,8 @@ def pulse_compression_chain(
         and cfg.fft.use_bit_reverse
         and not _bit_true(cfg)
         and taps_np.shape[-1] <= n
+        and (cfg.fft.keep_msb_or_lsb is None
+             or all(cfg.fft.keep_msb_or_lsb))   # LSB-keep: no float analog
     )
     from .kernels.cfar_pallas import fused_tail_kind
 

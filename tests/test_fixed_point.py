@@ -177,3 +177,62 @@ def test_bit_true_packed_output_words_exact(rng):
     np.testing.assert_array_equal(words_out, want)
     # the frame must actually detect something, or exactness proves nothing
     assert gpk.sum() > 0
+
+
+def test_int_fft_keep_lsb_wraparound_exact(rng):
+    """keepMSBorLSB = LSB stages (FFTParams, RspChainVanillaTester.scala:214):
+    non-expanding stages keep the LSBs with WRAPAROUND overflow. Near-full-
+    scale input forces real wraps; op == index-wise golden exactly."""
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.ops.bit_true import fft_int_op
+    from rsp_chains_tpu.golden.int_models import int_fft_golden
+
+    n = 256
+    p = int(np.log2(n))
+    # LSB-keep on the first three stages, MSB on the rest
+    keep = tuple(s >= 3 for s in range(p))
+    re = rng.randint(-32768, 32768, size=n).astype(np.int32)
+    im = rng.randint(-32768, 32768, size=n).astype(np.int32)
+    cfg = FftConfig(max_size=n, keep_msb_or_lsb=keep)
+    out = fft_int_op(C(jnp.asarray(re), jnp.asarray(im)),
+                     jnp.asarray(p, jnp.int32), cfg)
+    gr, gi = int_fft_golden(re, im, keep_msb=keep)
+    np.testing.assert_array_equal(np.asarray(out.re), gr)
+    np.testing.assert_array_equal(np.asarray(out.im), gi)
+    # the scenario actually wrapped somewhere (full-scale sums overflow), and
+    # differs from the all-MSB pipeline
+    gr_msb, _ = int_fft_golden(re, im)
+    assert not np.array_equal(gr, gr_msb)
+
+
+def test_float_fft_rejects_lsb_keep():
+    from rsp_chains_tpu.ops.fft import fft_op
+
+    n = 64
+    keep = (False,) + (True,) * (int(np.log2(n)) - 1)
+    cfg = FftConfig(max_size=n, keep_msb_or_lsb=keep, runtime_size=False)
+    x = jnp.zeros(n, jnp.complex64)
+    with pytest.raises(ValueError, match="no float analog"):
+        fft_op(x, None, cfg)
+
+
+def test_float_preset_with_lsb_keep_refuses_even_static_size():
+    """With runtime_size=False only one branch exists — the preset must not
+    route an LSB-keep elaboration into the float fused kernel silently."""
+    from rsp_chains_tpu import fft_mag_cfar_chain
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    n = 256
+    keep = (False,) + (True,) * (int(np.log2(n)) - 1)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n, keep_msb_or_lsb=keep, runtime_size=False),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5,
+                            div_sum=3)
+    x = as_pair(three_tone_signal(n, shift_range_factor=12))
+    with pytest.raises(ValueError, match="no float analog"):
+        chain.jit()(x, rt)
