@@ -6,6 +6,7 @@ from .models import (
     fft_golden,
     nco_golden,
     cfar_golden,
+    cfar_2d_golden,
     matched_filter_golden,
     range_doppler_golden,
 )

@@ -227,3 +227,53 @@ def range_doppler_golden(
     if fft_shift:
         dop = np.fft.fftshift(dop, axes=-2)
     return dop
+
+
+def cfar_2d_golden(mag: np.ndarray, *, ref_range: int, guard_range: int,
+                   ref_doppler: int, guard_doppler: int,
+                   threshold_scaler: float, log_or_linear: int = 1,
+                   peak_grouping: int = 0, active_range: int | None = None):
+    """Index-wise 2-D CA-CFAR golden (rectangular annulus, PARTIAL edges,
+    count-normalized mean; mirrors ``ops.cfar_2d.cfar_2d_op``). ``mag``:
+    [P, N] (Doppler, range). Deliberately a literal double loop — not the
+    op's roll/vector formulation — so equality is a real cross-check."""
+    mag = np.asarray(mag, np.float64)
+    p, n = mag.shape
+    n_act = n if active_range is None else min(active_range, n)
+    a_d, a_r = guard_doppler + ref_doppler, guard_range + ref_range
+    thr = np.zeros((p, n))
+    pk = np.zeros((p, n), bool)
+    for d in range(p):
+        for r in range(n_act):
+            s = 0.0
+            c = 0
+            for dd in range(d - a_d, d + a_d + 1):
+                for rr in range(r - a_r, r + a_r + 1):
+                    if not (0 <= dd < p and 0 <= rr < n_act):
+                        continue
+                    if (abs(dd - d) <= guard_doppler
+                            and abs(rr - r) <= guard_range):
+                        continue
+                    s += mag[dd, rr]
+                    c += 1
+            noise = s / max(c, 1)
+            t = noise * threshold_scaler if log_or_linear == 1 \
+                else noise + threshold_scaler
+            thr[d, r] = t
+            pk[d, r] = mag[d, r] > t
+    if peak_grouping:
+        keep = pk.copy()
+        for d in range(p):
+            for r in range(n_act):
+                ok = True
+                for dd in (-1, 0, 1):
+                    for rr in (-1, 0, 1):
+                        if dd == 0 and rr == 0:
+                            continue
+                        di, ri = d + dd, r + rr
+                        if 0 <= di < p and 0 <= ri < n_act \
+                                and mag[di, ri] > mag[d, r]:
+                            ok = False
+                keep[d, r] = pk[d, r] and ok
+        pk = keep
+    return thr, pk

@@ -1,0 +1,231 @@
+"""2-D (range x Doppler) CA-CFAR over range-Doppler maps — a TPU-native
+north-star addition (the reference's CFAR is strictly 1-D along range;
+BASELINE config 3's map detector generalizes it to the standard 2-D
+rectangular-annulus cell-averaging detector used on RD maps).
+
+Geometry per cell-under-test (d, r): the noise estimate is the mean of the
+training band between two centered rectangles — outer half-extents
+``guard + ref`` and inner (guard) half-extents ``guard`` per axis:
+
+        ┌─────────────────────────────┐  ▲
+        │  training band (averaged)   │  │ 2·(g_d+w_d)+1
+        │   ┌─────────────────┐       │  │
+        │   │  guard (excl.)  │       │  │
+        │   │      CUT        │       │  │
+        │   └─────────────────┘       │  │
+        └─────────────────────────────┘  ▼
+
+Edges follow ``EdgePolicy.PARTIAL`` semantics (the only policy defined for
+maps): cells outside the frame / the runtime-active range contribute nothing
+and the divisor is the actual number of training cells — computed with the
+same sliding sums applied to the validity mask, so no gathers anywhere
+(gathers lower catastrophically on TPU; see ``ops/cfar.py``). All window
+extents are traced scalars bounded by the elaborated maxima: reconfiguration
+never recompiles, mirroring the 1-D register-file contract.
+
+Unlike the 1-D block (whose ``divSum`` power-of-two shift mirrors the
+hardware divider), the 2-D detector divides by the true training-cell count —
+the annulus population varies at frame edges, so a fixed shift would bias
+edge thresholds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ChainConfig
+from .cfar import CfarOutput
+
+_SHIFT_BITS = 8   # runtime half-extents up to 255 cells
+
+
+@dataclass(frozen=True)
+class Cfar2dConfig:
+    """Elaboration maxima for the 2-D detector (per-axis window bounds)."""
+
+    max_ref_range: int = 16
+    max_guard_range: int = 4
+    max_ref_doppler: int = 8
+    max_guard_doppler: int = 2
+
+    def __post_init__(self):
+        assert self.max_ref_range >= 1 and self.max_ref_doppler >= 1
+        assert self.max_guard_range >= 0 and self.max_guard_doppler >= 0
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Cfar2dRuntime:
+    """Runtime registers of the 2-D detector (traced scalars, no recompile)."""
+
+    ref_range: jnp.ndarray        # int32, >= 1
+    guard_range: jnp.ndarray     # int32, >= 0
+    ref_doppler: jnp.ndarray      # int32, >= 1
+    guard_doppler: jnp.ndarray    # int32, >= 0
+    threshold_scaler: jnp.ndarray  # float32
+    log_or_linear: jnp.ndarray    # int32: 1 = multiply, 0 = add (log domain)
+    peak_grouping: jnp.ndarray    # int32: 1 = keep 8-neighbour local maxima
+    active_range: jnp.ndarray     # int32: valid range cells [0, active_range)
+
+    @staticmethod
+    def make(*, ref_range: int, guard_range: int, ref_doppler: int,
+             guard_doppler: int, threshold_scaler: float,
+             log_or_linear: int = 1, peak_grouping: int = 0,
+             active_range: int = 1 << 30,
+             validate_against: Optional[Cfar2dConfig] = None
+             ) -> "Cfar2dRuntime":
+        if ref_range < 1 or ref_doppler < 1:
+            raise ValueError("reference extents must be >= 1")
+        if guard_range < 0 or guard_doppler < 0:
+            raise ValueError("guard extents must be >= 0")
+        if validate_against is not None:
+            c = validate_against
+            if (ref_range > c.max_ref_range
+                    or guard_range > c.max_guard_range
+                    or ref_doppler > c.max_ref_doppler
+                    or guard_doppler > c.max_guard_doppler):
+                raise ValueError("2-D window exceeds elaborated maxima")
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        return Cfar2dRuntime(
+            ref_range=i32(ref_range), guard_range=i32(guard_range),
+            ref_doppler=i32(ref_doppler), guard_doppler=i32(guard_doppler),
+            threshold_scaler=jnp.asarray(threshold_scaler, jnp.float32),
+            log_or_linear=i32(log_or_linear), peak_grouping=i32(peak_grouping),
+            active_range=i32(active_range),
+        )
+
+
+def _centered_box(x, half, axis: int, max_half: int):
+    """Sliding sum over offsets [-half, +half] of runtime half-extent along
+    ``axis`` — gather-free: a dyadic right-aligned ladder bit-composed by
+    static rolls, recentered by one bit-decomposed roll. The caller supplies a
+    zero margin > 2·max_half + 1 on both sides of ``axis`` so circular wraps
+    land in zeros."""
+    w = 2 * half + 1
+    # right-aligned sliding sum R_w[i] = sum x[i-w+1 .. i], w composed by bits:
+    # when bit b of w is set, R_{m+2^b}[i] = B_b[i] + R_m[i - 2^b]
+    acc = jnp.zeros_like(x)
+    blk = x
+    n_bits = max(int(np.ceil(np.log2(2 * max_half + 2))), 1)
+    for b in range(n_bits):
+        bit = ((w >> b) & 1) == 1
+        acc = jnp.where(bit, blk + jnp.roll(acc, 1 << b, axis=axis), acc)
+        if b < n_bits - 1:
+            blk = blk + jnp.roll(blk, 1 << b, axis=axis)
+    # recenter: S[i] = R[i + half]
+    for b in range(_SHIFT_BITS):
+        acc = jnp.where(((half >> b) & 1) == 1,
+                        jnp.roll(acc, -(1 << b), axis=axis), acc)
+    return acc
+
+
+def cfar_2d_op(
+    mag: jnp.ndarray,
+    rt2: Cfar2dRuntime,
+    cfg: Cfar2dConfig = Cfar2dConfig(),
+) -> CfarOutput:
+    """2-D CA-CFAR over the trailing [P, N] (Doppler, range) axes of ``mag``.
+
+    Returns ``CfarOutput`` with per-cell thresholds and detections over the
+    full map. ``rt2.active_range`` bounds the valid range cells (the runtime
+    CFAR fftSize analog); Doppler always spans the full map."""
+    p, n = mag.shape[-2], mag.shape[-1]
+    pad_d = 2 * (cfg.max_ref_doppler + cfg.max_guard_doppler) + 2
+    pad_r = 2 * (cfg.max_ref_range + cfg.max_guard_range) + 2
+
+    r_cell = jnp.arange(n, dtype=jnp.int32)
+    active = jnp.broadcast_to(r_cell < rt2.active_range, mag.shape)
+    m = jnp.where(active, mag.astype(jnp.float32), 0.0)
+
+    padcfg = [(0, 0)] * (mag.ndim - 2) + [(pad_d, pad_d), (pad_r, pad_r)]
+    mp = jnp.pad(m, padcfg)
+    vp = jnp.pad(active.astype(jnp.float32), padcfg)
+
+    a_d = rt2.guard_doppler + rt2.ref_doppler
+    a_r = rt2.guard_range + rt2.ref_range
+    max_ad = cfg.max_guard_doppler + cfg.max_ref_doppler
+    max_ar = cfg.max_guard_range + cfg.max_ref_range
+
+    def box2(x, hd, hr, mhd, mhr):
+        return _centered_box(_centered_box(x, hd, -2, mhd), hr, -1, mhr)
+
+    outer = box2(mp, a_d, a_r, max_ad, max_ar)
+    inner = box2(mp, rt2.guard_doppler, rt2.guard_range,
+                 cfg.max_guard_doppler, cfg.max_guard_range)
+    c_out = box2(vp, a_d, a_r, max_ad, max_ar)
+    c_in = box2(vp, rt2.guard_doppler, rt2.guard_range,
+                cfg.max_guard_doppler, cfg.max_guard_range)
+
+    sl = tuple([slice(None)] * (mag.ndim - 2)
+               + [slice(pad_d, pad_d + p), slice(pad_r, pad_r + n)])
+    train_sum = (outer - inner)[sl]
+    train_cnt = (c_out - c_in)[sl]
+    noise = train_sum / jnp.maximum(train_cnt, 1.0)
+    thr = jnp.where(rt2.log_or_linear == 1,
+                    noise * rt2.threshold_scaler,
+                    noise + rt2.threshold_scaler)
+    thr = jnp.where(active, thr, 0.0)
+    peaks = (m > thr) & active
+
+    # 8-neighbour local-maximum grouping (the 2-D analog of the base+4
+    # register; frame edges compare against -inf)
+    ninf = jnp.float32(-jnp.inf)
+    mrow = jnp.pad(jnp.where(active, m, ninf), padcfg, constant_values=ninf)
+    is_max = jnp.ones(mag.shape, bool)
+    for dd in (-1, 0, 1):
+        for dr in (-1, 0, 1):
+            if dd == 0 and dr == 0:
+                continue
+            nb = jnp.roll(jnp.roll(mrow, dd, axis=-2), dr, axis=-1)[sl]
+            is_max = is_max & (m >= nb)
+    grouped = peaks & is_max
+    peaks = jnp.where(rt2.peak_grouping == 1, grouped, peaks)
+
+    return CfarOutput(threshold=thr, peaks=peaks, noise=None, cut=None)
+
+
+def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
+                     taps=None,
+                     cfg2d: Cfar2dConfig = Cfar2dConfig()):
+    """Range-Doppler chain with the 2-D map detector: matched filter ->
+    Doppler -> |.| -> 2-D CA-CFAR. The MF+Doppler front half runs the fused
+    map kernel when the elaboration allows (``kernels/rd_pallas.py``,
+    ``emit='map'``). Returns ``f(x, rt, rt2) -> CfarOutput`` (not a ``Chain``
+    — the 2-D detector has its own register record)."""
+    from ..configs import DopplerConfig, MatchedFilterConfig
+    from ..cplx import as_pair
+    from ..ops.logmag import logmag
+    from ..presets import doppler_stage, matched_filter_stage
+
+    cfg = cfg or ChainConfig(doppler=DopplerConfig())
+    if taps is None:
+        from ..golden.fixtures import lfm_chirp
+
+        n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
+        taps = lfm_chirp(n_taps)
+    taps_np = np.asarray(taps)
+    from ..kernels.rd_pallas import rd_fusable
+
+    fusable = rd_fusable(cfg, taps_np) and cfg.cfar.use_pallas
+    mf = matched_filter_stage(cfg, taps_np)
+    dop = doppler_stage(cfg)
+
+    def run(x, rt, rt2: Cfar2dRuntime) -> CfarOutput:
+        xp = as_pair(x)
+        if fusable:
+            from ..kernels.rd_pallas import fused_rd_chain
+
+            interpret = jax.default_backend() != "tpu"
+            y = fused_rd_chain(xp, rt, taps_np, cfg, interpret=interpret,
+                               emit="map")
+        else:
+            y = dop.fn(mf.fn(xp, rt), rt)
+        m = logmag(y, rt.mag_mode, cfg.mag)
+        return cfar_2d_op(m, rt2, cfg2d)
+
+    return run

@@ -1,0 +1,117 @@
+"""2-D (range x Doppler) CA-CFAR — op vs index-wise golden, register
+contract, and the RD-map detector chain."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsp_chains_tpu.golden import cfar_2d_golden
+from rsp_chains_tpu.ops.cfar_2d import (
+    Cfar2dConfig, Cfar2dRuntime, cfar_2d_op, rd_2d_cfar_chain,
+)
+
+CFG = Cfar2dConfig(max_ref_range=8, max_guard_range=3,
+                   max_ref_doppler=4, max_guard_doppler=2)
+
+
+def _rt2(**kw):
+    kw.setdefault("ref_range", 4)
+    kw.setdefault("guard_range", 1)
+    kw.setdefault("ref_doppler", 2)
+    kw.setdefault("guard_doppler", 1)
+    kw.setdefault("threshold_scaler", 3.0)
+    return Cfar2dRuntime.make(validate_against=CFG, **kw)
+
+
+def _map(rng, p=12, n=48):
+    m = np.abs(rng.randn(p, n)).astype(np.float32)
+    m[rng.randint(p), rng.randint(n)] *= 30
+    return m
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(ref_range=8, guard_range=3, ref_doppler=4, guard_doppler=2),
+    dict(ref_range=1, guard_range=0, ref_doppler=1, guard_doppler=0),
+    dict(log_or_linear=0, threshold_scaler=1.5),
+    dict(peak_grouping=1),
+    dict(active_range=32),
+])
+def test_cfar_2d_matches_golden(kw, rng):
+    m = _map(rng)
+    rt2 = _rt2(**kw)
+    out = cfar_2d_op(jnp.asarray(m), rt2, CFG)
+    thr_g, pk_g = cfar_2d_golden(
+        m, ref_range=int(rt2.ref_range), guard_range=int(rt2.guard_range),
+        ref_doppler=int(rt2.ref_doppler),
+        guard_doppler=int(rt2.guard_doppler),
+        threshold_scaler=float(rt2.threshold_scaler),
+        log_or_linear=int(rt2.log_or_linear),
+        peak_grouping=int(rt2.peak_grouping),
+        active_range=int(rt2.active_range),
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-5, atol=1e-5, err_msg=str(kw))
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_cfar_2d_batched_and_no_recompile(rng):
+    m = np.abs(rng.randn(2, 16, 64)).astype(np.float32)
+    f = jax.jit(lambda x, r: cfar_2d_op(x, r, CFG))
+    out = f(jnp.asarray(m), _rt2())
+    assert out.threshold.shape == (2, 16, 64)
+    f(jnp.asarray(m), _rt2(ref_range=8, guard_range=3, ref_doppler=4,
+                           guard_doppler=2, threshold_scaler=5.0,
+                           peak_grouping=1, active_range=40))
+    assert f._cache_size() == 1
+
+
+def test_cfar_2d_runtime_validation():
+    with pytest.raises(ValueError, match="exceeds elaborated maxima"):
+        _rt2(ref_range=9)
+    with pytest.raises(ValueError, match=">= 1"):
+        _rt2(ref_doppler=0)
+    with pytest.raises(ValueError, match=">= 0"):
+        _rt2(guard_range=-1)
+
+
+def test_rd_2d_cfar_chain_detects_target():
+    from rsp_chains_tpu import (
+        CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
+        MatchedFilterConfig, RuntimeConfig,
+    )
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import chirp_with_targets, lfm_chirp
+
+    p, n = 16, 256
+    taps = lfm_chirp(32, 0.0, 0.25)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        matched_filter=MatchedFilterConfig(num_taps=32, fft_size=n),
+        doppler=DopplerConfig(num_pulses=p, window=None),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    fd, delay = 0.25, 50
+    cpi = chirp_with_targets(p, n, taps, [(delay, 1.0, fd)], noise_db=-60)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=8.0,
+                            div_sum=3)
+    rt2 = _rt2(threshold_scaler=8.0)
+    out_fused = rd_2d_cfar_chain(cfg, taps=taps, cfg2d=CFG)(
+        as_pair(cpi[None]), rt, rt2)
+    pk = np.asarray(out_fused.peaks)[0]
+    assert pk[p // 2 + int(fd * p), delay]
+
+    # the fused-map front half agrees with the XLA composition front half
+    import dataclasses
+
+    cfg_xla = dataclasses.replace(
+        cfg, cfar=dataclasses.replace(cfg.cfar, use_pallas=False))
+    out_xla = rd_2d_cfar_chain(cfg_xla, taps=taps, cfg2d=CFG)(
+        as_pair(cpi[None]), rt, rt2)
+    thr_w = np.asarray(out_xla.threshold)
+    scale = np.abs(thr_w).max()
+    assert np.abs(np.asarray(out_fused.threshold) - thr_w).max() / scale \
+        < 1e-4
