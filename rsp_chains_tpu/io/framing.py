@@ -111,6 +111,32 @@ class FrameDecoder:
         self._buf.extend(chunk)
         # one bytes copy per feed() (not per frame); decoding walks an offset
         buf = bytes(self._buf)
+
+        scanned = native.scan_frames(buf, MAX_FRAME_WORDS)
+        if scanned is not None:
+            # native fast path: one linear C++ scan (magic + CRC validated
+            # in-pass) — resync over corrupted input costs a scan, not a
+            # Python decode attempt per byte. The resume offset tracks the
+            # last YIELDED frame so abandoning the iterator keeps the
+            # remaining frames buffered (same contract as the Python path).
+            metas, consumed, _skipped = scanned
+            nxt = 0
+            try:
+                for off, n_words, seq, flags, channel, start, total in metas:
+                    words = np.frombuffer(buf, np.uint32, n_words, off).copy()
+                    # advance BEFORE yielding (like the Python path's
+                    # pos += consumed) so an abandoned iterator never
+                    # re-yields a delivered frame
+                    nxt = start + total
+                    yield Frame(seq=seq, words=words,
+                                last=bool(flags & FLAG_LAST),
+                                config=bool(flags & FLAG_CONFIG),
+                                channel=channel)
+                nxt = consumed
+            finally:
+                self._buf = bytearray(buf[nxt:])
+            return
+
         pos = 0
         try:
             while True:

@@ -58,6 +58,11 @@ def _load():
         lib.crc32_ieee.restype = ctypes.c_uint32
         lib.unpack_cfar_words.argtypes = [u32p, ctypes.c_int64, ctypes.c_int,
                                           u32p, u32p, u8p]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.scan_frames.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.scan_frames.restype = ctypes.c_int64
         _lib = lib
         HAVE_NATIVE = True
         return _lib
@@ -114,6 +119,44 @@ def crc32(data: np.ndarray | bytes, seed: int = 0) -> int:
     import zlib
 
     return zlib.crc32(buf.tobytes(), seed) & 0xFFFFFFFF
+
+
+def scan_frames(buf: bytes | bytearray, max_words: int, max_frames: int = 256):
+    """One linear C++ pass over a byte stream: find complete, CRC-valid RSPC
+    frames (io/framing.py wire format). Returns
+    ``(metas, consumed, skipped)`` where each meta is
+    ``(payload_offset, n_words, seq, flags, channel, frame_start,
+    frame_total_bytes)`` — or ``None`` when the native library is unavailable
+    (caller falls back to the Python decoder).
+    The hot win is resync on corrupted input: one scan instead of a Python
+    decode attempt (struct unpack + exception) per byte."""
+    lib = _load()
+    if not lib:
+        return None
+    b = np.frombuffer(bytes(buf), np.uint8)
+    metas = []
+    pos = 0
+    skipped = 0
+    meta = np.empty(7 * max_frames, np.int64)
+    consumed_c = ctypes.c_int64()
+    skipped_c = ctypes.c_int64()
+    while True:
+        sub = b[pos:]
+        nf = int(lib.scan_frames(np.ascontiguousarray(sub), sub.size,
+                                 max_words, meta, max_frames,
+                                 ctypes.byref(consumed_c),
+                                 ctypes.byref(skipped_c)))
+        for i in range(nf):
+            off, n_words, seq, flags, channel, total, start = \
+                meta[7 * i : 7 * i + 7]
+            metas.append((pos + int(off), int(n_words), int(seq),
+                          int(flags), int(channel), pos + int(start),
+                          int(total)))
+        skipped += int(skipped_c.value)
+        pos += int(consumed_c.value)
+        if nf < max_frames:
+            break
+    return metas, pos, skipped
 
 
 def unpack_cfar_words(words: np.ndarray, bin_width: int):

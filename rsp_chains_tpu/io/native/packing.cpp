@@ -81,6 +81,61 @@ uint32_t crc32_ieee(const uint8_t* data, int64_t n, uint32_t seed) {
   return crc ^ 0xFFFFFFFFu;
 }
 
+// Scan a byte buffer for complete frames of the RSPC wire protocol
+// (io/framing.py: 16-byte little-endian header {u32 magic, u32 seq,
+// u32 n_words, u16 flags, u16 channel}, u32 payload words, u32 CRC-32 over
+// header+payload). The RX hot path: one linear pass replaces a Python
+// decode-attempt per byte during resync (the UART RX deserializer +
+// majority-voter analog, UARTRx.scala:24-52 — corrupted input costs a scan,
+// not an exception storm).
+//
+// meta[7*i..7*i+6] = {payload_byte_offset, n_words, seq, flags, channel,
+//                     frame_total_bytes, frame_start_offset}
+// returns the number of complete valid frames found (< max_frames);
+// *consumed = resume offset for the next feed (start of the first incomplete
+// frame, or the scan end); *skipped = bytes discarded during resync. Assumes
+// a little-endian host (same as the Python struct '<' codecs).
+int64_t scan_frames(const uint8_t* buf, int64_t len, int64_t max_words,
+                    int64_t* meta, int64_t max_frames,
+                    int64_t* consumed, int64_t* skipped) {
+  const int64_t HDR = 16;
+  const uint32_t MAGIC = 0x52535043u;
+  int64_t pos = 0, nf = 0, skip = 0;
+  while (len - pos >= HDR + 4 && nf < max_frames) {
+    uint32_t magic;
+    std::memcpy(&magic, buf + pos, 4);
+    if (magic != MAGIC) { ++pos; ++skip; continue; }
+    uint32_t n_words;
+    std::memcpy(&n_words, buf + pos + 8, 4);
+    if ((int64_t)n_words > max_words) { ++pos; ++skip; continue; }
+    int64_t total = HDR + 4 * (int64_t)n_words + 4;
+    if (len - pos < total) break;  // incomplete frame: resume here next feed
+    uint32_t crc_stored;
+    std::memcpy(&crc_stored, buf + pos + HDR + 4 * (int64_t)n_words, 4);
+    if (crc32_ieee(buf + pos, HDR + 4 * (int64_t)n_words, 0) != crc_stored) {
+      ++pos; ++skip; continue;  // one-byte resync, like the Python decoder
+    }
+    uint32_t seq;
+    uint16_t flags, channel;
+    std::memcpy(&seq, buf + pos + 4, 4);
+    std::memcpy(&flags, buf + pos + 12, 2);
+    std::memcpy(&channel, buf + pos + 14, 2);
+    int64_t* m = meta + 7 * nf;
+    m[0] = pos + HDR;
+    m[1] = (int64_t)n_words;
+    m[2] = (int64_t)seq;
+    m[3] = (int64_t)flags;
+    m[4] = (int64_t)channel;
+    m[5] = total;
+    m[6] = pos;
+    pos += total;
+    ++nf;
+  }
+  *consumed = pos;
+  *skipped = skip;
+  return nf;
+}
+
 // decode CFAR output words -> (threshold uint32, bin uint32, peak uint8) arrays
 // (decode contract: RspChainVanillaTester.scala:164-172)
 void unpack_cfar_words(const uint32_t* words, int64_t n, int bin_width,

@@ -182,3 +182,74 @@ def test_framing_corrupt_length_resyncs():
     frames = list(dec.feed(bytes(bad) + good))
     assert [f.seq for f in frames] == [7]
     np.testing.assert_array_equal(frames[0].words, np.arange(8, dtype=np.uint32))
+
+
+def _python_only_decode(data: bytes):
+    """Force the Python decoder path (native.scan_frames monkey-bypassed)."""
+    from rsp_chains_tpu.io import framing, native
+
+    dec = framing.FrameDecoder()
+    orig = native.scan_frames
+    native.scan_frames = lambda *a, **k: None
+    try:
+        return list(dec.feed(data)), bytes(dec._buf)
+    finally:
+        native.scan_frames = orig
+
+
+def test_native_scan_equals_python_decoder(rng):
+    """The C++ scan_frames fast path yields exactly the Python decoder's
+    frames across clean frames, garbage resync, a corrupted-CRC frame, an
+    oversized length, and a trailing partial frame."""
+    from rsp_chains_tpu.io import framing, native
+
+    frames = [encode_frame(rng.randint(0, 1 << 32, 16, dtype=np.uint32), s)
+              for s in range(4)]
+    bad_crc = bytearray(frames[1])
+    bad_crc[-1] ^= 0xFF
+    big = bytearray(frames[2])
+    big[8:12] = (framing.MAX_FRAME_WORDS + 1).to_bytes(4, "little")
+    stream = (b"\x99" * 7 + frames[0] + bytes(bad_crc) + b"RSPC" + b"junk!"
+              + frames[1] + bytes(big) + frames[2] + frames[3][:20])
+
+    want, want_rest = _python_only_decode(stream)
+    dec = framing.FrameDecoder()
+    got = list(dec.feed(stream))
+    if native.scan_frames(b"", 1) is None:
+        pytest.skip("native library unavailable")
+    assert [f.seq for f in got] == [f.seq for f in want] == [0, 1, 2]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.words, w.words)
+        assert (g.last, g.config, g.channel) == (w.last, w.config, w.channel)
+    # identical resume state: the partial trailing frame stays buffered
+    assert bytes(dec._buf) == want_rest
+    tail = list(dec.feed(frames[3][20:]))
+    assert [f.seq for f in tail] == [3]
+
+
+def test_native_scan_split_feeds(rng):
+    from rsp_chains_tpu.io import framing
+
+    f = encode_frame(rng.randint(0, 1 << 32, 64, dtype=np.uint32), 7,
+                     last=True, channel=3)
+    dec = framing.FrameDecoder()
+    out = []
+    for i in range(0, len(f), 11):
+        out.extend(dec.feed(f[i:i + 11]))
+    assert len(out) == 1 and out[0].seq == 7 and out[0].last \
+        and out[0].channel == 3
+
+
+def test_native_scan_abandoned_iterator_keeps_frames(rng):
+    """Abandoning the feed() generator mid-iteration neither loses nor
+    duplicates frames (the resume offset tracks delivered frames)."""
+    from rsp_chains_tpu.io import framing
+
+    frames = [encode_frame(rng.randint(0, 1 << 32, 8, dtype=np.uint32), s)
+              for s in range(3)]
+    dec = framing.FrameDecoder()
+    it = dec.feed(b"".join(frames))
+    first = next(it)
+    it.close()
+    rest = list(dec.feed(b""))
+    assert [first.seq] + [f.seq for f in rest] == [0, 1, 2]
