@@ -148,8 +148,9 @@ def main():
     t = threading.Thread(target=_validate, daemon=True)
     t.start()
     # the fused whole-chain kernel's first Mosaic compile through the remote
-    # helper can take tens of minutes cold — give it room (cached afterwards)
-    t.join(timeout=2400)
+    # helper can take tens of minutes cold (observed up to ~29 min) — give it
+    # room (persistent-cached afterwards; benchmarks/warm_cache.py pre-warms)
+    t.join(timeout=3300)
     # the bf16x2 split matmuls recover f32-grade FFT accuracy in-kernel
     # (Mosaic's "f32" dots are single-pass bf16 — r2i); the kernel agrees with
     # the XLA HIGHEST-precision path to ~2e-6 of the threshold scale, and only

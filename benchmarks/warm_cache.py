@@ -1,0 +1,124 @@
+"""Pre-warm the persistent compilation cache with every shipped kernel.
+
+Cold Mosaic compiles of the big fused kernels take up to ~29 minutes through
+the remote compile helper; the cache (/root/.cache/jax_comp_cache) works
+across processes. Run this once after kernel-code changes (single TPU
+process!) so later bench/serving runs start hot. Each compile is exercised
+with ONE tiny-batch call and a scalar digest fetch (device->host array
+fetches are unreliable on this runtime).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    import rsp_chains_tpu as rsp
+    from rsp_chains_tpu import (
+        CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
+        MatchedFilterConfig, RuntimeConfig,
+    )
+    from rsp_chains_tpu.cplx import C, as_pair
+    from rsp_chains_tpu.golden import lfm_chirp
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    rng = np.random.RandomState(0)
+    t_all = time.perf_counter()
+
+    def iq(*shape):
+        return C(jnp.asarray(rng.randn(*shape) * 100, jnp.float32),
+                 jnp.asarray(rng.randn(*shape) * 100, jnp.float32))
+
+    def warm(name, fn, *args):
+        t0 = time.perf_counter()
+        try:
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = float(jnp.asarray(leaf).reshape(-1)[0].astype(jnp.float32))
+            print(f"{name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} FAILED: {str(e)[:200]}", file=sys.stderr)
+
+    n = 1024
+    ca = CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
+                    include_cash=False, max_fft_size=n)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=32,
+                            guard_window_size=4, threshold_scaler=3.5,
+                            div_sum=5)
+    taps = lfm_chirp(128, 0.0, 0.25)
+
+    # 1. headline fused chain (1024) — both the direct kernel and the preset op
+    chain = rsp.fft_mag_cfar_chain(ChainConfig(fft=FftConfig(max_size=n),
+                                               cfar=ca)).jit()
+    warm("fused_chain_1024 (preset op)", chain, iq(128, n), rt)
+
+    # 2. wire-format chain
+    words = jnp.asarray(rng.randint(0, 1 << 32, (128, n), dtype=np.int64)
+                        .astype(np.uint32))
+    wire = rsp.rx_fft_mag_cfar_tx_chain(ChainConfig(fft=FftConfig(max_size=n),
+                                                    cfar=ca)).jit()
+    warm("wire_chain_1024", wire, words, rt)
+
+    # 3. mag+CFAR tails: CA kernel + GOS v3 kernel (GOSCA elaboration)
+    from rsp_chains_tpu.kernels.cfar_pallas import (
+        fused_mag_cfar, fused_mag_gos_cfar,
+    )
+
+    gos_cfg = CfarConfig(max_ref_window=64, variant=CfarVariant.GOSCA,
+                         include_cash=True, max_fft_size=n)
+    rt_gos = RuntimeConfig.make(fft_size=n, ref_window_size=32,
+                                guard_window_size=4, threshold_scaler=3.5,
+                                div_sum=5, cfar_algorithm=1, index_lagg=16,
+                                index_lead=16)
+    warm("mag_cfar_tail", jax.jit(lambda a, r: fused_mag_cfar(a, r, ca)),
+         iq(32, n), rt)
+    warm("gos_v3_tail", jax.jit(lambda a, r: fused_mag_gos_cfar(a, r, gos_cfg)),
+         iq(32, n), rt_gos)
+
+    # 4. fused RD chain (config 3) + map form
+    cfg3 = ChainConfig(
+        fft=FftConfig(max_size=n),
+        matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n),
+        doppler=DopplerConfig(num_pulses=256), cfar=ca,
+    )
+    rd = rsp.range_doppler_chain(cfg3, taps=taps).jit()
+    warm("rd_fused_256p", rd, iq(2, 256, n), rt)
+    from rsp_chains_tpu.kernels.rd_pallas import fused_rd_chain
+
+    warm("rd_map_256p",
+         jax.jit(lambda a, r: fused_rd_chain(a, r, np.asarray(taps), cfg3,
+                                             emit="map")),
+         iq(2, 256, n), rt)
+
+    # 5. collapsed pulse compression at 4096 (single kernel with h_block)
+    n2 = 4096
+    cfg2 = ChainConfig(
+        fft=FftConfig(max_size=n2),
+        matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n2),
+        cfar=CfarConfig(max_ref_window=64, max_fft_size=n2,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    pc = rsp.pulse_compression_chain(cfg2, taps=taps).jit()
+    rt2 = RuntimeConfig.make(fft_size=n2, ref_window_size=32,
+                             guard_window_size=4, threshold_scaler=8.0)
+    warm("pc_fused_4096", pc, iq(4, n2), rt2)
+
+    print(f"total: {time.perf_counter()-t_all:.1f}s", file=sys.stderr)
+    import os
+
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
