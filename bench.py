@@ -88,7 +88,30 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:  # noqa: BLE001 — older jax without these flags
         pass
-    dev = jax.devices()[0]
+    # Bounded device acquisition: if the relay tunnel is down, jax.devices()
+    # blocks forever in connect retries — fail loudly after 10 min instead of
+    # hanging the caller (no JSON line is emitted; a fabricated number would
+    # be worse than an absent one).
+    import threading as _threading
+
+    _dev_box = {}
+
+    def _acquire():
+        try:
+            _dev_box["dev"] = jax.devices()[0]
+        except Exception as e:  # noqa: BLE001
+            _dev_box["err"] = e
+
+    _t = _threading.Thread(target=_acquire, daemon=True)
+    _t.start()
+    _t.join(timeout=600)
+    if "dev" not in _dev_box:
+        print(f"device acquisition failed/timed out "
+              f"({_dev_box.get('err', 'relay unreachable')}); "
+              "no measurement taken", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+    dev = _dev_box["dev"]
     print(f"device: {dev}", file=sys.stderr)
 
     # 64 channels: a representative serving batch, and large enough that

@@ -115,3 +115,27 @@ def test_rd_2d_cfar_chain_detects_target():
     scale = np.abs(thr_w).max()
     assert np.abs(np.asarray(out_fused.threshold) - thr_w).max() / scale \
         < 1e-4
+
+
+@pytest.mark.parametrize("p,n,kw", [
+    (4, 16, dict(ref_range=8, guard_range=3, ref_doppler=4, guard_doppler=2)),
+    (8, 32, dict(active_range=1)),
+    (8, 32, dict(active_range=0)),
+])
+def test_cfar_2d_degenerate_geometries(p, n, kw, rng):
+    """Windows larger than the map / single-cell or empty active ranges: the
+    count-normalized PARTIAL semantics must keep op == golden (no div-by-zero,
+    no out-of-frame contributions)."""
+    m = np.abs(rng.randn(p, n)).astype(np.float32)
+    rt2 = _rt2(**kw)
+    out = cfar_2d_op(jnp.asarray(m), rt2, CFG)
+    thr_g, pk_g = cfar_2d_golden(
+        m, ref_range=int(rt2.ref_range), guard_range=int(rt2.guard_range),
+        ref_doppler=int(rt2.ref_doppler),
+        guard_doppler=int(rt2.guard_doppler),
+        threshold_scaler=float(rt2.threshold_scaler),
+        active_range=int(rt2.active_range),
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
