@@ -128,18 +128,28 @@ def cfar_2d_op(
     mag: jnp.ndarray,
     rt2: Cfar2dRuntime,
     cfg: Cfar2dConfig = Cfar2dConfig(),
+    *,
+    active_lo: jnp.ndarray | None = None,
+    active_hi: jnp.ndarray | None = None,
 ) -> CfarOutput:
     """2-D CA-CFAR over the trailing [P, N] (Doppler, range) axes of ``mag``.
 
     Returns ``CfarOutput`` with per-cell thresholds and detections over the
-    full map. ``rt2.active_range`` bounds the valid range cells (the runtime
-    CFAR fftSize analog); Doppler always spans the full map."""
+    full map. The valid range cells are [``active_lo``, ``active_hi``)
+    (traced scalars, defaulting to [0, ``rt2.active_range``) — the runtime
+    CFAR fftSize analog; the sharded tail passes the halo-offset window of a
+    range-sharded block). Doppler always spans the full map."""
     p, n = mag.shape[-2], mag.shape[-1]
     pad_d = 2 * (cfg.max_ref_doppler + cfg.max_guard_doppler) + 2
     pad_r = 2 * (cfg.max_ref_range + cfg.max_guard_range) + 2
 
+    if active_hi is None:
+        active_hi = rt2.active_range
+    if active_lo is None:
+        active_lo = jnp.int32(0)
     r_cell = jnp.arange(n, dtype=jnp.int32)
-    active = jnp.broadcast_to(r_cell < rt2.active_range, mag.shape)
+    active = jnp.broadcast_to((r_cell >= active_lo) & (r_cell < active_hi),
+                              mag.shape)
     m = jnp.where(active, mag.astype(jnp.float32), 0.0)
 
     padcfg = [(0, 0)] * (mag.ndim - 2) + [(pad_d, pad_d), (pad_r, pad_r)]

@@ -68,6 +68,32 @@ def cfar_halo_shard(
     return CfarOutput(sl(out.threshold), sl(out.peaks), sl(out.noise), sl(out.cut))
 
 
+def cfar_2d_halo_shard(
+    mag_local: jnp.ndarray,
+    rt2,
+    cfg2d,
+    axis_name: str = RANGE_AXIS,
+) -> CfarOutput:
+    """2-D (range x Doppler) CA-CFAR on a range-sharded RD map: runs inside
+    ``shard_map``. The Doppler axis is shard-local (maps shard per channel /
+    range, never per pulse), so only the range axis exchanges a halo of
+    ``max_guard_range + max_ref_range`` cells — sized for the elaborated
+    maxima like the 1-D tail, so runtime window growth never re-shards."""
+    from ..ops.cfar_2d import cfar_2d_op
+
+    halo = cfg2d.max_ref_range + cfg2d.max_guard_range
+    n_loc = mag_local.shape[-1]
+    r = lax.axis_index(axis_name)
+    start = r * n_loc
+    ext = extend_with_halo(mag_local, halo, axis_name)
+    n_ext = ext.shape[-1]
+    lo = jnp.clip(halo - start, 0, n_ext).astype(jnp.int32)
+    hi = jnp.clip(rt2.active_range - start + halo, 0, n_ext).astype(jnp.int32)
+    out = cfar_2d_op(ext, rt2, cfg2d, active_lo=lo, active_hi=hi)
+    sl = lambda a: None if a is None else a[..., halo : halo + n_loc]
+    return CfarOutput(sl(out.threshold), sl(out.peaks), None, None)
+
+
 def _cfar_out_specs(cfg: CfarConfig, spec):
     """shard_map out_specs matching CfarOutput's elaborated emission set."""
     return CfarOutput(

@@ -139,3 +139,36 @@ def test_cfar_2d_degenerate_geometries(p, n, kw, rng):
     np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_cfar_2d_range_sharded_equals_unsharded(rng):
+    """2-D map detector over a range-sharded RD map (ppermute halo exchange)
+    equals the unsharded op exactly — including a runtime active range that
+    ends mid-shard."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rsp_chains_tpu.parallel import make_mesh
+    from rsp_chains_tpu.parallel.sharded import cfar_2d_halo_shard
+
+    mesh = make_mesh(channels=2, range_shards=4)
+    m = np.abs(rng.randn(2, 16, 256)).astype(np.float32)
+    rt2 = _rt2(ref_range=8, guard_range=3, active_range=200,
+               peak_grouping=1)   # grouping neighbors cross shard edges too
+
+    spec = P("ch", None, "rng")
+    sharded = jax.jit(jax.shard_map(
+        lambda x, r: cfar_2d_halo_shard(x, r, CFG),
+        mesh=mesh, in_specs=(spec, P()),
+        out_specs=__import__("rsp_chains_tpu.ops.cfar", fromlist=["CfarOutput"])
+        .CfarOutput(spec, spec, None, None),
+        check_vma=False,
+    ))
+    x = jax.device_put(jnp.asarray(m), NamedSharding(mesh, spec))
+    out_s = sharded(x, rt2)
+    out_u = cfar_2d_op(jnp.asarray(m), rt2, CFG)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks),
+                                  np.asarray(out_u.peaks))
