@@ -92,26 +92,14 @@ def main():
     # blocks forever in connect retries — fail loudly after 10 min instead of
     # hanging the caller (no JSON line is emitted; a fabricated number would
     # be worse than an absent one).
-    import threading as _threading
+    from rsp_chains_tpu.utils.device import acquire_device
 
-    _dev_box = {}
-
-    def _acquire():
-        try:
-            _dev_box["dev"] = jax.devices()[0]
-        except Exception as e:  # noqa: BLE001
-            _dev_box["err"] = e
-
-    _t = _threading.Thread(target=_acquire, daemon=True)
-    _t.start()
-    _t.join(timeout=600)
-    if "dev" not in _dev_box:
-        print(f"device acquisition failed/timed out "
-              f"({_dev_box.get('err', 'relay unreachable')}); "
-              "no measurement taken", file=sys.stderr)
+    try:
+        dev = acquire_device(600)
+    except TimeoutError as e:
+        print(f"{e}; no measurement taken", file=sys.stderr)
         sys.stderr.flush()
         os._exit(3)
-    dev = _dev_box["dev"]
     print(f"device: {dev}", file=sys.stderr)
 
     # 64 channels: a representative serving batch, and large enough that

@@ -32,7 +32,13 @@ def main():
     from rsp_chains_tpu.cplx import C, as_pair
     from rsp_chains_tpu.golden import lfm_chirp
 
-    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    from rsp_chains_tpu.utils.device import acquire_device
+
+    try:
+        print(f"device: {acquire_device(600)}", file=sys.stderr)
+    except TimeoutError as e:
+        print(f"{e}; nothing warmed", file=sys.stderr)
+        raise SystemExit(3)
     rng = np.random.RandomState(0)
     t_all = time.perf_counter()
 

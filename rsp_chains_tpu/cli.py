@@ -143,17 +143,23 @@ def cmd_run(args):
             # fixed-size serving egress: top-K detection list per frame
             from .ops.detect import compact_detections
 
-            # rank by the CUT magnitude when elaborated (send_cut), else by
-            # the local threshold (a monotone noise proxy at the detection)
-            cut = out.cut if getattr(out, "cut", None) is not None \
-                else out.threshold
-            dl = compact_detections(cut, out, max_detections=args.top_k)
+            # ranked by CUT magnitude when elaborated (send_cut=True);
+            # otherwise the local threshold is the only per-cell statistic
+            # the chain emits — label the ordering honestly
+            have_cut = getattr(out, "cut", None) is not None
+            score = out.cut if have_cut else out.threshold
+            kind = "mag" if have_cut else "thr"
+            if not have_cut:
+                print("(send_cut not elaborated: ranking by local threshold, "
+                      "not target strength — elaborate "
+                      "CfarConfig(send_cut=True) for magnitude ranking)")
+            dl = compact_detections(score, out, max_detections=args.top_k)
             bins = np.asarray(dl.bins).reshape(-1, args.top_k)
             vals = np.asarray(dl.values).reshape(-1, args.top_k)
             cnt = np.asarray(dl.count).reshape(-1)
             for i in range(min(4, bins.shape[0])):
                 k = int(cnt[i])
-                pairs = ", ".join(f"{b}:{v:.3g}"
+                pairs = ", ".join(f"{b}:{kind}={v:.3g}"
                                   for b, v in zip(bins[i][:k], vals[i][:k]))
                 print(f"top-{args.top_k} frame {i} (count {k}): {pairs}")
     return 0

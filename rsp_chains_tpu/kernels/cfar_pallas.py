@@ -1177,9 +1177,9 @@ def fused_mag_gos_cfar(
         # 16 MB scoped-VMEM budget. The cap must hold for EVERY n — the
         # sharded tail calls with halo-extended n (e.g. 1280 = 1024 + 2·128),
         # so pick the largest divisor of n among {1024, 512, 256}.
-        tile = next((t for t in (1024, 512, 256) if n % t == 0), None)
+        tile = next((t for t in (1024, 512, 256) if n % t == 0),
+                    n if n < 256 else None)
         assert tile is not None, f"frame length {n} not a multiple of 256"
-        tile = min(tile, n)
     else:
         tile = GOS_RANGE_TILE
     assert n % tile == 0, f"frame length must be a multiple of {tile}"

@@ -156,8 +156,16 @@ def cfar_2d_op(
     mp = jnp.pad(m, padcfg)
     vp = jnp.pad(active.astype(jnp.float32), padcfg)
 
-    a_d = rt2.guard_doppler + rt2.ref_doppler
-    a_r = rt2.guard_range + rt2.ref_range
+    # clamp runtime registers to the elaborated maxima (the r2 guard-window
+    # lesson, ADVICE round 1: raw register writes — server JSON frames,
+    # dataclasses.replace — bypass make()'s validation, and an oversized
+    # extent would overflow the padding and the bit ladders silently)
+    w_r = jnp.clip(rt2.ref_range, 1, cfg.max_ref_range)
+    g_r = jnp.clip(rt2.guard_range, 0, cfg.max_guard_range)
+    w_d = jnp.clip(rt2.ref_doppler, 1, cfg.max_ref_doppler)
+    g_d = jnp.clip(rt2.guard_doppler, 0, cfg.max_guard_doppler)
+    a_d = g_d + w_d
+    a_r = g_r + w_r
     max_ad = cfg.max_guard_doppler + cfg.max_ref_doppler
     max_ar = cfg.max_guard_range + cfg.max_ref_range
 
@@ -165,10 +173,10 @@ def cfar_2d_op(
         return _centered_box(_centered_box(x, hd, -2, mhd), hr, -1, mhr)
 
     outer = box2(mp, a_d, a_r, max_ad, max_ar)
-    inner = box2(mp, rt2.guard_doppler, rt2.guard_range,
+    inner = box2(mp, g_d, g_r,
                  cfg.max_guard_doppler, cfg.max_guard_range)
     c_out = box2(vp, a_d, a_r, max_ad, max_ar)
-    c_in = box2(vp, rt2.guard_doppler, rt2.guard_range,
+    c_in = box2(vp, g_d, g_r,
                 cfg.max_guard_doppler, cfg.max_guard_range)
 
     sl = tuple([slice(None)] * (mag.ndim - 2)

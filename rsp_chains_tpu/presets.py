@@ -427,6 +427,15 @@ def range_doppler_chain(
     (``emit='map'``) into the VMEM-sort mag+CFAR kernel. Everything else
     composes the XLA stages with the fused tail."""
     cfg = cfg or ChainConfig(doppler=DopplerConfig())
+    if (cfg.fft.keep_msb_or_lsb is not None
+            and not all(cfg.fft.keep_msb_or_lsb)):
+        # the RD chain has no FFT register stage for the flag to govern; a
+        # silent float path would contradict the LSB-keep contract (see
+        # ops/fft.py) — reject at elaboration like the FFT-bearing chains
+        raise ValueError(
+            "keepMSBorLSB = LSB has no analog in the range-Doppler chain "
+            "(its matched filter is a float frequency-domain correlation, "
+            "not the register-mapped FFT stage); elaborate all-MSB")
     if taps is None:
         from .golden.fixtures import lfm_chirp
 

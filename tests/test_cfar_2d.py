@@ -172,3 +172,43 @@ def test_cfar_2d_range_sharded_equals_unsharded(rng):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out_s.peaks),
                                   np.asarray(out_u.peaks))
+
+
+def test_cfar_2d_clamps_raw_register_writes(rng):
+    """Oversized extents written past make()'s validation (server JSON frames
+    / dataclasses.replace — the r2 guard-window lesson) clamp to the
+    elaborated maxima instead of overflowing the padding/bit ladders."""
+    import dataclasses
+
+    m = _map(rng)
+    rt2 = dataclasses.replace(
+        _rt2(), ref_range=jnp.asarray(28, jnp.int32),
+        guard_range=jnp.asarray(9, jnp.int32),
+        ref_doppler=jnp.asarray(31, jnp.int32))
+    out = cfar_2d_op(jnp.asarray(m), rt2, CFG)
+    thr_g, pk_g = cfar_2d_golden(
+        m, ref_range=CFG.max_ref_range, guard_range=CFG.max_guard_range,
+        ref_doppler=CFG.max_ref_doppler, guard_doppler=1,
+        threshold_scaler=3.0)
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_rd_chain_rejects_lsb_keep_elaboration():
+    from rsp_chains_tpu import (
+        CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
+        MatchedFilterConfig, range_doppler_chain,
+    )
+
+    n = 256
+    keep = (False,) + (True,) * 7
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n, keep_msb_or_lsb=keep),
+        matched_filter=MatchedFilterConfig(num_taps=32, fft_size=n),
+        doppler=DopplerConfig(num_pulses=16),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False),
+    )
+    with pytest.raises(ValueError, match="no analog in the range-Doppler"):
+        range_doppler_chain(cfg)
