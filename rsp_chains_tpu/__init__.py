@@ -32,14 +32,17 @@ from .configs import (
 )
 from .chain import Chain, Stage
 from .presets import (
+    beamformed_rd_chain,
     chain_with_mem,
     fft_mag_cfar_chain,
+    integrated_search_chain,
     pulse_compression_chain,
     range_doppler_chain,
     real_rx_chain,
     rsp_chain_vanilla,
     rx_fft_mag_cfar_tx_chain,
 )
+from .ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime, cfar_2d_op, rd_2d_cfar_chain
 from .cplx import C, as_pair, join, to_numpy
 from . import cplx, ops, packing, numerics, golden
 
