@@ -326,8 +326,15 @@ class MatchedFilterConfig:
 
     num_taps: int = 128
     fft_size: int = 4096          # overlap-save / freq-domain block size
-    method: str = "freq"          # "freq" | "direct" | "overlap_save"
+    # "freq": circular frame-sized frequency-domain correlation (the CPI
+    # form; fusable/collapsible). "overlap_save": linear streaming
+    # correlation via overlap-save blocks (continuous fast time, zero-history
+    # edges instead of wraparound).
+    method: str = "freq"
     normalize: bool = True
+
+    def __post_init__(self):
+        assert self.method in ("freq", "overlap_save"), self.method
 
 
 @dataclass(frozen=True)

@@ -83,11 +83,18 @@ def overlap_save_fir(
 
     padcfg = [(0, 0)] * (xp.ndim - 1) + [(m - 1, pad_t - t)]
     xpad = C(jnp.pad(xp.re, padcfg), jnp.pad(xp.im, padcfg))
-    # gather overlapping blocks: block i covers xpad[i*b : i*b + b + m - 1]
-    idx = (jnp.arange(nblk)[:, None] * b + jnp.arange(b + m - 1)[None, :]).reshape(-1)
-    blk_shape = xp.shape[:-1] + (nblk, b + m - 1)
-    blocks = C(jnp.take(xpad.re, idx, axis=-1).reshape(blk_shape),
-               jnp.take(xpad.im, idx, axis=-1).reshape(blk_shape))
+
+    # overlapping blocks WITHOUT a gather (gathers lower catastrophically on
+    # TPU — see ops/cfar.py): block i covers xpad[i*b : i*b + b + m - 1] =
+    # history xpad[i*b : i*b + m-1] ++ body xpad[m-1 + i*b : m-1 + (i+1)*b];
+    # both are plain reshapes of aligned slices (b >= 2m always, so the
+    # history never spans two blocks)
+    def to_blocks(a):
+        body = a[..., m - 1 :].reshape(a.shape[:-1] + (nblk, b))
+        hist = a[..., : nblk * b].reshape(a.shape[:-1] + (nblk, b))[..., :, : m - 1]
+        return jnp.concatenate([hist, body], axis=-1)
+
+    blocks = C(to_blocks(xpad.re), to_blocks(xpad.im))
     bpad = [(0, 0)] * (blocks.ndim - 1) + [(0, nfft - (b + m - 1))]
     blocks = C(jnp.pad(blocks.re, bpad), jnp.pad(blocks.im, bpad))
 
@@ -102,3 +109,30 @@ def overlap_save_fir(
 def mf_reference_taps(chirp: np.ndarray) -> np.ndarray:
     """Matched-filter taps for a transmit replica: time-reversed conjugate."""
     return np.conj(chirp[::-1]).astype(np.complex64)
+
+
+def matched_filter_os(
+    x: CLike,
+    taps,
+    cfg: MatchedFilterConfig = MatchedFilterConfig(),
+) -> CLike:
+    """LINEAR pulse compression via overlap-save blocks
+    (``MatchedFilterConfig.method = 'overlap_save'``): the streaming form for
+    continuous fast-time sequences. Same interior alignment as the circular
+    form (``corr[tau] = sum_j conj(taps[j]) x[tau + j]``, peak at the target
+    delay) but zero-extended edges instead of frame wraparound — matches
+    ``golden.matched_filter_golden(mode='full')[..., M-1 : M-1+T]``."""
+    xp = as_pair(x)
+    t = xp.shape[-1]
+    h = mf_reference_taps(np.asarray(taps) if not isinstance(taps, C)
+                          else np.asarray(taps.re) + 1j * np.asarray(taps.im))
+    m = h.shape[-1]
+    if cfg.normalize:
+        h = h / max(float(np.sqrt(np.sum(np.abs(h) ** 2))), 1e-30)
+    # right-extend by m-1 zeros so the trailing partial correlations exist,
+    # then realign: corr[tau] = conv[tau + m - 1]
+    padcfg = [(0, 0)] * (xp.ndim - 1) + [(0, m - 1)]
+    xe = C(jnp.pad(xp.re, padcfg), jnp.pad(xp.im, padcfg))
+    y = as_pair(overlap_save_fir(xe, h))
+    out = y[..., m - 1 : m - 1 + t]
+    return like(x, out)

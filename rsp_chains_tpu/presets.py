@@ -115,6 +115,11 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
 def matched_filter_stage(cfg: ChainConfig, taps: np.ndarray) -> Stage:
     mf_cfg = cfg.matched_filter or MatchedFilterConfig()
     taps_np = np.asarray(taps)  # host-side; split to a real pair inside the op
+    if mf_cfg.method == "overlap_save":
+        from .ops.matched_filter import matched_filter_os
+
+        return Stage("matched_filter_os",
+                     lambda x, rt: matched_filter_os(x, taps_np, mf_cfg))
     return Stage("matched_filter", lambda x, rt: matched_filter(x, taps_np, mf_cfg))
 
 

@@ -119,3 +119,46 @@ def test_frank_code_length():
     c = frank_code(4)
     assert len(c) == 16
     np.testing.assert_allclose(np.abs(c), 1.0)
+
+
+def test_matched_filter_os_matches_linear_golden():
+    """method='overlap_save': linear correlation, interior-aligned like the
+    circular form, zero-history edges (golden full-mode slice)."""
+    from rsp_chains_tpu.ops.matched_filter import matched_filter_os
+
+    chirp = lfm_chirp(64)
+    rng = np.random.RandomState(4)
+    x = (rng.randn(2, 512) + 1j * rng.randn(2, 512)).astype(np.complex64)
+    got = np.asarray(matched_filter_os(jnp.asarray(x),
+                                       np.asarray(chirp, np.complex64),
+                                       MatchedFilterConfig(
+                                           method="overlap_save",
+                                           normalize=False)))
+    m = len(chirp)
+    want = matched_filter_golden(x, chirp, mode="full")[..., m - 1 : m - 1 + 512]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2 * np.sqrt(m))
+
+
+def test_matched_filter_os_peak_at_delay():
+    from rsp_chains_tpu.ops.matched_filter import matched_filter_os
+
+    chirp = lfm_chirp(128, 0.0, 0.25)
+    x = np.zeros(1024, np.complex128)
+    x[300:428] = chirp
+    y = np.asarray(matched_filter_os(jnp.asarray(x, jnp.complex64),
+                                     np.asarray(chirp, np.complex64)))
+    assert np.argmax(np.abs(y)) == 300
+
+
+def test_matched_filter_stage_dispatches_on_method():
+    from rsp_chains_tpu.configs import ChainConfig, FftConfig
+    from rsp_chains_tpu.presets import matched_filter_stage
+
+    chirp = lfm_chirp(32)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=256),
+        matched_filter=MatchedFilterConfig(num_taps=32,
+                                           method="overlap_save"))
+    assert matched_filter_stage(cfg, chirp).name == "matched_filter_os"
+    with pytest.raises(AssertionError):
+        MatchedFilterConfig(method="direct")
