@@ -133,8 +133,9 @@ def rd_fusable(cfg: ChainConfig, taps) -> bool:
     ``presets.range_doppler_chain`` and ``parallel.sharded.
     make_sharded_rd_pipeline`` (and mirrored by ``fused_rd_chain``'s own
     asserts): frame length a {2,4,8}·128 four-step shape, pulse count a power
-    of two in [8, 256] (the dense [P, P] Doppler operand), frequency-domain
-    frame-sized matched filter, replica no longer than the frame."""
+    of two in [8, 512] (the dense [P, P] Doppler operand; 512 raises the
+    scoped-VMEM budget), frequency-domain frame-sized matched filter, replica
+    no longer than the frame."""
     mf_cfg = cfg.matched_filter
     dop_cfg = cfg.doppler
     if mf_cfg is None or dop_cfg is None:
@@ -143,7 +144,7 @@ def rd_fusable(cfg: ChainConfig, taps) -> bool:
     p = dop_cfg.num_pulses
     return (
         n % 128 == 0 and n // 128 in (2, 4, 8)
-        and (p & (p - 1)) == 0 and 8 <= p <= 256
+        and (p & (p - 1)) == 0 and 8 <= p <= 512
         and mf_cfg.method == "freq"
         and np.asarray(taps).shape[-1] <= n
     )
@@ -321,7 +322,7 @@ def fused_rd_chain(
     p = xp.shape[-2]
     n1 = n // 128
     assert n == cfg.fft.max_size and n1 in (2, 4, 8), (n, cfg.fft.max_size)
-    assert p == dop_cfg.num_pulses and (p & (p - 1)) == 0 and 8 <= p <= 256, p
+    assert p == dop_cfg.num_pulses and (p & (p - 1)) == 0 and 8 <= p <= 512, p
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= PAD
 
     rg = row_group or min(RD_ROW_GROUP, p)
@@ -385,9 +386,10 @@ def fused_rd_chain(
             jax.ShapeDtypeStruct((b * p, n), dt) for dt in out_dtypes
         ],
         # the [P, N] channel tile plus constants exceed XLA's 16 MB default
-        # scoped-vmem budget at P=256; v5e has 128 MB of physical VMEM
+        # scoped-vmem budget at P=256 (P=512 needs more still); v5e has
+        # 128 MB of physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=(96 if p > 256 else 64) * 1024 * 1024),
         interpret=interpret,
     )(scalars, fscal, re, im, jnp.asarray(wf), jnp.asarray(wi),
       jnp.asarray(h), jnp.asarray(d))

@@ -489,6 +489,28 @@ def range_doppler_chain(
     )
 
 
+def rx_rd_tx_chain(
+    cfg: Optional[ChainConfig] = None, taps: Optional[np.ndarray] = None
+) -> Chain:
+    """Wire-format flagship serving top: packed 32-bit IQ beat words
+    [..., P, N] in -> packed ``{threshold | bin | peak}`` words per RD-map
+    cell out — the ``RxFftMagCfarTxChain`` wire contract
+    (``RspChainTesterUtils.scala:105-109`` in,
+    ``RspChainVanillaTester.scala:164-172`` out) around the fused
+    range-Doppler chain."""
+    cfg = cfg or ChainConfig(doppler=DopplerConfig())
+    core = range_doppler_chain(cfg, taps=taps)
+    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
+
+    def tx(out, rt):
+        log2n = cfg.fft.log2_max
+        cut = out.cut if cfg.cfar.send_cut else None
+        return packing.pack_cfar_words(out.threshold, out.peaks, log2n,
+                                       cut=cut)
+
+    return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
+
+
 def beamformed_rd_chain(
     cfg: Optional[ChainConfig] = None,
     taps: Optional[np.ndarray] = None,

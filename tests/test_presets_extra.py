@@ -144,3 +144,35 @@ def test_compact_detections_through_cli_run_top_k(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "top-8 frame 0" in out
+
+
+def test_rx_rd_tx_wire_format_round_trip():
+    """Packed beat words [.., P, N] -> fused RD chain -> packed CFAR words:
+    decoded thresholds/peaks equal the float RD chain on the same int16 CPI."""
+    from rsp_chains_tpu import packing
+    from rsp_chains_tpu.presets import range_doppler_chain, rx_rd_tx_chain
+
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.io import native
+
+    cfg = _cfg()
+    rng = np.random.RandomState(12)
+    re = rng.randint(-20000, 20000, (2, P, N)).astype(np.int32)
+    im = rng.randint(-20000, 20000, (2, P, N)).astype(np.int32)
+    pair = C(jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32))
+    words = packing.pack_iq(pair)
+    rt = _rt(threshold_scaler=3.0)
+
+    wire = rx_rd_tx_chain(cfg, taps=TAPS)
+    out_words = np.asarray(wire.jit()(words, rt))
+
+    ref = range_doppler_chain(cfg, taps=TAPS).jit()(pair, rt)
+    thr_w, bins, pk_w = native.unpack_cfar_words(out_words,
+                                                 cfg.fft.log2_max)
+    np.testing.assert_array_equal(
+        pk_w.astype(bool), np.asarray(ref.peaks).reshape(-1))
+    # threshold is truncated into the word's integer field
+    np.testing.assert_allclose(
+        thr_w.astype(np.float64),
+        np.clip(np.floor(np.asarray(ref.threshold).reshape(-1)), 0, None),
+        atol=1.0)
