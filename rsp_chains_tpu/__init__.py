@@ -41,6 +41,7 @@ from .presets import (
     real_rx_chain,
     rsp_chain_vanilla,
     rx_fft_mag_cfar_tx_chain,
+    rx_rd_tx_chain,
 )
 from .ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime, cfar_2d_op, rd_2d_cfar_chain
 from .cplx import C, as_pair, join, to_numpy

@@ -309,3 +309,25 @@ def test_pc_fused_no_recompile_across_runtime_sizes():
     jc(x, _rt())
     jc(x, _rt(fft_size=N // 2))
     assert jc._cache_size() == 1
+
+
+def test_fused_rd_512_pulses_lowers():
+    """The 512-pulse elaboration (raised scoped-VMEM budget) traces and
+    lowers cleanly; execution at this size is exercised on-chip."""
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=256),
+        matched_filter=MatchedFilterConfig(num_taps=32, fft_size=256),
+        doppler=DopplerConfig(num_pulses=512),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=256, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+    chain = range_doppler_chain(cfg, taps=TAPS)
+    assert [s.name for s in chain.stages] == ["rd_fused"]
+    rng = np.random.RandomState(13)
+    x = as_pair((rng.randn(1, 512, 256)
+                 + 1j * rng.randn(1, 512, 256)).astype(np.complex64))
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=8.0,
+                            div_sum=3)
+    jax.jit(chain.__call__).lower(x, rt)
