@@ -516,6 +516,7 @@ def beamformed_rd_chain(
     taps: Optional[np.ndarray] = None,
     angles_rad: Optional[np.ndarray] = None,
     num_channels: int = 8,
+    fft_beams: bool = False,
 ) -> Chain:
     """Multi-channel front end: element-space CPI -> beams -> range-Doppler.
 
@@ -524,27 +525,30 @@ def beamformed_rd_chain(
     (SURVEY §2.15 "data parallel over channels/beams"). Here beam formation is
     one ``[beams, channels]`` complex matmul on the MXU (``ops/beamform.py``)
     ahead of the fused RD chain — the beam axis then plays the channel role.
+    ``fft_beams=True`` uses the DFT beam space (``fft_beamform``: C uniform
+    beams at spatial frequencies k/C) instead of steered ULA beams.
 
     Input: ``[..., C, P, N]`` element-space IQ CPI blocks (C array channels).
     Output: ``CfarOutput`` over ``[..., B, P, N]`` per-beam RD maps."""
     from .cplx import C as _C, as_pair
-    from .ops.beamform import beamform, ula_steering
+    from .ops.beamform import beamform, fft_beamform, ula_steering
 
     cfg = cfg or ChainConfig(doppler=DopplerConfig())
     if angles_rad is None:
         angles_rad = np.deg2rad(np.linspace(-60, 60, 8))
-    weights = ula_steering(num_channels, angles_rad)
+    weights = None if fft_beams else ula_steering(num_channels, angles_rad)
 
     def bf(x, rt):
         xp = as_pair(x)
         c, p, n = xp.shape[-3:]
         assert c == num_channels, (c, num_channels)
         flatt = xp.reshape(xp.shape[:-2] + (p * n,))   # [..., C, P*N]
-        y = beamform(flatt, weights)                   # [..., B, P*N]
+        y = fft_beamform(flatt) if fft_beams else beamform(flatt, weights)
         return y.reshape(y.shape[:-1] + (p, n))
 
     rd = range_doppler_chain(cfg, taps=taps)
-    return Chain(cfg, [Stage("beamform", bf), *rd.stages])
+    return Chain(cfg, [Stage("fft_beamform" if fft_beams else "beamform", bf),
+                       *rd.stages])
 
 
 def integrated_search_chain(

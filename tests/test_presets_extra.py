@@ -176,3 +176,24 @@ def test_rx_rd_tx_wire_format_round_trip():
         thr_w.astype(np.float64),
         np.clip(np.floor(np.asarray(ref.threshold).reshape(-1)), 0, None),
         atol=1.0)
+
+
+def test_beamformed_rd_fft_beam_space():
+    """fft_beams=True: DFT beam space (ops.fft_beamform) ahead of the RD
+    chain; a spatial-frequency-aligned wavefront lands in its DFT beam."""
+    cfg = _cfg()
+    c = 8
+    k_beam = 2                      # spatial frequency k/C = 2/8
+    chain = beamformed_rd_chain(cfg, taps=TAPS, num_channels=c,
+                                fft_beams=True)
+    assert chain.stages[0].name == "fft_beamform"
+    fd, delay = 0.25, 50
+    cpi = chirp_with_targets(P, N, TAPS, [(delay, 1.0, fd)], noise_db=-60)
+    # plain DFT beams (no weight conjugation): beam k collects the
+    # wavefront with element phase e^{+2pi i k c / C}
+    a = np.exp(2j * np.pi * k_beam * np.arange(c) / c)
+    x = (a[:, None, None] * cpi[None]).astype(np.complex64)
+    out = chain.jit()(as_pair(x), _rt())
+    energy = np.asarray(out.threshold).sum(axis=(1, 2))
+    assert int(np.argmax(energy)) == k_beam
+    assert np.asarray(out.peaks)[k_beam, P // 2 + int(fd * P), delay]
