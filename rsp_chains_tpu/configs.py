@@ -334,7 +334,12 @@ class MatchedFilterConfig:
     normalize: bool = True
 
     def __post_init__(self):
-        assert self.method in ("freq", "overlap_save"), self.method
+        # ValueError, not assert: an invalid/typo'd method must fail under
+        # python -O too (the stage dispatch would otherwise silently run the
+        # circular filter with the wrong edge semantics)
+        if self.method not in ("freq", "overlap_save"):
+            raise ValueError(f"matched-filter method {self.method!r} "
+                             "(choose 'freq' or 'overlap_save')")
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ Two structural wins over a stage-by-stage translation:
    reads block order and writes natural time order directly:
        F = P·C·T·B  =>  F⁻¹·P = B⁻¹·T⁻¹·C⁻¹ — no permutation anywhere.
 2. **The Doppler FFT is one dense DFT matmul along sublanes.** The pulse axis
-   (P ≤ 256) lives on sublanes, so the slow-time transform is D @ Y with a
+   (P ≤ 512) lives on sublanes, so the slow-time transform is D @ Y with a
    [P, P] DFT-matrix constant — an ideal MXU shape — with the Doppler window
    folded into D's columns, fftshift into its row order, and the DIV_N scaling
    into its values. No transposes, no per-stage passes.

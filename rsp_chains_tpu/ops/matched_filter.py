@@ -77,6 +77,11 @@ def overlap_save_fir(
     m = tp.shape[-1]
     t = xp.shape[-1]
     b = block_size or max(_next_pow2(4 * m), 256)
+    # the gather-free block extraction reads each block's (m-1)-sample history
+    # from the PREVIOUS block's body, so b must cover it; overlap-save output
+    # is invariant to the block partition, so raising b only changes the
+    # internal tiling
+    b = max(b, _next_pow2(m - 1) if m > 1 else 1)
     nfft = _next_pow2(b + m - 1)
     nblk = -(-t // b)
     pad_t = nblk * b
@@ -124,15 +129,27 @@ def matched_filter_os(
     ``golden.matched_filter_golden(mode='full')[..., M-1 : M-1+T]``."""
     xp = as_pair(x)
     t = xp.shape[-1]
-    h = mf_reference_taps(np.asarray(taps) if not isinstance(taps, C)
-                          else np.asarray(taps.re) + 1j * np.asarray(taps.im))
-    m = h.shape[-1]
-    if cfg.normalize:
-        h = h / max(float(np.sqrt(np.sum(np.abs(h) ** 2))), 1e-30)
+    if isinstance(taps, C):
+        # keep device-resident / traced taps on-device (a forced host fetch
+        # is both a tracer error under jit and a relay hazard — CLAUDE.md)
+        h = C(jnp.flip(taps.re, -1), -jnp.flip(taps.im, -1))
+        m = h.shape[-1]
+        if cfg.normalize:
+            norm = jnp.maximum(jnp.sqrt(jnp.sum(taps.abs2())), 1e-30)
+            h = h * (1.0 / norm)
+    else:
+        h = mf_reference_taps(np.asarray(taps))
+        m = h.shape[-1]
+        if cfg.normalize:
+            h = h / max(float(np.sqrt(np.sum(np.abs(h) ** 2))), 1e-30)
+    # honor the elaborated overlap-save FFT block size: an F-point block
+    # carries F - (m-1) new samples (overlap_save_fir re-derives nfft =
+    # next_pow2(b + m - 1) = F for power-of-two F)
+    block = max(cfg.fft_size - (m - 1), 1) if cfg.fft_size else None
     # right-extend by m-1 zeros so the trailing partial correlations exist,
     # then realign: corr[tau] = conv[tau + m - 1]
     padcfg = [(0, 0)] * (xp.ndim - 1) + [(0, m - 1)]
     xe = C(jnp.pad(xp.re, padcfg), jnp.pad(xp.im, padcfg))
-    y = as_pair(overlap_save_fir(xe, h))
+    y = as_pair(overlap_save_fir(xe, h, block))
     out = y[..., m - 1 : m - 1 + t]
     return like(x, out)

@@ -300,7 +300,17 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
                 out_specs=ch_spec, check_vma=False,
             )(xp, rt)
         else:
-            y = matched_filter(x, taps, mf_cfg) if mf_cfg is not None else x
+            if mf_cfg is None:
+                y = x
+            elif mf_cfg.method == "overlap_save":
+                # honor the method register like the single-device preset —
+                # the circular filter has different (wraparound) edge
+                # semantics and would break sharded==unsharded equality
+                from ..ops.matched_filter import matched_filter_os
+
+                y = matched_filter_os(x, taps, mf_cfg)
+            else:
+                y = matched_filter(x, taps, mf_cfg)
             if dop_cfg is not None:
                 y = doppler_fft(y, dop_cfg)
         nb = y.ndim - 1

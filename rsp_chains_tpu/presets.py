@@ -112,6 +112,26 @@ def tail_stages(cfg: ChainConfig) -> list[Stage]:
     return [mag_stage(cfg), cfar_stage(cfg)]
 
 
+def _wire_rx_stage() -> Stage:
+    """Packed 32-bit beat words -> IQ pair (the shared serving ingress)."""
+    return Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
+
+
+def _wire_tx_stage(cfg: ChainConfig) -> Stage:
+    """CfarOutput -> packed ``{threshold | bin | peak}`` words (the shared
+    serving egress; the elaborated bin width and sendCut field selection are
+    the ONE wire contract both serving tops must agree on)."""
+    def tx(out, rt):
+        log2n = cfg.fft.log2_max  # word layout uses the elaborated bin width
+        # sendCut elaboration: pack the cell-under-test value in the bin field
+        # (CFARParams.sendCut, RspChainVanillaTester.scala:232)
+        cut = out.cut if cfg.cfar.send_cut else None
+        return packing.pack_cfar_words(out.threshold, out.peaks, log2n,
+                                       cut=cut)
+
+    return Stage("tx_pack", tx, terminal=True)
+
+
 def matched_filter_stage(cfg: ChainConfig, taps: np.ndarray) -> Stage:
     mf_cfg = cfg.matched_filter or MatchedFilterConfig()
     taps_np = np.asarray(taps)  # host-side; split to a real pair inside the op
@@ -266,17 +286,8 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
             terminal=True,
         )])
 
-    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
     core = fft_mag_cfar_chain(cfg)
-
-    def tx(out, rt):
-        log2n = cfg.fft.log2_max  # word layout uses the elaborated bin width
-        # sendCut elaboration: pack the cell-under-test value in the bin field
-        # (CFARParams.sendCut, RspChainVanillaTester.scala:232)
-        cut = out.cut if cfg.cfar.send_cut else None
-        return packing.pack_cfar_words(out.threshold, out.peaks, log2n, cut=cut)
-
-    return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
+    return Chain(cfg, [_wire_rx_stage(), *core.stages, _wire_tx_stage(cfg)])
 
 
 def real_rx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
@@ -500,15 +511,7 @@ def rx_rd_tx_chain(
     range-Doppler chain."""
     cfg = cfg or ChainConfig(doppler=DopplerConfig())
     core = range_doppler_chain(cfg, taps=taps)
-    rx = Stage("rx_unpack", lambda words, rt: packing.unpack_iq_pair(words))
-
-    def tx(out, rt):
-        log2n = cfg.fft.log2_max
-        cut = out.cut if cfg.cfar.send_cut else None
-        return packing.pack_cfar_words(out.threshold, out.peaks, log2n,
-                                       cut=cut)
-
-    return Chain(cfg, [rx, *core.stages, Stage("tx_pack", tx, terminal=True)])
+    return Chain(cfg, [_wire_rx_stage(), *core.stages, _wire_tx_stage(cfg)])
 
 
 def beamformed_rd_chain(

@@ -160,5 +160,42 @@ def test_matched_filter_stage_dispatches_on_method():
         matched_filter=MatchedFilterConfig(num_taps=32,
                                            method="overlap_save"))
     assert matched_filter_stage(cfg, chirp).name == "matched_filter_os"
-    with pytest.raises(AssertionError):
+
+
+def test_overlap_save_small_block_size_clamped():
+    """block_size below num_taps-1 (valid for the old gather form) is raised
+    to a covering power of two — output identical (overlap-save is invariant
+    to the block partition)."""
+    rng = np.random.RandomState(5)
+    x = (rng.randn(300) + 1j * rng.randn(300)).astype(np.complex64)
+    taps = (rng.randn(64) + 1j * rng.randn(64)).astype(np.complex64)
+    got = np.asarray(overlap_save_fir(jnp.asarray(x), jnp.asarray(taps), 32))
+    want = np.convolve(x, taps, mode="full")[:300]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-1)
+
+
+def test_matched_filter_os_traced_pair_taps():
+    """C-pair taps stay on-device (no host fetch): usable under jit."""
+    import jax
+
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.ops.matched_filter import matched_filter_os
+
+    chirp = np.asarray(lfm_chirp(32), np.complex64)
+    rng = np.random.RandomState(6)
+    x = (rng.randn(256) + 1j * rng.randn(256)).astype(np.complex64)
+
+    def f(xr, xi, tr, ti):
+        return matched_filter_os(C(xr, xi), C(tr, ti),
+                                 MatchedFilterConfig(normalize=False))
+
+    y = jax.jit(f)(jnp.real(x), jnp.imag(x),
+                   jnp.asarray(chirp.real), jnp.asarray(chirp.imag))
+    got = np.asarray(y.re) + 1j * np.asarray(y.im)
+    want = matched_filter_golden(x, chirp, mode="full")[31 : 31 + 256]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+
+
+def test_matched_filter_config_rejects_bad_method():
+    with pytest.raises(ValueError, match="matched-filter method"):
         MatchedFilterConfig(method="direct")
