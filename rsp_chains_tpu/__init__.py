@@ -47,4 +47,4 @@ from .ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime, cfar_2d_op, rd_2d_cfar_cha
 from .cplx import C, as_pair, join, to_numpy
 from . import cplx, ops, packing, numerics, golden
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
