@@ -140,9 +140,20 @@ def main():
 
     # ---- config 1: headline fused chain ----
     f_chain = jax.jit(lambda a, r: fused_chain_ca(a, r, fft_cfg, ca))
-    for ch in (64, 16):
-        record(f"config1_chain_1024_{ch}ch", f_chain, iq(ch, 256, n), rt,
-               ch * 256 * n)
+    x1 = iq(64, 256, n)
+    for ch, xx in ((64, x1), (16, iq(16, 256, n))):
+        record(f"config1_chain_1024_{ch}ch", f_chain, xx, rt, ch * 256 * n)
+
+    # ---- fold interleave: pass-3 columns sigma-reordered so the natural-
+    # order permutation shrinks to log2(n1) bit-swap roll/select steps —
+    # replaces the dense [N, N] MXU permutation matmul (the r2m budget's
+    # single largest item, ~0.40 ms). Exact on f32; digest-validated against
+    # the shipped mxu formulation before timing ----
+    f_fold = jax.jit(lambda a, r: fused_chain_ca(a, r, fft_cfg, ca,
+                                                 perm_impl="fold"))
+    validate(lambda x, r: (f_chain(x, r), f_fold(x, r)), x1, rt,
+             "config1_fold_validation")
+    record("config1_chain_1024_64ch_fold", f_fold, x1, rt, 64 * 256 * n)
 
     # ---- wire-format serving chain ----
     re_i = rng.randint(-20000, 20000, (64, 256, n))
@@ -182,6 +193,17 @@ def main():
              "config2_validation")
     record("config2_pc_fused_4096", f2, x2, rt2, 4 * 256 * n2,
            workload="[4x256x4096] collapsed chain as ONE kernel")
+
+    # fold interleave at 4096 (n1=32: 5 swap steps replace the 11-step
+    # rotation network)
+    from rsp_chains_tpu.kernels.rd_pallas import _h_block
+
+    hb2 = _h_block(taps_np, n2, cfg2.matched_filter.normalize)
+    f2_fold = jax.jit(lambda a, r: fused_chain_ca(
+        a, r, cfg2.fft, cfg2.cfar, perm_impl="fold", h_block=hb2))
+    validate(lambda x, r: (f2(x, r), f2_fold(x, r)), x2, rt2,
+             "config2_fold_validation")
+    record("config2_pc_fused_4096_fold", f2_fold, x2, rt2, 4 * 256 * n2)
 
     # ---- config 3: fused range-Doppler ----
     cfg3 = ChainConfig(

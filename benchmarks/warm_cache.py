@@ -120,6 +120,22 @@ def main():
                              guard_window_size=4, threshold_scaler=8.0)
     warm("pc_fused_4096", pc, iq(4, n2), rt2)
 
+    # 6. fold-interleave formulation (r3 candidate: sigma-reordered pass-3
+    # columns + log2(n1) bit-swap steps instead of the permutation matmul /
+    # rotation network) — at both ladder sizes
+    from rsp_chains_tpu.kernels.chain_pallas import fused_chain_ca
+    from rsp_chains_tpu.kernels.rd_pallas import _h_block
+
+    warm("fused_chain_1024_fold",
+         jax.jit(lambda a, r: fused_chain_ca(a, r, FftConfig(max_size=n), ca,
+                                             perm_impl="fold")),
+         iq(128, n), rt)
+    hb2 = _h_block(np.asarray(taps), n2, cfg2.matched_filter.normalize)
+    warm("pc_fused_4096_fold",
+         jax.jit(lambda a, r: fused_chain_ca(a, r, cfg2.fft, cfg2.cfar,
+                                             perm_impl="fold", h_block=hb2)),
+         iq(4, n2), rt2)
+
     print(f"total: {time.perf_counter()-t_all:.1f}s", file=sys.stderr)
     import os
 

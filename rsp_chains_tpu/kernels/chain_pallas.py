@@ -28,6 +28,12 @@ lane access is 128-aligned):
    re/im pair (the permutation is the kernel's largest VPU item). The
    per-lane take-left/take-right masks are host-precomputed int32 operands
    (``_perm_masks``), not in-kernel iota/shift/compare chains.
+   ``perm_impl='fold'`` (r3 candidate) shrinks this to log2(n1) steps: the
+   pass-3 DFT COLUMN ORDER is free, and reordering it by ``_fold_sigma``
+   absorbs the within-block part of the rotation into the constants, leaving
+   only the disjoint bit-field swaps (i <-> i+7, i < log2(n1)) — 3 steps at
+   N=1024 instead of 9 (or the dense [N, N] permutation matmul), 5 at 4096
+   instead of 11, exact on f32 (no hi/lo split).
 5. the shared CA/GO/SO CFAR body (``cfar_pallas._ca_cfar_body``).
 
 Runtime registers (same 9-scalar file as the spectrum kernel) stay traced —
@@ -152,6 +158,57 @@ def _perm_matrix(n: int, n1: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _fold_sigma(n1: int):
+    """Pass-3 column order that folds most of the output interleave into the
+    DFT constants: within every k1 block, the DFT output placed at
+    within-block lane l is k2 = sigma(l) = (l div n1) + (128/n1)·(l mod n1).
+    With this layout the remaining natural-ordering permutation is exactly
+    a = log2(n1) DISJOINT bit-field swaps (lane-index bits i <-> i+7,
+    i < a) — 3 roll/select steps at N=1024 instead of the 9-step rotation
+    network or the dense [N, N] permutation matmul (``_fold_perm_steps``)."""
+    el = np.arange(128)
+    return ((el // n1) + (128 // n1) * (el % n1)).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_perm_steps(n: int, n1: int):
+    """The residual interleave steps under the ``_fold_sigma`` column order:
+    swap lane-index bits (i, i+7) for i < log2(n1). Disjoint transpositions —
+    order-independent. Verified exhaustively at build time: composing the
+    steps over the sigma-reordered block layout must yield natural order."""
+    a = int(np.log2(n1))
+    steps = tuple((i, i + 7, (1 << (i + 7)) - (1 << i)) for i in range(a))
+
+    # exhaustive check: block position 128·k1 + l holds X[k1 + n1·sigma(l)];
+    # applying the steps (out[o] = c[tau(o)]) must leave X[o] at lane o
+    sigma = _fold_sigma(n1)
+    j = np.arange(n)
+    held = (j // 128) + n1 * sigma[j % 128]       # X index held at lane j
+    o = np.arange(n)
+    for p, q, _d in steps:
+        bp = (o >> p) & 1
+        bq = (o >> q) & 1
+        o = o ^ (((bp ^ bq) << p) | ((bp ^ bq) << q))
+    assert np.array_equal(held[o], np.arange(n)), "fold decomposition failed"
+    return steps
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_masks(n: int, n1: int):
+    """Host-precomputed per-step lane masks for the folded interleave
+    (layout matching ``_perm_masks``: 1 = take +d, 2 = take −d, 0 = keep)."""
+    steps = _fold_perm_steps(n, n1)
+    i = np.arange(n)
+    m = np.zeros((max(len(steps), 1), n), np.int32)
+    for s, (p, q, _d) in enumerate(steps):
+        bp = (i >> p) & 1
+        bq = (i >> q) & 1
+        m[s] = np.where((bp == 1) & (bq == 0), 1,
+                        np.where((bp == 0) & (bq == 1), 2, 0))
+    return m
+
+
+@functools.lru_cache(maxsize=None)
 def _sinv_map(n: int, n1: int):
     """Natural cell index held by BLOCK-order lane j: the inverse of the
     interleave s(o) = 128·(o mod n1) + o div n1, i.e.
@@ -247,14 +304,18 @@ def _apply_perm_mxu(x, p_ref, stack_hi_lo: bool = False):
             + jnp.dot(xl, p, preferred_element_type=jnp.float32))
 
 
-def _apply_bit_perm(x, pm, n: int, n1: int):
+def _apply_bit_perm(x, pm, n: int, n1: int, steps=None):
     """Apply the verified interleave steps to a [F, n] value. ``pm`` is the
     `_perm_masks` operand value ([n_steps, n] int32), or None to rebuild the
-    masks in-kernel from an iota (A/B fallback)."""
+    masks in-kernel from an iota (A/B fallback). ``steps`` overrides the
+    default full-rotation step list (the 'fold' path passes its residual
+    bit-swap steps, with ``pm`` built by ``_fold_masks``)."""
+    if steps is None:
+        steps = _bit_perm_steps(n, n1)
     i = None
     if pm is None:
         i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    for s, (p, q, d) in enumerate(_bit_perm_steps(n, n1)):
+    for s, (p, q, d) in enumerate(steps):
         if pm is None:
             bp = (i >> p) & 1
             bq = (i >> q) & 1
@@ -271,11 +332,14 @@ def _apply_bit_perm(x, pm, n: int, n1: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _chain_consts(n: int, scale: float, split_bf16: bool = False):
+def _chain_consts(n: int, scale: float, split_bf16: bool = False,
+                  fold_perm: bool = False):
     """Host constants: twiddle rows [2, n] and scaled Gauss triple of the
     128-point DFT [3, 128, 128] (Wr, Wi, Wr+Wi). With ``split_bf16`` the
     triple is returned as a [6, 128, 128] bf16 stack (hi parts then residual
-    lo parts) for the two-term bf16 split-matmul path."""
+    lo parts) for the two-term bf16 split-matmul path. ``fold_perm`` reorders
+    the DFT columns by ``_fold_sigma`` (the ``perm_impl='fold'`` interleave;
+    the twiddle multiplies the CONTRACTION axis so it is unaffected)."""
     n1 = n // 128
     j = np.arange(n)
     k1 = j // 128
@@ -285,6 +349,8 @@ def _chain_consts(n: int, scale: float, split_bf16: bool = False):
 
     km = np.outer(np.arange(128), np.arange(128))
     f128 = np.exp(-2j * np.pi * km / 128) * scale
+    if fold_perm:
+        f128 = f128[:, _fold_sigma(n1)]
     wr = f128.real.astype(np.float32)
     wi = f128.imag.astype(np.float32)
     triple = np.stack([wr, wi, wr + wi])
@@ -298,11 +364,14 @@ def _chain_consts(n: int, scale: float, split_bf16: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _chain_consts_folded(n: int, scale: float, split_bf16: bool = False):
+def _chain_consts_folded(n: int, scale: float, split_bf16: bool = False,
+                         fold_perm: bool = False):
     """Per-block pass-3 constants with the four-step twiddle FOLDED IN:
     D_k1 = diag(W_N^{k1·m2}) · F128 · scale. The twiddle multiplies A's
     contraction axis elementwise, i.e. it row-scales the B matrix — so pass 2
     disappears into 8 per-block Gauss triples at zero extra MXU cost.
+    ``fold_perm``: additionally reorder the DFT output columns by
+    ``_fold_sigma`` (the ``perm_impl='fold'`` interleave — also free).
 
     Returns [n1, 3, 128, 128] f32 (Wr, Wi, Wr+Wi per block), or
     [n1, 6, 128, 128] bf16 (hi triple then lo triple) when ``split_bf16``."""
@@ -310,6 +379,8 @@ def _chain_consts_folded(n: int, scale: float, split_bf16: bool = False):
     m2 = np.arange(128)
     km = np.outer(m2, np.arange(128))
     f128 = np.exp(-2j * np.pi * km / 128) * scale
+    if fold_perm:
+        f128 = f128[:, _fold_sigma(n1)]
     blocks = []
     for k1 in range(n1):
         tw = np.exp(-2j * np.pi * (k1 * m2) / n)
@@ -541,8 +612,11 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
             return v
         if perm_impl == "mxu":
             return _apply_perm_mxu(v, pm_ref, stack_hi_lo=stack_hi_lo)
+        steps = _fold_perm_steps(n, n1) if perm_impl == "fold" else None
+        if steps is not None and not steps:        # n1 == 1: already natural
+            return v
         return _apply_bit_perm(v, pm_ref[:, :] if pm_ref is not None else None,
-                               n, n1)
+                               n, n1, steps=steps)
 
     if boxsum_impl != "vpu" and not ablate:
         # ---- interleave + CFAR window sums as ONE wide band matmul: the
@@ -781,10 +855,11 @@ def fused_chain_ca(
     n1 = n // 128
     assert n == fft_cfg.max_size and n1 in (2, 4, 8, 16, 32), n
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
-    if n1 > 8:
+    if n1 > 8 and perm_impl == "mxu":
         # the [N, N] permutation operand is n²·2 bytes — past VMEM at 2048+;
-        # the roll/select network scales as O(log n) passes
+        # the roll/select networks scale as O(log n) passes
         perm_impl = "roll"
+    if perm_impl != "mxu":
         boxsum_impl = "vpu"
 
     batch_shape = xp.shape[:-1]
@@ -800,15 +875,22 @@ def fused_chain_ca(
 
     scalars, fscal = _chain_scalars(rt, cfar_cfg, n, active_lo, active_hi)
     split = dot_impl == "bf16x2"
+    fold_perm = perm_impl == "fold"
     tw_rows, _ = _chain_consts(n, _fft_scale(n, fft_cfg))
     if fold_twiddle:
         triple = _chain_consts_folded(n, _fft_scale(n, fft_cfg),
-                                      split_bf16=split)
+                                      split_bf16=split, fold_perm=fold_perm)
     else:
-        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split)
+        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split,
+                                  fold_perm=fold_perm)
     tw_j = jnp.asarray(tw_rows)
     w_j = jnp.asarray(triple)
-    pm = _perm_matrix(n, n1) if perm_impl == "mxu" else _perm_masks(n, n1)
+    if perm_impl == "mxu":
+        pm = _perm_matrix(n, n1)
+    elif fold_perm:
+        pm = _fold_masks(n, n1)
+    else:
+        pm = _perm_masks(n, n1)
     pm_j = jnp.asarray(pm)
     band_ext = -(-(2 * cfar_cfg.max_guard_window + cfar_cfg.max_ref_window + 1)
                  // 128) * 128
@@ -857,8 +939,12 @@ def fused_chain_ca(
     ]
     operands = [scalars, fscal, re, im, tw_j, w_j, pm_j]
     if h_block is not None:
-        h_j = jnp.asarray(np.asarray(h_block, np.float32))
+        h_j = jnp.asarray(h_block, jnp.float32)
         assert h_j.shape == (2, n), h_j.shape
+        if fold_perm:
+            # the spectrum's within-block layout is sigma-reordered under
+            # 'fold'; permute the block-order weights to match
+            h_j = h_j.reshape(2, n1, 128)[:, :, _fold_sigma(n1)].reshape(2, n)
         in_specs.append(pl.BlockSpec((2, n), lambda i, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(h_j)
@@ -930,13 +1016,20 @@ def fused_chain_ca_packed(
 
     scalars, fscal = _chain_scalars(rt, cfar_cfg, n, None, None)
     split = dot_impl == "bf16x2"
+    fold_perm = perm_impl == "fold"
     tw_rows, _ = _chain_consts(n, _fft_scale(n, fft_cfg))
     if fold_twiddle:
         triple = _chain_consts_folded(n, _fft_scale(n, fft_cfg),
-                                      split_bf16=split)
+                                      split_bf16=split, fold_perm=fold_perm)
     else:
-        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split)
-    pm = _perm_matrix(n, n1) if perm_impl == "mxu" else _perm_masks(n, n1)
+        _, triple = _chain_consts(n, _fft_scale(n, fft_cfg), split_bf16=split,
+                                  fold_perm=fold_perm)
+    if perm_impl == "mxu":
+        pm = _perm_matrix(n, n1)
+    elif fold_perm:
+        pm = _fold_masks(n, n1)
+    else:
+        pm = _perm_masks(n, n1)
 
     grid = (f_tot // bf,)
     from .cfar_pallas import _bits_for

@@ -350,6 +350,99 @@ def test_fused_chain_kernel_matches_xla(n, boxsum, rng):
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
 
+@pytest.mark.parametrize("n", [256, 512])
+def test_fused_chain_fold_interleave_matches_xla(n, rng):
+    """perm_impl='fold': the interleave folded into the pass-3 DFT column
+    order, leaving only log2(n1) residual bit-swap roll/select steps — an
+    EXACT lane permutation (no hi/lo split residual)."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=32, variant=CfarVariant.CA,
+                          include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=16, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=4)
+    x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
+    got = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                         perm_impl="fold")
+    want = _xla_chain_out(as_pair(x), rt, fft_cfg, cfar_cfg)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_fused_chain_fold_bit_identical_to_roll(rng):
+    """'fold' performs the same f32 dot products as 'roll' (identical rows
+    against identical column vectors — only their PLACEMENT differs) followed
+    by exact permutations, so the two formulations must agree bit-for-bit.
+    Covers n1 = 2 (one swap step) and n1 = 16 (four steps, the size where the
+    dense permutation operand stops fitting VMEM)."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    for n, bf, frames in ((256, 128, 3), (2048, 8, 2)):
+        fft_cfg = _FftCfg(max_size=n)
+        cfar_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                              variant=CfarVariant.CA, include_cash=False)
+        rt = RuntimeConfig.make(fft_size=n, ref_window_size=8,
+                                guard_window_size=2, threshold_scaler=3.0,
+                                div_sum=3)
+        x = (rng.randn(frames, n)
+             + 1j * rng.randn(frames, n)).astype(np.complex64)
+        a = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           perm_impl="roll", block_frames=bf)
+        b = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           perm_impl="fold", block_frames=bf)
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
+def test_fused_chain_fold_with_h_block(rng):
+    """The collapsed pulse-compression form (block-order spectral weights)
+    under 'fold': the weights are sigma-permuted to the reordered layout —
+    bit-identical to the 'roll' form."""
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden.fixtures import lfm_chirp
+    from rsp_chains_tpu.kernels.rd_pallas import _h_block
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                          variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=3)
+    hb = _h_block(np.asarray(lfm_chirp(32, 0.0, 0.25)), n, True)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    a = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                       perm_impl="roll", h_block=hb)
+    b = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                       perm_impl="fold", h_block=hb)
+    np.testing.assert_array_equal(np.asarray(a.threshold),
+                                  np.asarray(b.threshold))
+    np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
+def test_fused_chain_packed_fold_bit_identical(rng):
+    """The wire-format kernel under 'fold' emits the same packed words."""
+    from rsp_chains_tpu import packing
+    from rsp_chains_tpu.kernels.chain_pallas import fused_chain_ca_packed
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                          variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=3)
+    iq = (rng.randint(-20000, 20000, (2, n))
+          + 1j * rng.randint(-20000, 20000, (2, n))).astype(np.complex64)
+    words = jnp.asarray(packing.pack_iq(jnp.asarray(iq)), jnp.uint32)
+    a = fused_chain_ca_packed(words, rt, fft_cfg, cfar_cfg, interpret=True,
+                              perm_impl="roll")
+    b = fused_chain_ca_packed(words, rt, fft_cfg, cfar_cfg, interpret=True,
+                              perm_impl="fold")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_chain_stack_hi_lo_bit_identical(rng):
     """Stacking the hi/lo split terms into one tall matmul is the same math
     in a different dispatch shape — outputs must be bit-identical."""
