@@ -221,7 +221,8 @@ def cmd_stream(args):
 
         ctrl = ControlServer(lambda: pipe.runtime, pipe.reconfigure,
                              cfar_cfg=chain.cfg.cfar,
-                             port=args.control_port).start()
+                             port=args.control_port,
+                             update_rt=pipe.update_runtime).start()
         print(f"control port: {ctrl.port}", file=sys.stderr)
     n_sub = 0
     with pipe:

@@ -42,10 +42,17 @@ class ControlServer:
 
     def __init__(self, get_rt: Callable[[], RuntimeConfig],
                  set_rt: Callable[[RuntimeConfig], None],
-                 cfar_cfg=None, host: str = "127.0.0.1", port: int = 0):
+                 cfar_cfg=None, host: str = "127.0.0.1", port: int = 0,
+                 update_rt: Optional[Callable] = None):
         outer = self
         self._get_rt = get_rt
         self._set_rt = set_rt
+        # atomic read-modify-write primitive (StreamingPipeline.update_runtime):
+        # the poke's merge must run under the SAME lock the data plane's
+        # reconfigure takes, or a concurrent config write landing between the
+        # peek and the set would be silently reverted wholesale. The local
+        # _poke_lock alone only serializes pokes against each other.
+        self._update_rt = update_rt
         self._cfar_cfg = cfar_cfg
         self._poke_lock = threading.Lock()  # serialize read-merge-write pokes
 
@@ -75,14 +82,21 @@ class ControlServer:
             raise ValueError("request must be a JSON object")
         if req.get("peek"):
             return {"ok": True, "regs": self._get_rt().peek()}
-        with self._poke_lock:
-            regs = self._get_rt().peek()
+
+        def merge(cur: RuntimeConfig) -> RuntimeConfig:
+            regs = cur.peek()
             unknown = set(req) - set(regs)
             if unknown:
                 raise ValueError(f"unknown registers: {sorted(unknown)}")
             regs.update(req)
-            rt = RuntimeConfig.make(validate_against=self._cfar_cfg, **regs)
-            self._set_rt(rt)
+            return RuntimeConfig.make(validate_against=self._cfar_cfg, **regs)
+
+        with self._poke_lock:
+            if self._update_rt is not None:
+                rt = self._update_rt(merge)   # atomic vs data-plane writes
+            else:
+                rt = merge(self._get_rt())
+                self._set_rt(rt)
         return {"ok": True, "regs": rt.peek()}
 
     @property

@@ -120,6 +120,16 @@ class StreamingPipeline:
         with self._rt_lock:
             self._rt = rt
 
+    def update_runtime(self, fn):
+        """Atomically transform the register file: ``fn(current) -> new`` runs
+        under the same lock ``reconfigure``/``runtime`` take, so a concurrent
+        config write cannot interleave between a debug master's read and its
+        merged write (which would silently revert it wholesale). Returns the
+        new register file."""
+        with self._rt_lock:
+            self._rt = fn(self._rt)
+            return self._rt
+
     @property
     def runtime(self):
         """The live runtime register file (debug-master read channel)."""

@@ -1348,8 +1348,13 @@ def fused_tail_kind(chain_cfg) -> str | None:
         return None
     if chain_cfg.fixed_point.enabled or chain_cfg.mag.use_lut_log:
         return None
+    if cfar.max_ref_window + cfar.max_guard_window + 1 > PAD:
+        # past the kernels' circular single-pad scratch bound — eligibility
+        # must imply the kernel call succeeds (otherwise a legal elaboration
+        # crashes at call time instead of composing the XLA tail)
+        return None
     if cfar.variant is CfarVariant.CA and not cfar.include_cash:
-        return "ca"
+        return "ca" if cfar.max_ref_window <= 1 << MAX_LOG2_W else None
     if cfar.variant in (CfarVariant.GOS, CfarVariant.GOSCA):
         return "gos"
     return None

@@ -147,6 +147,9 @@ def rd_fusable(cfg: ChainConfig, taps) -> bool:
         and (p & (p - 1)) == 0 and 8 <= p <= 512
         and mf_cfg.method == "freq"
         and np.asarray(taps).shape[-1] <= n
+        # the in-kernel CFAR's circular scratch pad bound (mirrors the
+        # fused_rd_chain assert — eligibility must imply the call succeeds)
+        and cfg.cfar.max_ref_window + cfg.cfar.max_guard_window + 1 <= PAD
     )
 
 
@@ -324,6 +327,11 @@ def fused_rd_chain(
     assert n == cfg.fft.max_size and n1 in (2, 4, 8), (n, cfg.fft.max_size)
     assert p == dop_cfg.num_pulses and (p & (p - 1)) == 0 and 8 <= p <= 512, p
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= PAD
+    # the kernel implements the circular frequency-domain correlation only —
+    # an overlap_save elaboration has linear (zero-history) edge semantics
+    # and must keep the stage composition (rd_fusable gates this for presets;
+    # direct callers get the same check)
+    assert mf_cfg.method == "freq", mf_cfg.method
 
     rg = row_group or min(RD_ROW_GROUP, p)
     ct = col_tile or min(RD_COL_TILE, n)

@@ -41,9 +41,6 @@ import numpy as np
 from ..configs import ChainConfig
 from .cfar import CfarOutput
 
-_SHIFT_BITS = 8   # runtime half-extents up to 255 cells
-
-
 @dataclass(frozen=True)
 class Cfar2dConfig:
     """Elaboration maxima for the 2-D detector (per-axis window bounds)."""
@@ -117,8 +114,10 @@ def _centered_box(x, half, axis: int, max_half: int):
         acc = jnp.where(bit, blk + jnp.roll(acc, 1 << b, axis=axis), acc)
         if b < n_bits - 1:
             blk = blk + jnp.roll(blk, 1 << b, axis=axis)
-    # recenter: S[i] = R[i + half]
-    for b in range(_SHIFT_BITS):
+    # recenter: S[i] = R[i + half] — bit count derived from the SAME maxima
+    # as the ladder (a fixed cap would silently drop high bits of large
+    # elaborations and apply the window off-center)
+    for b in range(max(int(max_half).bit_length(), 1)):
         acc = jnp.where(((half >> b) & 1) == 1,
                         jnp.roll(acc, -(1 << b), axis=axis), acc)
     return acc
@@ -215,22 +214,32 @@ def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
     map kernel when the elaboration allows (``kernels/rd_pallas.py``,
     ``emit='map'``). Returns ``f(x, rt, rt2) -> CfarOutput`` (not a ``Chain``
     — the 2-D detector has its own register record)."""
-    from ..configs import DopplerConfig, MatchedFilterConfig
+    from ..configs import DopplerConfig
     from ..cplx import as_pair
     from ..ops.logmag import logmag
     from ..presets import doppler_stage, matched_filter_stage
 
     cfg = cfg or ChainConfig(doppler=DopplerConfig())
-    if taps is None:
-        from ..golden.fixtures import lfm_chirp
+    if cfg.matched_filter is None:
+        # matched_filter=None means NO filter stage (see
+        # presets.range_doppler_chain / parallel.sharded) — never fabricate one
+        if taps is not None:
+            raise ValueError(
+                "taps given but cfg.matched_filter is None — elaborate a "
+                "MatchedFilterConfig for the filter stage to exist")
+        taps_np = None
+        mf = None
+        fusable = False
+    else:
+        if taps is None:
+            from ..golden.fixtures import lfm_chirp
 
-        n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
-        taps = lfm_chirp(n_taps)
-    taps_np = np.asarray(taps)
-    from ..kernels.rd_pallas import rd_fusable
+            taps = lfm_chirp(cfg.matched_filter.num_taps)
+        taps_np = np.asarray(taps)
+        from ..kernels.rd_pallas import rd_fusable
 
-    fusable = rd_fusable(cfg, taps_np) and cfg.cfar.use_pallas
-    mf = matched_filter_stage(cfg, taps_np)
+        fusable = rd_fusable(cfg, taps_np) and cfg.cfar.use_pallas
+        mf = matched_filter_stage(cfg, taps_np)
     dop = doppler_stage(cfg)
 
     def run(x, rt, rt2: Cfar2dRuntime) -> CfarOutput:
@@ -242,7 +251,7 @@ def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
             y = fused_rd_chain(xp, rt, taps_np, cfg, interpret=interpret,
                                emit="map")
         else:
-            y = dop.fn(mf.fn(xp, rt), rt)
+            y = dop.fn(mf.fn(xp, rt) if mf is not None else xp, rt)
         m = logmag(y, rt.mag_mode, cfg.mag)
         return cfar_2d_op(m, rt2, cfg2d)
 

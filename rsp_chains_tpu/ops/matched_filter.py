@@ -46,7 +46,11 @@ def matched_filter(
     replica, peak at the target delay. Matches
     ``golden.matched_filter_golden(mode="circular")``."""
     xp = as_pair(x)
-    tp = as_pair(np.asarray(taps) if not isinstance(taps, C) else taps)
+    # jax arrays (incl. tracers) go straight to as_pair's device-side split —
+    # np.asarray on them would force a host fetch (relay hazard, CLAUDE.md)
+    # or a TracerArrayConversionError; host lists/np arrays split host-side
+    tp = as_pair(taps if isinstance(taps, (C, jnp.ndarray))
+                 else np.asarray(taps))
     n = xp.shape[-1]
     assert (n & (n - 1)) == 0, "frame length must be a power of two"
     assert tp.shape[-1] <= n, (
@@ -73,7 +77,8 @@ def overlap_save_fir(
     left halo of (M-1) samples — the halo that crosses chip boundaries when T is
     sharded (see ``parallel.halo``)."""
     xp = as_pair(x)
-    tp = as_pair(np.asarray(taps) if not isinstance(taps, C) else taps)
+    tp = as_pair(taps if isinstance(taps, (C, jnp.ndarray))
+                 else np.asarray(taps))  # see matched_filter on why
     m = tp.shape[-1]
     t = xp.shape[-1]
     b = block_size or max(_next_pow2(4 * m), 256)
@@ -129,6 +134,8 @@ def matched_filter_os(
     ``golden.matched_filter_golden(mode='full')[..., M-1 : M-1+T]``."""
     xp = as_pair(x)
     t = xp.shape[-1]
+    if isinstance(taps, jnp.ndarray):
+        taps = as_pair(taps)  # device/traced taps: stay on-device (see below)
     if isinstance(taps, C):
         # keep device-resident / traced taps on-device (a forced host fetch
         # is both a tracer error under jit and a relay hazard — CLAUDE.md)

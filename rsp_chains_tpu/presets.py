@@ -171,6 +171,24 @@ def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
 # ---------------------------------------------------------------------------
 
 
+def _fusable_fft(cfg: ChainConfig) -> bool:
+    """Whether the elaborated FFT can run inside the fused whole-chain kernels
+    (``kernels/chain_pallas.py``): a headline four-step size, no pre-FFT
+    window, MXU path, natural-order output (the kernels only emit natural
+    order — a bit-reversed elaboration must keep the XLA FFT stage that
+    applies the reorder), and no LSB-keep stages (no float analog). The single
+    gate shared by every fused-chain entry point; ``pulse_compression_chain``
+    adds its own collapse conditions on top."""
+    return (
+        cfg.fft.max_size in (256, 512, 1024)
+        and cfg.fft.window is None
+        and cfg.fft.use_mxu
+        and cfg.fft.use_bit_reverse
+        and (cfg.fft.keep_msb_or_lsb is None
+             or all(cfg.fft.keep_msb_or_lsb))
+    )
+
+
 def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     """``process(iq) -> detections``: the reusable core subchain (SURVEY §2.9).
     Input: complex [..., max_fft_size] frames. Output: ``CfarOutput``.
@@ -182,14 +200,7 @@ def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     cfg = cfg or ChainConfig()
     from .kernels.cfar_pallas import fused_tail_kind
 
-    fusable_fft = (
-        cfg.fft.max_size in (256, 512, 1024)
-        and cfg.fft.window is None
-        and cfg.fft.use_mxu
-        and (cfg.fft.keep_msb_or_lsb is None
-             or all(cfg.fft.keep_msb_or_lsb))   # LSB-keep: no float analog
-    )
-    if fused_tail_kind(cfg) == "ca" and fusable_fft:
+    if fused_tail_kind(cfg) == "ca" and _fusable_fft(cfg):
         import jax
 
         from .kernels.chain_pallas import fused_chain_ca_op
@@ -235,7 +246,7 @@ def rsp_chain_vanilla(
         )
     return Chain(
         cfg,
-        [plfg_nco_stage(cfg, program), fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)],
+        [plfg_nco_stage(cfg, program), fft_stage(cfg), *tail_stages(cfg)],
     )
 
 
@@ -255,7 +266,7 @@ def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] 
     rom_re = np.ascontiguousarray(rom_np.real.astype(np.float32))
     rom_im = np.ascontiguousarray(rom_np.imag.astype(np.float32))
     mem = Stage("mem_rom", lambda _, rt: C(jnp.asarray(rom_re), jnp.asarray(rom_im)))
-    return Chain(cfg, [mem, fft_stage(cfg), mag_stage(cfg), cfar_stage(cfg)])
+    return Chain(cfg, [mem, fft_stage(cfg), *tail_stages(cfg)])
 
 
 def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
@@ -266,11 +277,7 @@ def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     cfg = cfg or ChainConfig()
     from .kernels.cfar_pallas import fused_tail_kind
 
-    if (fused_tail_kind(cfg) == "ca"
-            and cfg.fft.max_size in (256, 512, 1024)
-            and cfg.fft.window is None and cfg.fft.use_mxu
-            and (cfg.fft.keep_msb_or_lsb is None
-                 or all(cfg.fft.keep_msb_or_lsb))):
+    if fused_tail_kind(cfg) == "ca" and _fusable_fft(cfg):
         # the whole wire data plane as one kernel: packed words in, packed
         # words out — half the input HBM read, 5x smaller output write
         import jax
@@ -305,10 +312,20 @@ def real_rx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     board property, not a per-dwell knob)."""
     import dataclasses
 
-    from .ops.fft import rfft_op
+    from .ops.fft import _scale_factor, rfft_op
 
     cfg = cfg or ChainConfig()
     n = cfg.fft.max_size
+    # the rfft front end is a fixed natural-order float transform — reject
+    # elaboration flags it cannot honor rather than silently ignore them
+    if cfg.fft.window is not None:
+        raise ValueError("real_rx_chain does not window the rfft; elaborate "
+                         "window=None (or pre-window the ADC frames)")
+    if cfg.fft.expand_logic is not None or (
+            cfg.fft.keep_msb_or_lsb is not None
+            and not all(cfg.fft.keep_msb_or_lsb)):
+        raise ValueError("per-stage expand/LSB-keep scaling has no analog in "
+                         "the rfft front end; use FftScaling")
     half_cfg = dataclasses.replace(cfg, fft=dataclasses.replace(cfg.fft,
                                                                 max_size=n // 2))
 
@@ -316,7 +333,7 @@ def real_rx_chain(cfg: Optional[ChainConfig] = None) -> Chain:
         out = rfft_op(jnp.asarray(x, jnp.float32), pair=True)
         return out[..., : n // 2]  # drop Nyquist: power-of-two CFAR frame
 
-    scale = 1.0 / n if cfg.fft.scaling.value == "div_n" else 1.0
+    scale = _scale_factor(n, cfg.fft.scaling)
 
     def scaled_rx(x, rt):
         y = rx(x, rt)
@@ -452,11 +469,22 @@ def range_doppler_chain(
             "keepMSBorLSB = LSB has no analog in the range-Doppler chain "
             "(its matched filter is a float frequency-domain correlation, "
             "not the register-mapped FFT stage); elaborate all-MSB")
+    if cfg.matched_filter is None:
+        # no MF elaborated -> no MF stage, matching the sharded pipeline's
+        # semantics (parallel/sharded.py: ``if mf_cfg is None: y = x``) so
+        # sharded == unsharded holds for the same config. Fabricating a
+        # default filter here would silently filter what the user never
+        # asked to filter.
+        if taps is not None:
+            raise ValueError(
+                "taps given but cfg.matched_filter is None — elaborate a "
+                "MatchedFilterConfig for the filter stage to exist")
+        dop = doppler_stage(cfg)
+        return Chain(cfg, [dop, *tail_stages(cfg)])
     if taps is None:
         from .golden.fixtures import lfm_chirp
 
-        n_taps = (cfg.matched_filter or MatchedFilterConfig()).num_taps
-        taps = lfm_chirp(n_taps)
+        taps = lfm_chirp(cfg.matched_filter.num_taps)
     from .kernels.cfar_pallas import (
         GOS_RANGE_TILE, fused_mag_gos_dispatch, fused_tail_kind,
     )

@@ -212,3 +212,66 @@ def test_rd_chain_rejects_lsb_keep_elaboration():
     )
     with pytest.raises(ValueError, match="no analog in the range-Doppler"):
         range_doppler_chain(cfg)
+
+
+def test_cfar_2d_large_elaboration_recenter(rng):
+    """Elaborated maxima past 255 half-extent cells: the recenter roll's bit
+    count must follow the maxima like the sum ladder does (a fixed 8-bit cap
+    silently applied the window 256 cells off-center)."""
+    big = Cfar2dConfig(max_ref_range=256, max_guard_range=8,
+                       max_ref_doppler=2, max_guard_doppler=1)
+    m = np.abs(rng.randn(4, 1024)).astype(np.float32)
+    rt2 = Cfar2dRuntime.make(ref_range=250, guard_range=8, ref_doppler=1,
+                             guard_doppler=0, threshold_scaler=2.0,
+                             validate_against=big)
+    out = cfar_2d_op(jnp.asarray(m), rt2, big)
+    from rsp_chains_tpu.golden import cfar_2d_golden
+
+    thr_g, pk_g = cfar_2d_golden(
+        m, ref_range=250, guard_range=8, ref_doppler=1, guard_doppler=0,
+        threshold_scaler=2.0, log_or_linear=1, peak_grouping=0,
+        active_range=1 << 30)
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g)
+
+
+def test_rd_2d_chain_no_matched_filter_means_no_filter(rng):
+    """cfg.matched_filter=None: no filter stage (matching the sharded
+    semantics); explicit taps with no MF config is rejected."""
+    from rsp_chains_tpu import ChainConfig, DopplerConfig, FftConfig, RuntimeConfig
+    from rsp_chains_tpu.configs import CfarConfig, CfarVariant
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.ops.doppler import doppler_fft
+
+    n, p = 256, 16
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=n),
+        doppler=DopplerConfig(num_pulses=p),
+        cfar=CfarConfig(max_ref_window=8, max_guard_window=2, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False,
+                        use_pallas=False))
+    with pytest.raises(ValueError, match="matched_filter is None"):
+        rd_2d_cfar_chain(cfg, taps=np.ones(8, np.complex64))
+
+    run = rd_2d_cfar_chain(cfg)
+    x = (rng.randn(1, p, n) + 1j * rng.randn(1, p, n)).astype(np.complex64)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.0,
+                            div_sum=3)
+    rt2 = Cfar2dRuntime.make(ref_range=4, guard_range=1, ref_doppler=2,
+                             guard_doppler=1, threshold_scaler=3.0)
+    out = run(as_pair(x), rt, rt2)
+    # the map is the PLAIN Doppler transform of x — no filtering happened
+    want_map = doppler_fft(as_pair(x), cfg.doppler)
+    got_thr = np.asarray(out.threshold)
+    assert got_thr.shape == (1, p, n)
+    from rsp_chains_tpu.golden import cfar_2d_golden
+    from rsp_chains_tpu.ops.logmag import logmag
+
+    mag = np.asarray(logmag(want_map, rt.mag_mode))
+    thr_g, _ = cfar_2d_golden(mag[0], ref_range=4, guard_range=1,
+                              ref_doppler=2, guard_doppler=1,
+                              threshold_scaler=3.0, log_or_linear=1,
+                              peak_grouping=0, active_range=1 << 30)
+    np.testing.assert_allclose(got_thr[0], thr_g, rtol=1e-4, atol=1e-5)

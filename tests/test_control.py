@@ -99,3 +99,49 @@ def test_cli_poke_roundtrip(chain, capsys):
         out = capsys.readouterr().out
         assert '"threshold_scaler": 4.5' in out
         assert float(np.asarray(pipe.runtime.threshold_scaler)) == 4.5
+
+
+def test_poke_rmw_atomic_vs_concurrent_reconfigure(chain):
+    """The poke's read-merge-write runs under the pipeline's rt lock
+    (update_runtime), so a data-plane config write can never be reverted by a
+    debug-master poke that snapshotted the registers before it landed."""
+    pipe = StreamingPipeline(chain.jit(), _rt())
+    gate = threading.Event()
+
+    class SlowMergePipe:
+        """Wrap update_runtime so the merge stalls until the data-plane write
+        has been ISSUED (it must then block on the lock, not interleave)."""
+
+        def update_runtime(self, fn):
+            def slow(cur):
+                gate.wait(timeout=5)
+                time.sleep(0.05)  # give the racing reconfigure time to block
+                return fn(cur)
+            return pipe.update_runtime(slow)
+
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar,
+                             update_rt=SlowMergePipe().update_runtime) as srv:
+        t = threading.Thread(
+            target=lambda: poke("127.0.0.1", srv.port, {"peak_grouping": 1}))
+        t.start()
+        # data-plane write races the in-flight poke's merge
+        racer = threading.Thread(
+            target=lambda: (gate.wait(timeout=5),
+                            pipe.reconfigure(_rt(threshold_scaler=9.0))))
+        racer.start()
+        gate.set()
+        t.join(timeout=10)
+        racer.join(timeout=10)
+        regs = poke("127.0.0.1", srv.port)["regs"]
+    # both writes survive in SOME serialization: the poke merged either
+    # before or after the reconfigure, but never dropped it silently AND
+    # the poke's own register landed
+    assert regs["peak_grouping"] == 1 or regs["threshold_scaler"] == pytest.approx(9.0)
+    # the poke was ordered against the reconfigure atomically: if the merge
+    # ran second it preserved the racer's scaler
+    if regs["peak_grouping"] == 1 and regs["threshold_scaler"] != pytest.approx(9.0):
+        # merge ran FIRST under the lock; the racer's write then replaced the
+        # whole file — peak_grouping goes back to the racer's value (0).
+        # That combination means the lock ordering broke.
+        raise AssertionError(f"lost update: {regs}")

@@ -199,3 +199,32 @@ def test_matched_filter_os_traced_pair_taps():
 def test_matched_filter_config_rejects_bad_method():
     with pytest.raises(ValueError, match="matched-filter method"):
         MatchedFilterConfig(method="direct")
+
+
+def test_matched_filter_accepts_traced_taps():
+    """Device/traced taps must stay on-device in ALL filter entry points (a
+    np.asarray on a tracer raises; on a device array it forces the host fetch
+    CLAUDE.md flags as a relay hazard)."""
+    import jax
+
+    from rsp_chains_tpu.configs import MatchedFilterConfig
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.ops.matched_filter import (
+        matched_filter, matched_filter_os, overlap_save_fir,
+    )
+
+    rng = np.random.RandomState(0)
+    x = as_pair((rng.randn(2, 256) + 1j * rng.randn(2, 256))
+                .astype(np.complex64))
+    taps_np = (rng.randn(16) + 1j * rng.randn(16)).astype(np.complex64)
+    cfg = MatchedFilterConfig(num_taps=16, fft_size=256)
+
+    for f in (lambda a, t: matched_filter(a, t, cfg),
+              lambda a, t: matched_filter_os(a, t, cfg),
+              lambda a, t: overlap_save_fir(a, t)):
+        got = jax.jit(f)(x, jnp.asarray(taps_np))       # traced complex taps
+        want = f(x, taps_np)                            # host taps
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                                   rtol=1e-5, atol=1e-4)

@@ -525,6 +525,52 @@ def test_fused_chain_runtime_size_branches(rng):
     assert jf._cache_size() == 1
 
 
+def test_bit_reversed_elaboration_keeps_xla_fft_stage(rng):
+    """use_bit_reverse=False emits RAW SDF (bit-reversed) cell order — only
+    the XLA FFT stage applies that reorder, so the fused whole-chain kernels
+    (natural order only) must not be selected; the chain output must be the
+    bit-reversed ordering for both the float and wire tops."""
+    import dataclasses
+
+    from rsp_chains_tpu import ChainConfig, fft_mag_cfar_chain, rx_fft_mag_cfar_tx_chain
+    from rsp_chains_tpu.configs import FftConfig
+
+    n = 256
+    cfar = CfarConfig(max_ref_window=16, max_guard_window=4,
+                      variant=CfarVariant.CA, include_cash=False)
+    cfg_rev = ChainConfig(fft=FftConfig(max_size=n, use_bit_reverse=False),
+                          cfar=cfar)
+    ch = fft_mag_cfar_chain(cfg_rev)
+    assert "fft" in ch.stage_names, ch.stage_names   # not the fused top
+    assert "fused" not in rx_fft_mag_cfar_tx_chain(cfg_rev).stage_names[0]
+
+    # the bit-reversed chain equals the natural chain's output permuted
+    cfg_nat = dataclasses.replace(
+        cfg_rev, fft=dataclasses.replace(cfg_rev.fft, use_bit_reverse=True),
+        cfar=dataclasses.replace(cfar, use_pallas=False))
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=3)
+    from rsp_chains_tpu.cplx import as_pair
+
+    got = ch.jit()(as_pair(x), rt)
+    want = fft_mag_cfar_chain(cfg_nat).jit()(as_pair(x), rt)
+    # CFAR ran over the reversed-order cells: compare against the XLA
+    # composition elaborated with the same bit-reversed FFT
+    from rsp_chains_tpu.ops.cfar import cfar_op
+    from rsp_chains_tpu.ops.fft import fft_op
+    from rsp_chains_tpu.ops.logmag import logmag
+
+    spec = fft_op(as_pair(x), rt.log2_fft_size, cfg_rev.fft)
+    want_rev = cfar_op(logmag(spec, rt.mag_mode), rt, cfg_nat.cfar)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want_rev.threshold),
+                               rtol=1e-4, atol=1e-5)
+    # sanity: the orders genuinely differ
+    assert not np.allclose(np.asarray(got.threshold),
+                           np.asarray(want.threshold))
+
+
 def test_chain_builder_uses_fused_chain_kernel():
     from rsp_chains_tpu import ChainConfig, fft_mag_cfar_chain
     from rsp_chains_tpu.configs import FftConfig

@@ -3,6 +3,7 @@ ops/beamform.py, ops/integrate.py and ops/detect.py (every op must be
 reachable from a preset, like the r1 real_rx fix for rfft_op)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rsp_chains_tpu import (
@@ -197,3 +198,90 @@ def test_beamformed_rd_fft_beam_space():
     energy = np.asarray(out.threshold).sum(axis=(1, 2))
     assert int(np.argmax(energy)) == k_beam
     assert np.asarray(out.peaks)[k_beam, P // 2 + int(fd * P), delay]
+
+
+def test_range_doppler_no_mf_config_means_no_filter(rng):
+    """matched_filter=None elaborations run NO filter stage — matching
+    parallel.sharded's semantics so sharded == unsharded holds — and
+    explicit taps without an elaborated MF config are rejected."""
+    import dataclasses
+
+    from rsp_chains_tpu.ops.doppler import doppler_fft
+    from rsp_chains_tpu.ops.cfar import cfar_op
+    from rsp_chains_tpu.ops.logmag import logmag
+    from rsp_chains_tpu.presets import range_doppler_chain
+
+    cfg = dataclasses.replace(_cfg(), matched_filter=None)
+    with pytest.raises(ValueError, match="matched_filter is None"):
+        range_doppler_chain(cfg, taps=TAPS)
+
+    chain = range_doppler_chain(cfg)
+    assert not any("matched" in s or s == "rd_fused" for s in chain.stage_names)
+    x = (rng.randn(1, P, N) + 1j * rng.randn(1, P, N)).astype(np.complex64)
+    rt = _rt()
+    got = chain.jit()(as_pair(x), rt)
+    want = cfar_op(logmag(doppler_fft(as_pair(x), cfg.doppler), rt.mag_mode),
+                   rt, cfg.cfar)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rd_fusable_rejects_overlarge_cfar_pad(rng):
+    """Elaborations whose CFAR windows exceed the kernel's circular-pad bound
+    must fall back to the XLA stages instead of crashing at call time."""
+    import dataclasses
+
+    from rsp_chains_tpu.configs import CfarConfig, CfarVariant
+    from rsp_chains_tpu.kernels.rd_pallas import rd_fusable
+    from rsp_chains_tpu.presets import range_doppler_chain
+
+    big = CfarConfig(max_ref_window=128, max_guard_window=8, max_fft_size=N,
+                     variant=CfarVariant.CA, include_cash=False)
+    cfg = dataclasses.replace(_cfg(), cfar=big)
+    assert not rd_fusable(cfg, np.asarray(TAPS))
+    chain = range_doppler_chain(cfg, taps=TAPS)
+    assert "rd_fused" not in chain.stage_names
+    x = (rng.randn(1, P, N) + 1j * rng.randn(1, P, N)).astype(np.complex64)
+    out = chain.jit()(as_pair(x), _rt(ref_window_size=64))
+    assert np.asarray(out.threshold).shape == (1, P, N)
+
+
+def test_real_rx_chain_honors_sqrt_n_scaling_and_rejects_window(rng):
+    import dataclasses
+
+    from rsp_chains_tpu import ChainConfig, FftConfig, RuntimeConfig
+    from rsp_chains_tpu.configs import CfarConfig, CfarVariant, FftScaling
+    from rsp_chains_tpu.presets import real_rx_chain
+
+    n = 512
+    base = ChainConfig(
+        fft=FftConfig(max_size=n, scaling=FftScaling.SQRT_N),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=n // 2, variant=CfarVariant.CA,
+                        include_cash=False, use_pallas=False))
+    with pytest.raises(ValueError, match="window"):
+        real_rx_chain(dataclasses.replace(
+            base, fft=dataclasses.replace(base.fft, window="hann")))
+    with pytest.raises(ValueError, match="expand"):
+        real_rx_chain(dataclasses.replace(
+            base, fft=dataclasses.replace(
+                base.fft, scaling=FftScaling.NONE,
+                expand_logic=(1,) * 9)))
+
+    chain = real_rx_chain(base)
+    x = rng.randn(2, n).astype(np.float32)
+    rt = RuntimeConfig.make(fft_size=n, cfar_fft_size=n // 2,
+                            ref_window_size=8, guard_window_size=2,
+                            threshold_scaler=3.0, div_sum=3)
+    got = chain.jit()(x, rt)
+    # golden: one-sided sqrt(N)-scaled spectrum magnitude drives the CFAR
+    spec = np.fft.fft(x, axis=-1)[:, : n // 2] / np.sqrt(n)
+    from rsp_chains_tpu.golden import cfar_golden, jpl_mag
+
+    mag = jpl_mag(spec)
+    thr_g = np.stack([cfar_golden(mag[i], ref_window=8, guard_window=2,
+                                  threshold_scaler=3.0, div_sum=3)[0]
+                      for i in range(2)])
+    np.testing.assert_allclose(np.asarray(got.threshold), thr_g,
+                               rtol=2e-3, atol=2e-3)
