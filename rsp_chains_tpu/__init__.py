@@ -44,6 +44,7 @@ from .presets import (
     rx_rd_tx_chain,
 )
 from .ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime, cfar_2d_op, rd_2d_cfar_chain
+from .ops.plfg import PlfgProgram, Segment, lfm_program
 from .cplx import C, as_pair, join, to_numpy
 from . import cplx, ops, packing, numerics, golden
 
