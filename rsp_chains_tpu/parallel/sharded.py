@@ -236,6 +236,40 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
     over ``rng`` (XLA inserts the ICI collective); the CFAR tail runs under
     shard_map with halo exchange."""
 
+    # pure channel sharding + a chain-fusable elaboration: every shard runs
+    # the single whole-chain kernel (kernels/chain_pallas.py) — the same
+    # datapath as the single-chip headline, no spectrum HBM round trip. The
+    # range-sharded mesh keeps the FFT-then-scatter shape (the FFT needs the
+    # full frame; only the window tail shards over rng).
+    from ..kernels.cfar_pallas import fused_tail_kind
+    from ..presets import _fusable_fft
+
+    if (mesh.shape.get(RANGE_AXIS, 1) == 1
+            and fused_tail_kind(cfg) == "ca" and _fusable_fft(cfg)):
+        import jax as _jax
+
+        from ..kernels.chain_pallas import fused_chain_ca_op
+
+        interpret = _jax.default_backend() != "tpu"
+
+        def step_fused(x, rt: RuntimeConfig):
+            from ..cplx import as_pair
+
+            xp = as_pair(x)
+            nb = xp.ndim - 1
+            spec = P(CHANNEL_AXIS, *([None] * nb))
+            sm = jax.shard_map(
+                lambda xl, rt_: fused_chain_ca_op(xl, rt_, cfg.fft, cfg.cfar,
+                                                  interpret=interpret),
+                mesh=mesh,
+                in_specs=(spec, P()),
+                out_specs=_cfar_out_specs(cfg.cfar, spec),
+                check_vma=False,
+            )
+            return sm(xp, rt)
+
+        return jax.jit(step_fused)
+
     def step(x, rt: RuntimeConfig):
         y = fft_op(x, rt.log2_fft_size, cfg.fft)
         nb = y.ndim - 1

@@ -215,3 +215,31 @@ def test_range_sharded_fused_gos_tail_equals_unsharded(mesh8):
     np.testing.assert_allclose(np.asarray(out_s.threshold),
                                np.asarray(out_u.threshold), rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
+
+
+def test_channel_only_mesh_runs_whole_chain_kernel():
+    """A pure channel mesh (rng=1) with a chain-fusable CA elaboration runs
+    the single whole-chain kernel per shard — equal to the unsharded fused
+    chain (which routes through the same kernel)."""
+    mesh = make_mesh(channels=8, range_shards=1)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        max_fft_size=256, variant=CfarVariant.CA,
+                        include_cash=False),
+    )
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5,
+                            div_sum=4)
+    iq = np.stack([three_tone_signal(256, shift_range_factor=10, seed=s)
+                   for s in range(8)]).astype(np.complex64)
+    pipe = make_sharded_pipeline(cfg, mesh)
+    out_s = pipe(jnp.asarray(iq), rt)
+    chain = fft_mag_cfar_chain(cfg)
+    assert chain.stage_names == ("fft_mag_cfar_fused",)
+    out_u = chain.jit()(jnp.asarray(iq), rt)
+    np.testing.assert_allclose(np.asarray(out_s.threshold),
+                               np.asarray(out_u.threshold),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_s.peaks),
+                                  np.asarray(out_u.peaks))
