@@ -77,7 +77,14 @@ def save_state(path: str | Path, rt: RuntimeConfig,
         arrs["cpi_count"] = np.asarray(st["count"])
         arrs["cpi_pulses_seen"] = np.asarray(st["pulses_seen"])
     arrs.update({f"x_{k}": np.asarray(v) for k, v in extra.items()})
-    np.savez(path, **arrs)
+    # np.savez APPENDS '.npz' to suffix-less paths but np.load does not —
+    # normalize here so save('/ckpt') / load('/ckpt') round-trips
+    np.savez(_npz_path(path), **arrs)
+
+
+def _npz_path(path: str | Path) -> Path:
+    p = Path(path)
+    return p if p.suffix == ".npz" else p.with_name(p.name + ".npz")
 
 
 def load_state(path: str | Path, cpi: Optional[CpiBuffer] = None):
@@ -85,7 +92,7 @@ def load_state(path: str | Path, cpi: Optional[CpiBuffer] = None):
     CPI buffer in place when given."""
     import jax.numpy as jnp
 
-    z = np.load(path)
+    z = np.load(_npz_path(path))
     kw = {}
     for f in dataclasses.fields(RuntimeConfig):
         kw[f.name] = jnp.asarray(z[f"rt_{f.name}"])

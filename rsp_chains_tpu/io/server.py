@@ -13,6 +13,7 @@ config-before-enable ordering (SURVEY §3.3)."""
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import socketserver
 import threading
@@ -47,6 +48,8 @@ class ChainServer:
         self._routes = {}
         self._routes_lock = threading.Lock()
         self._next_key = iter(range(1 << 62))
+        self.config_errors = 0      # rejected config frames (sticky-error analog)
+        self.results_dropped = 0    # results dropped on a stalled client's queue
 
         outer = self
 
@@ -54,26 +57,51 @@ class ChainServer:
             def handle(self):
                 dec = framing.FrameDecoder()
                 sock = self.request
-                send_lock = threading.Lock()
-                while True:
+                # per-connection sender: result delivery must never block the
+                # pipeline's single drain thread on one stalled client's TCP
+                # buffer (which would starve every other connection). A slow
+                # client's results are dropped once its bounded queue fills.
+                sendq: queue.Queue = queue.Queue(maxsize=64)
+
+                def sender():
+                    while True:
+                        payload = sendq.get()
+                        if payload is None:
+                            return
+                        try:
+                            sock.sendall(payload)
+                        except OSError:
+                            return  # connection gone; drain-and-drop below
+
+                st = threading.Thread(target=sender, daemon=True)
+                st.start()
+                try:
+                    while True:
+                        try:
+                            chunk = sock.recv(1 << 16)
+                        except OSError:
+                            break
+                        if not chunk:
+                            break
+                        for frame in dec.feed(chunk):
+                            if frame.config:
+                                outer._apply_config(frame)
+                                continue
+                            iq = frame.iq
+                            if iq.size != outer._frame_len:
+                                continue  # wrong beat count: drop (width-adapter analog)
+                            key = next(outer._next_key)
+                            with outer._routes_lock:
+                                outer._routes[key] = (sendq, frame.seq,
+                                                      frame.channel)
+                            outer._pipe.submit(key, iq[None])
+                finally:
                     try:
-                        chunk = sock.recv(1 << 16)
-                    except OSError:
-                        break
-                    if not chunk:
-                        break
-                    for frame in dec.feed(chunk):
-                        if frame.config:
-                            outer._apply_config(frame)
-                            continue
-                        iq = frame.iq
-                        if iq.size != outer._frame_len:
-                            continue  # wrong beat count: drop (width-adapter analog)
-                        key = next(outer._next_key)
-                        with outer._routes_lock:
-                            outer._routes[key] = (sock, send_lock, frame.seq,
-                                                  frame.channel)
-                        outer._pipe.submit(key, iq[None])
+                        sendq.put_nowait(None)
+                    except queue.Full:
+                        # sender is stalled in sendall on a dead socket; it
+                        # exits on the OSError. Daemon thread either way.
+                        pass
 
         self._server = socketserver.ThreadingTCPServer((host, port), Handler)
         self._server.daemon_threads = True
@@ -90,13 +118,27 @@ class ChainServer:
     def _apply_config(self, frame: framing.Frame) -> None:
         try:
             kw = json.loads(bytes(frame.words.view(np.uint8)).split(b"\0")[0])
-            # reject register writes beyond the elaborated maxima (the require()
-            # analog) — otherwise an out-of-range window would be clamped
-            # on-device, silently diverging from what the client asked for
-            self._rt = RuntimeConfig.make(validate_against=self._cfar_cfg, **kw)
-            self._pipe.reconfigure(self._rt)
-        except Exception:  # noqa: BLE001 — bad config frame: ignore (sticky-error analog)
-            pass
+
+            # MERGE into the live register file (atomically vs other writers):
+            # a config frame is a register WRITE of the named fields only —
+            # rebuilding from make() defaults would silently reset every
+            # unnamed register (or reject the frame when a default exceeds
+            # the elaborated maxima). Validation = the require() analog:
+            # out-of-range writes are dropped, not clamped on-device.
+            def merge(cur: RuntimeConfig) -> RuntimeConfig:
+                regs = cur.peek()
+                unknown = set(kw) - set(regs)
+                if unknown:
+                    raise ValueError(f"unknown registers: {sorted(unknown)}")
+                regs.update(kw)
+                return RuntimeConfig.make(validate_against=self._cfar_cfg,
+                                          **regs)
+
+            self._rt = self._pipe.update_runtime(merge)
+        except Exception:  # noqa: BLE001 — bad config frame: count + ignore
+            # no NACK channel in the wire format (the reference's parity error
+            # is a sticky status bit) — surface through stats instead
+            self.config_errors += 1
 
     def _pop_route(self, key):
         with self._routes_lock:
@@ -106,17 +148,16 @@ class ChainServer:
         route = self._pop_route(key)
         if route is None:
             return
-        sock, send_lock, seq, channel = route
+        sendq, seq, channel = route
         from .. import packing
 
         words = np.asarray(packing.pack_cfar_words(
             out.threshold[0], out.peaks[0], self._log2n))
         payload = framing.encode_frame(words, seq, last=True, channel=channel)
         try:
-            with send_lock:
-                sock.sendall(payload)
-        except OSError:
-            pass
+            sendq.put_nowait(payload)   # never block the shared drain thread
+        except queue.Full:
+            self.results_dropped += 1
 
     def _on_error(self, key, exc) -> None:
         self._pop_route(key)

@@ -102,6 +102,9 @@ class StreamingPipeline:
         self._outq: queue.Queue = queue.Queue()
         self.stats = StreamStats()
         self._stop = threading.Event()
+        self._worker_done = threading.Event()
+        self._wm_level: Optional[str] = None   # edge-trigger state
+        self._wm_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._drainer = threading.Thread(target=self._drain, daemon=True)
         self._started = False
@@ -150,6 +153,24 @@ class StreamingPipeline:
 
     # -- data plane ---------------------------------------------------------
 
+    def _update_watermark(self):
+        """Edge-triggered watermark interrupts: ``on_watermark(level)`` fires
+        once per CROSSING into the high/low band (the reference's txwm/rxwm
+        interrupts are level comparators feeding edge-latched pending bits,
+        ``DSPBlockUART.scala:168-173``) — not once per frame while the queue
+        sits at a level, which would be an interrupt storm for any handler
+        that treats each call as an event."""
+        if self._on_watermark is None:
+            return
+        q = self._q.qsize()
+        level = ("high" if q >= self._wm_high
+                 else "low" if q <= self._wm_low else None)
+        with self._wm_lock:
+            fire = level is not None and level != self._wm_level
+            self._wm_level = level
+        if fire:
+            self._on_watermark(level)
+
     def submit(self, seq: int, cpi: np.ndarray) -> bool:
         """Enqueue one CPI block. Returns False if dropped (drop_on_full)."""
         try:
@@ -159,21 +180,25 @@ class StreamingPipeline:
             self.stats.bump(frames_dropped=1)
             return False
         self.stats.bump(frames_in=1)
-        if self._on_watermark and self._q.qsize() >= self._wm_high:
-            self._on_watermark("high")
+        self._update_watermark()
         return True
 
     def _run(self):
         import jax
 
         t_start = None
+        try:
+            self._run_loop(jax, t_start)
+        finally:
+            self._worker_done.set()
+
+    def _run_loop(self, jax, t_start):
         while not self._stop.is_set() or not self._q.empty():
             try:
                 seq, cpi, t_in = self._q.get(timeout=0.05)
             except queue.Empty:
                 continue
-            if self._on_watermark and self._q.qsize() <= self._wm_low:
-                self._on_watermark("low")
+            self._update_watermark()
             with self._rt_lock:
                 rt = self._rt
             try:
@@ -198,7 +223,11 @@ class StreamingPipeline:
     def _drain(self):
         import jax
 
-        while not self._stop.is_set() or not self._outq.empty():
+        # terminal only when the WORKER is also done: on stop() the worker may
+        # hold a popped frame it has not yet pushed to _outq — an empty _outq
+        # alone must not end the drain or that in-flight result is dropped
+        while not (self._stop.is_set() and self._worker_done.is_set()
+                   and self._outq.empty()):
             try:
                 seq, out, t_in, n_samples = self._outq.get(timeout=0.05)
             except queue.Empty:
@@ -213,7 +242,15 @@ class StreamingPipeline:
             lat = time.perf_counter() - t_in
             self.stats.bump(frames_out=1, total_samples=n_samples)
             if self._on_result:
-                det = int(np.asarray(out.peaks).sum()) if hasattr(out, "peaks") else 0
+                if hasattr(out, "peaks"):
+                    # reduce ON DEVICE and fetch one scalar: full-array
+                    # device->host fetches hang/fail on the relay runtime
+                    # (CLAUDE.md) and this is the streaming hot path
+                    import jax.numpy as jnp
+
+                    det = int(jnp.sum(out.peaks))
+                else:
+                    det = 0
                 self._on_result(
                     seq, out,
                     CpiMetrics(seq=seq, samples=n_samples, detections=det,

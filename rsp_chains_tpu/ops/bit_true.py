@@ -101,7 +101,29 @@ def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple],
     ``RspChainVanillaTester.scala:214``). LSB stages also wrap the post-
     twiddle product back to the 16-bit proto (their unhalved 17-bit butterfly
     can overflow it; MSB stages cannot)."""
+    if expand_logic is not None and sum(1 for e in expand_logic if e) > 7:
+        # the split-product twiddle path is int32-exact while the grown data
+        # stays within ~23 bits (partial products reach ~46341·2^(8.5+g));
+        # beyond 7 expanding stages the exact pipeline needs 64-bit products
+        raise ValueError("bit-true FFT supports at most 7 expanding stages")
+
+    def _rhu15_wide(a, b, wa, wb):
+        """``rhu(a·wa + b·wb, 15)`` exactly in int32 for data operands wider
+        than 16 bits (EXPANDING stages skip the pre-twiddle trim, so the
+        direct product a·wa overflows int32 from the first grown stage on):
+        an 8-bit split of the data keeps every partial within int32, and the
+        floor-shift recombination is exact —
+        floor((H·2^8 + T)/2^15) = floor((H + floor(T/2^8))/2^7)."""
+        al = a & 255
+        ah = (a - al) >> 8
+        bl = b & 255
+        bh = (b - bl) >> 8
+        h = ah * wa + bh * wb
+        t = al * wa + bl * wb + (1 << 14)
+        return (h + (t >> 8)) >> 7
+
     stages, rev = stage_twiddles(n)
+    grown = 0   # expanding stages so far: the data width grows PERSISTENTLY
     for s, (wr_np, wi_np) in enumerate(stages):
         half = (n >> s) >> 1
         # butterfly via static rolls: a-lanes (bit clear) add their +half
@@ -115,7 +137,8 @@ def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple],
         sr = jnp.where(b_lane, sub_r, add_r)
         si = jnp.where(b_lane, sub_i, add_i)
         lsb_stage = False
-        if expand_logic is None or not expand_logic[s]:
+        expanding = expand_logic is not None and expand_logic[s]
+        if not expanding:
             if keep_msb is None or keep_msb[s]:
                 sr, si = rhu(sr, 1), rhu(si, 1)  # keepMSB: halve pre-twiddle
             else:
@@ -123,8 +146,19 @@ def _fft_int_fixed(xr, xi, n: int, expand_logic: Optional[tuple],
                 lsb_stage = True
         wr = jnp.asarray(wr_np)
         wi = jnp.asarray(wi_np)
-        xr = rhu(sr * wr - si * wi, 15)
-        xi = rhu(sr * wi + si * wr, 15)
+        if expanding:
+            grown += 1
+        if grown:
+            # expansion is PERSISTENT: once any stage has grown the data past
+            # 16 bits, every later stage's direct int32 product can overflow
+            # (a non-expanding trim removes one butterfly bit, not the
+            # accumulated growth) — use the split-product path, bit-identical
+            # to int64 arithmetic
+            xr = _rhu15_wide(sr, si, wr, -wi)
+            xi = _rhu15_wide(sr, si, wi, wr)
+        else:
+            xr = rhu(sr * wr - si * wi, 15)
+            xi = rhu(sr * wi + si * wr, 15)
         if lsb_stage:
             xr, xi = wrap16(xr), wrap16(xi)
     rev_j = jnp.asarray(rev)
@@ -191,7 +225,13 @@ def ca_cfar_int(
     cell = jnp.arange(n, dtype=jnp.int32)
     active = cell < n_active
     m = jnp.where(active, mag, 0)
-    padw = 128
+    # pad and dynamic-shift widths derive from the ELABORATED maxima (after
+    # the clamps above, g + w <= max_guard + max_ref): a fixed 128/8-bit cap
+    # would silently drop high shift bits of large elaborations and take the
+    # window sums from the wrong cells
+    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
+    padw = max(128, max_shift + 1)
+    shift_bits = max(8, max_shift.bit_length())
     z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
     row = jnp.concatenate([z, m, z], axis=-1)
     sel = row
@@ -201,7 +241,7 @@ def ca_cfar_int(
         sel = jnp.where(log2w == k + 1, box, sel)
 
     def roll_dyn(xv, s, left=False):
-        for k in range(8):
+        for k in range(shift_bits):
             sh = -(1 << k) if left else (1 << k)
             xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
         return xv

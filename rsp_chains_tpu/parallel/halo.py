@@ -26,6 +26,13 @@ def exchange_halo(x: jnp.ndarray, halo: int, axis_name: str):
     the left neighbor (zeros on the first shard); ``right_halo`` the first ``halo``
     samples of the right neighbor (zeros on the last shard)."""
     n_shards = lax.axis_size(axis_name)
+    if halo > x.shape[-1]:
+        # a halo wider than the local shard would need the neighbor's
+        # neighbor: x[..., -halo:] silently yields only n_local samples and
+        # every downstream fixed-width slice misindexes. Shard wider (fewer
+        # range shards) or elaborate smaller windows/filters.
+        raise ValueError(
+            f"halo {halo} exceeds the local shard width {x.shape[-1]}")
     if halo <= 0 or n_shards == 1:
         z = jnp.zeros(x.shape[:-1] + (max(halo, 0),), x.dtype)
         return z, z

@@ -52,7 +52,15 @@ def make_pod_mesh(
     devices that share ICI, so ``rng`` (halo exchange) and ``ch`` stay
     intra-host; ``cpi`` (independent CPI blocks, no collectives) is the axis
     that spans hosts over DCN. Default: one time block per host."""
-    devs = np.asarray(jax.devices())
+    # ORDER the device list by process before reshaping: jax.devices() makes
+    # no process-contiguity promise (multi-host slices can interleave hosts in
+    # global-id order), and a raw reshape would put devices from different
+    # hosts in the same (ch, rng) row — the halo-carrying rng axis would then
+    # cross DCN on every CPI, exactly the layout this mesh exists to rule out.
+    # Stable sort by (process_index, id) keeps each host's devices contiguous
+    # along the leading cpi axis (one or more whole time blocks per host).
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    devs = np.asarray(devs)
     n = devs.size
     if time_blocks is None:
         time_blocks = max(jax.process_count(), 1)
@@ -62,6 +70,15 @@ def make_pod_mesh(
     if need != n:
         raise ValueError(
             f"mesh {time_blocks}x{channels}x{range_shards} != {n} devices")
+    per_host = n // max(jax.process_count(), 1)
+    if per_host % (channels * range_shards) != 0:
+        # each [C, R] time block consumes C·R consecutive (same-host) devices;
+        # the per-host device count must hold a whole number of blocks or a
+        # block would straddle two hosts
+        raise ValueError(
+            f"layout {time_blocks}x{channels}x{range_shards} cannot keep "
+            f"(ch, rng) intra-host with {per_host} devices/host — pick "
+            "channels*range_shards dividing the per-host device count")
     grid = devs.reshape(time_blocks, channels, range_shards)
     return jax.sharding.Mesh(grid, (TIME_AXIS, CHANNEL_AXIS, RANGE_AXIS))
 

@@ -56,3 +56,18 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 def test_invalid_hop():
     with pytest.raises(ValueError):
         CpiBuffer(num_pulses=4, n_range=8, hop=5)
+
+
+def test_checkpoint_path_without_suffix_round_trips(tmp_path):
+    """np.savez appends '.npz' but np.load does not — suffix-less paths must
+    still round-trip."""
+    from rsp_chains_tpu import RuntimeConfig
+    from rsp_chains_tpu.io.cpi import load_state, save_state
+
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=4.5)
+    p = tmp_path / "ckpt"          # no extension
+    save_state(p, rt)
+    rt2, extras = load_state(p)
+    assert float(rt2.threshold_scaler) == 4.5
+    assert int(rt2.log2_fft_size) == 8

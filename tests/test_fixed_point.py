@@ -236,3 +236,67 @@ def test_float_preset_with_lsb_keep_refuses_even_static_size():
     x = as_pair(three_tone_signal(n, shift_range_factor=12))
     with pytest.raises(ValueError, match="no float analog"):
         chain.jit()(x, rt)
+
+
+def test_int_fft_expanding_stages_exact_vs_int64_golden():
+    """Expanding stages skip the pre-twiddle trim, so the device path's direct
+    int32 product would overflow from the first grown stage on; the split-
+    product path must stay bit-exact against the int64 numpy golden at
+    FULL-SCALE input."""
+    import jax.numpy as jnp
+
+    from rsp_chains_tpu.cplx import C
+    from rsp_chains_tpu.golden.int_models import int_fft_golden
+    from rsp_chains_tpu.ops.bit_true import _fft_int_fixed
+
+    n = 64
+    rng = np.random.RandomState(7)
+    xr = rng.randint(-32768, 32768, (3, n)).astype(np.int32)
+    xi = rng.randint(-32768, 32768, (3, n)).astype(np.int32)
+    xr[0, :] = 32767   # adversarial full-scale rows
+    xi[0, :] = -32768
+    for el in ((1, 1, 0, 0, 0, 0), (1, 0, 1, 0, 1, 0), (1,) * 6):
+        got_r, got_i = _fft_int_fixed(jnp.asarray(xr), jnp.asarray(xi), n,
+                                      expand_logic=el)
+        want_r, want_i = int_fft_golden(xr, xi, expand_logic=el)
+        np.testing.assert_array_equal(np.asarray(got_r), want_r, err_msg=str(el))
+        np.testing.assert_array_equal(np.asarray(got_i), want_i, err_msg=str(el))
+
+
+def test_int_fft_rejects_too_many_expanding_stages():
+    import jax.numpy as jnp
+    import pytest
+
+    from rsp_chains_tpu.ops.bit_true import _fft_int_fixed
+
+    n = 1024
+    x = jnp.zeros((1, n), jnp.int32)
+    with pytest.raises(ValueError, match="expanding stages"):
+        _fft_int_fixed(x, x, n, expand_logic=(1,) * 10)
+
+
+def test_int_cfar_large_window_elaboration():
+    """Window shifts past the old fixed 8-bit/128-pad caps: guard+ref beyond
+    255 must still take sums from the right cells (vs the int golden)."""
+    import jax.numpy as jnp
+
+    from rsp_chains_tpu.configs import CfarConfig, CfarVariant, RuntimeConfig
+    from rsp_chains_tpu.golden.int_models import int_ca_cfar_golden
+    from rsp_chains_tpu.ops.bit_true import ca_cfar_int
+
+    n = 1024
+    cfg = CfarConfig(max_ref_window=256, max_guard_window=16, max_fft_size=n,
+                     variant=CfarVariant.CA, include_cash=False)
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=256,
+                            guard_window_size=16, threshold_scaler=2.0,
+                            div_sum=8)
+    rng = np.random.RandomState(3)
+    mag = rng.randint(0, 4096, (2, n)).astype(np.int32)
+    got = ca_cfar_int(jnp.asarray(mag), rt, cfg)
+    for i in range(2):
+        want_thr, want_pk = int_ca_cfar_golden(
+            mag[i], ref_window=256, guard_window=16, div_sum=8,
+            threshold_scaler=2.0, mode=0, log_or_linear=1, peak_grouping=0,
+            n_active=n)
+        np.testing.assert_array_equal(np.asarray(got.threshold)[i], want_thr)
+        np.testing.assert_array_equal(np.asarray(got.peaks)[i], want_pk)

@@ -84,3 +84,44 @@ def test_two_process_pod_mesh_matches_unsharded(tmp_path):
             n_shards += 1
             k += 1
     assert n_shards == 8, n_shards  # every global shard was produced and checked
+
+
+def test_pod_mesh_groups_devices_by_process(monkeypatch):
+    """make_pod_mesh must not put devices from different processes in one
+    (ch, rng) time block even when jax.devices() interleaves hosts."""
+    import jax
+
+    from rsp_chains_tpu.parallel.multihost import make_pod_mesh
+
+    class FakeDev:
+        def __init__(self, i, p):
+            self.id, self.process_index = i, p
+        def __repr__(self):
+            return f"d{self.id}p{self.process_index}"
+
+    # interleaved global order: p0, p1, p0, p1, ...
+    devs = [FakeDev(i, i % 2) for i in range(8)]
+    monkeypatch.setattr(jax, "devices", lambda: devs)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
+    grid = np.asarray(mesh.devices)
+    for t in range(2):
+        procs = {d.process_index for d in grid[t].ravel()}
+        assert len(procs) == 1, f"time block {t} spans processes {procs}"
+
+
+def test_pod_mesh_rejects_block_straddling_hosts(monkeypatch):
+    import jax
+    import pytest
+
+    from rsp_chains_tpu.parallel.multihost import make_pod_mesh
+
+    class FakeDev:
+        def __init__(self, i, p):
+            self.id, self.process_index = i, p
+
+    monkeypatch.setattr(jax, "devices",
+                        lambda: [FakeDev(i, i // 4) for i in range(8)])
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="intra-host"):
+        make_pod_mesh(time_blocks=1, channels=8, range_shards=1)

@@ -37,7 +37,12 @@ def test_served_round_trip():
 
 def test_served_config_frame_reconfigures():
     iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
-    cfg_payload = json.dumps({"fft_size": 128, "ref_window_size": 8,
+    # config frames are register WRITES that merge into the live file: the
+    # CFAR fftSize is its own register (the reference writes FFT base+0 and
+    # CFAR base+0 separately, RspChainVanillaTester.scala:96,113), so the
+    # client shrinks both — an unwritten register keeps its value
+    cfg_payload = json.dumps({"fft_size": 128, "cfar_fft_size": 128,
+                              "ref_window_size": 8,
                               "guard_window_size": 2}).encode() + b"\0"
     pad = (-len(cfg_payload)) % 4
     words = np.frombuffer(cfg_payload + b"\0" * pad, np.uint32)
@@ -73,3 +78,43 @@ def test_served_drops_wrong_frame_length():
             while not got and time.time() - t0 < 60:
                 got.extend(dec.feed(sock.recv(1 << 16)))
     assert got[0].seq == 1  # the malformed frame was dropped, the good one served
+
+
+def test_served_config_frame_merges_not_resets():
+    """A config frame naming ONE register must not reset the others to
+    make() defaults (a register write channel merges), and a frame violating
+    the elaborated maxima is dropped and counted, leaving the file intact."""
+    import socket
+    import time as _time
+
+    def send_cfg(sock, kw):
+        payload = json.dumps(kw).encode() + b"\0"
+        pad = (-len(payload)) % 4
+        words = np.frombuffer(payload + b"\0" * pad, np.uint32)
+        sock.sendall(framing.encode_frame(words, seq=0, config=True))
+
+    with _server() as srv:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=60) as sock:
+            sock.settimeout(60)
+            send_cfg(sock, {"threshold_scaler": 9.0})   # single-register write
+            deadline = _time.time() + 10
+            while _time.time() < deadline:
+                regs = srv._pipe.runtime.peek()
+                if regs["threshold_scaler"] == 9.0:
+                    break
+                _time.sleep(0.05)
+            regs = srv._pipe.runtime.peek()
+            assert regs["threshold_scaler"] == 9.0
+            # every other register kept its configured (non-default) value
+            assert regs["fft_size"] == 256
+            assert regs["ref_window_size"] == 8
+
+            # invalid write (require(): window must be a power of two):
+            # dropped + counted, registers untouched
+            before = dict(regs)
+            send_cfg(sock, {"ref_window_size": 3})
+            deadline = _time.time() + 10
+            while _time.time() < deadline and srv.config_errors == 0:
+                _time.sleep(0.05)
+            assert srv.config_errors == 1
+            assert srv._pipe.runtime.peek() == before

@@ -243,3 +243,21 @@ def test_channel_only_mesh_runs_whole_chain_kernel():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_s.peaks),
                                   np.asarray(out_u.peaks))
+
+
+def test_halo_wider_than_shard_raises(mesh8):
+    """A halo wider than the local shard silently truncated before (the
+    neighbor's neighbor is needed); it must be a loud error."""
+    import jax
+
+    from rsp_chains_tpu.parallel.halo import extend_with_halo
+    from rsp_chains_tpu.parallel.mesh import RANGE_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    x = jnp.ones((2, 256))
+    with pytest.raises(ValueError, match="halo"):
+        jax.shard_map(
+            lambda xl: extend_with_halo(xl, halo=128, axis_name=RANGE_AXIS),
+            mesh=mesh8, in_specs=P(None, RANGE_AXIS),
+            out_specs=P(None, RANGE_AXIS), check_vma=False,
+        )(x)
