@@ -181,22 +181,23 @@ def main():
               f"dpk={verdict['dpk']}", file=sys.stderr)
         return None
 
-    # shipped formulation first (first Mosaic compile through the remote
-    # helper can take tens of minutes cold — persistent-cached afterwards;
-    # benchmarks/warm_cache.py pre-warms)
+    # shipped formulation first — fold interleave since r3 (first Mosaic
+    # compile through the remote helper can take tens of minutes cold —
+    # persistent-cached afterwards; benchmarks/warm_cache.py pre-warms)
     dt_pal = try_candidate("pallas-fused-chain", build(use_pallas=True), 3300)
     if dt_pal is not None and dt_pal < dt:
         dt, path = dt_pal, "pallas-fused-chain"
-    # r3 fold-interleave candidate (sigma-reordered pass-3 columns; exact):
-    # a shorter budget — losing it keeps the result above
+    # mxu-permutation alternate (the r2 shipped formulation; 1.271 vs fold's
+    # 0.961 ms in the r3 ladder) — a fallback in case the fold path regresses;
+    # a shorter budget: losing it keeps the result above
     cfar_cfg1 = CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                            include_cash=False, max_fft_size=n,
                            use_pallas=True)
-    f_fold = jax.jit(lambda a, r: fused_chain_ca(
-        a, r, FftConfig(max_size=n), cfar_cfg1, perm_impl="fold"))
-    dt_fold = try_candidate("pallas-fused-chain-fold", f_fold, 2400)
-    if dt_fold is not None and dt_fold < dt:
-        dt, path = dt_fold, "pallas-fused-chain-fold"
+    f_mxu = jax.jit(lambda a, r: fused_chain_ca(
+        a, r, FftConfig(max_size=n), cfar_cfg1, perm_impl="mxu"))
+    dt_mxu = try_candidate("pallas-fused-chain-mxu", f_mxu, 2400)
+    if dt_mxu is not None and dt_mxu < dt:
+        dt, path = dt_mxu, "pallas-fused-chain-mxu"
 
     msps = samples / dt / 1e6
     print(f"fft+mag+cfar [{path}]: {dt*1e3:.4f} ms / {samples} samples",

@@ -28,12 +28,15 @@ lane access is 128-aligned):
    re/im pair (the permutation is the kernel's largest VPU item). The
    per-lane take-left/take-right masks are host-precomputed int32 operands
    (``_perm_masks``), not in-kernel iota/shift/compare chains.
-   ``perm_impl='fold'`` (r3 candidate) shrinks this to log2(n1) steps: the
-   pass-3 DFT COLUMN ORDER is free, and reordering it by ``_fold_sigma``
-   absorbs the within-block part of the rotation into the constants, leaving
-   only the disjoint bit-field swaps (i <-> i+7, i < log2(n1)) — 3 steps at
-   N=1024 instead of 9 (or the dense [N, N] permutation matmul), 5 at 4096
-   instead of 11, exact on f32 (no hi/lo split).
+   ``perm_impl='fold'`` (the shipped default) shrinks this to log2(n1)
+   steps: the pass-3 DFT COLUMN ORDER is free, and reordering it by
+   ``_fold_sigma`` absorbs the within-block part of the rotation into the
+   constants, leaving only the disjoint bit-field swaps (i <-> i+7,
+   i < log2(n1)) — 3 steps at N=1024 instead of 9 (or the dense [N, N]
+   permutation matmul), 5 at 4096 instead of 11, exact on f32 (no hi/lo
+   split). On-chip (results_r3.json): headline 1.271 -> 0.961 ms
+   (17.5 Gs/s, dthr 1.4e-6 / 0 flips vs the mxu form), pc4096
+   0.524 -> 0.422 ms (bit-identical to 'roll').
 5. the shared CA/GO/SO CFAR body (``cfar_pallas._ca_cfar_body``).
 
 Runtime registers (same 9-scalar file as the spectrum kernel) stay traced —
@@ -810,7 +813,7 @@ def fused_chain_ca(
     fold_twiddle: bool = True,
     ablate: str = "",
     gate_mag: bool = False,
-    perm_impl: str = "mxu",
+    perm_impl: str = "fold",
     gated_cfar: bool = True,
     row_groups: int = 1,
     boxsum_impl: str = "vpu",
@@ -818,12 +821,12 @@ def fused_chain_ca(
     h_block=None,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
-    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024} (headline shapes;
-    the MXU-permutation interleave) or {2048, 4096} (pulse-compression
-    frames; the [N, N] permutation operand no longer fits VMEM, so the
-    interleave runs as the verified roll/select bit-transposition network and
-    the scoped-VMEM budget is raised). The runtime size register is handled
-    by ``fused_chain_ca_op``.
+    pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024} (headline shapes)
+    or {2048, 4096} (pulse-compression frames; the scoped-VMEM budget is
+    raised, and a 'mxu' override downgrades to 'roll' — the [N, N]
+    permutation operand no longer fits VMEM). The default interleave is the
+    folded log2(n1)-step bit-swap network (``_fold_sigma``). The runtime
+    size register is handled by ``fused_chain_ca_op``.
 
     ``h_block``: optional host [2, N] float32 BLOCK-order spectral weights
     (``rd_pallas._h_block``) multiplied into the spectrum before the
@@ -835,10 +838,11 @@ def fused_chain_ca(
     (discovered r2i: a pure-bf16 A/B was bit-identical to "f32"), so the
     two-term split is what actually delivers f32-grade FFT accuracy (~1.5e-6
     rel, vs ~1.4e-3 for the 1-pass dots — ~47 int16 LSBs, outside the
-    reference's ±2-LSB bar) at ~4% cost; ``perm_impl='mxu'`` because the 0/1
-    permutation matmul beats the 9-step roll/select network by ~0.3 ms/CPI at
-    bench scale AND un-jams the CA body's vreg scheduling (r2k: 1.30 ms vs
-    1.58 ms for the 64x256x1024 CPI); ``fold_twiddle=True`` because folding
+    reference's ±2-LSB bar) at ~4% cost; ``perm_impl='fold'`` because the
+    σ-reordered pass-3 columns shrink the interleave to log2(n1) disjoint
+    bit-swaps — the r3 on-chip A/B: 0.961 ms vs 1.271 for the 'mxu'
+    permutation matmul (itself ~0.3 ms faster than the 9-step 'roll' network,
+    r2k) at 64x256x1024, dthr 1.4e-6 / 0 flips; ``fold_twiddle=True`` because folding
     pass 2 into per-block pass-3 constants removes 4 VPU passes for zero MXU
     cost (r2m: 1.290 vs 1.354 ms, rel err 3.7e-6, 0 peak flips);
     ``gated_cfar=True`` for the pl.when-gated CA body (r2l, bit-identical);
@@ -993,7 +997,7 @@ def fused_chain_ca_packed(
     block_frames: int = CHAIN_BLOCK_FRAMES,
     dot_impl: str = "bf16x2",
     fold_twiddle: bool = True,
-    perm_impl: str = "mxu",
+    perm_impl: str = "fold",
     gated_cfar: bool = True,
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
