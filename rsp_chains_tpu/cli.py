@@ -65,13 +65,22 @@ def _default_cpi(preset: str, cfg):
     return cpi
 
 
+def _reg_value(v: str):
+    """Parse a REG=VAL value: integer when it reads as one, float otherwise
+    (so scientific notation like ``threshold_scaler=1e3`` works)."""
+    try:
+        return int(v)
+    except ValueError:
+        return float(v)
+
+
 def _runtime(overrides: list[str], cfar_cfg=None):
     from .configs import RuntimeConfig
 
     kw = {}
     for ov in overrides:
         k, _, v = ov.partition("=")
-        kw[k] = float(v) if "." in v else int(v)
+        kw[k] = _reg_value(v)
     # validate register writes against the elaborated maxima, as the hardware's
     # require(...)s would at elaboration — out-of-range windows are rejected
     # here instead of being silently clamped on-device
@@ -265,7 +274,7 @@ def cmd_poke(args):
     overrides = {}
     for ov in args.set or []:
         k, _, v = ov.partition("=")
-        overrides[k] = float(v) if "." in v else int(v)
+        overrides[k] = _reg_value(v)
     resp = poke(args.host, args.port, overrides or None)
     print(json.dumps(resp["regs"], indent=1, sort_keys=True))
     return 0

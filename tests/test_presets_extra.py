@@ -147,6 +147,19 @@ def test_compact_detections_through_cli_run_top_k(capsys):
     assert "top-8 frame 0" in out
 
 
+def test_cli_register_value_parsing():
+    """REG=VAL values: ints stay ints, floats and scientific notation parse
+    (``threshold_scaler=1e3`` used to crash on the dot-sniffing int path)."""
+    from rsp_chains_tpu.cli import _reg_value, _runtime
+
+    assert _reg_value("32") == 32 and isinstance(_reg_value("32"), int)
+    assert _reg_value("3.5") == 3.5
+    assert _reg_value("1e3") == 1000.0
+    rt = _runtime(["threshold_scaler=1e3", "ref_window_size=16"])
+    assert float(rt.threshold_scaler) == 1000.0
+    assert int(rt.ref_window_size) == 16
+
+
 def test_rx_rd_tx_wire_format_round_trip():
     """Packed beat words [.., P, N] -> fused RD chain -> packed CFAR words:
     decoded thresholds/peaks equal the float RD chain on the same int16 CPI."""
