@@ -323,7 +323,7 @@ def cmd_plot(args):
     rt = _runtime(args.set or [], chain.cfg.cfar)
     n = chain.cfg.fft.max_size
 
-    if args.preset == "range_doppler":
+    if args.preset in ("range_doppler", "beamformed_rd"):
         # 2-D range-Doppler map with CFAR detection overlay
         from .golden import chirp_with_targets, lfm_chirp
 
@@ -331,6 +331,8 @@ def cmd_plot(args):
         chirp = lfm_chirp(128, 0.0, 0.25)
         if args.input:
             cpi = np.load(args.input)
+        elif args.preset == "beamformed_rd":
+            cpi = _default_cpi(args.preset, chain.cfg)
         else:
             cpi = chirp_with_targets(
                 p, n, chirp,
@@ -338,9 +340,13 @@ def cmd_plot(args):
                 noise_db=-35)
         from .cplx import as_pair
 
-        out = chain.jit()(as_pair(cpi[None]), rt)
-        thr = np.asarray(out.threshold)[0]
-        pk = np.asarray(out.peaks)[0]
+        x_in = cpi if args.preset == "beamformed_rd" else cpi[None]
+        out = chain.jit()(as_pair(x_in), rt)
+        # beamformed_rd emits one map per beam: plot the busiest beam
+        pk_all = np.asarray(out.peaks)
+        sel = int(np.argmax(pk_all.reshape(pk_all.shape[0], -1).sum(axis=1)))
+        thr = np.asarray(out.threshold)[sel]
+        pk = pk_all[sel]
         fig, ax = plt.subplots(figsize=(10, 6))
         img = 20 * np.log10(np.maximum(thr, 1e-9))
         ax.imshow(img, aspect="auto", origin="lower", cmap="viridis",
@@ -349,9 +355,36 @@ def cmd_plot(args):
         ax.plot(r, d, "r^", ms=5, label=f"detections ({d.size})")
         ax.set_xlabel("Range bin")
         ax.set_ylabel("Doppler bin")
-        ax.set_title("Range-Doppler CFAR threshold map (dB) + detections")
+        title = "Range-Doppler CFAR threshold map (dB) + detections"
+        if args.preset == "beamformed_rd":
+            title += f" — beam {sel}"
+        ax.set_title(title)
         ax.legend()
         path = args.output or "RangeDopplerPlot.pdf"
+        fig.savefig(path, bbox_inches="tight")
+        print(f"wrote {path}")
+        return 0
+
+    if args.preset == "integrated_search":
+        # pulse-integrated 1-D detection: threshold + detections (no single
+        # spectrum to overlay — the statistic is integrated over the CPI)
+        from .cplx import as_pair
+
+        cpi = np.load(args.input) if args.input \
+            else _default_cpi(args.preset, chain.cfg)
+        out = chain.jit()(as_pair(cpi), rt)
+        thr = np.asarray(out.threshold).reshape(-1)
+        pk = np.asarray(out.peaks).reshape(-1)
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.plot(np.arange(thr.size), thr, label="integrated CFAR threshold",
+                lw=0.8)
+        det = np.flatnonzero(pk)
+        ax.plot(det, thr[det], "rv", ms=6, label=f"detections ({det.size})")
+        ax.set_xlabel("Range bin")
+        ax.set_ylabel("Integrated statistic")
+        ax.set_title("Integrated-search CFAR detections")
+        ax.legend()
+        path = args.output or "IntegratedSearchPlot.pdf"
         fig.savefig(path, bbox_inches="tight")
         print(f"wrote {path}")
         return 0
@@ -362,11 +395,37 @@ def cmd_plot(args):
         iq = np.load(args.input)
     else:
         iq = three_tone_signal(n, shift_range_factor=12)
-    x = as_pair(iq)
-    out = chain.jit()(x, rt)
-    mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft), rt.mag_mode))
-    thr = np.asarray(out.threshold)
-    pk = np.asarray(out.peaks)
+    if args.preset == "real_rx":
+        # real-ADC chain: real frames in, one-sided N/2-bin CFAR out
+        from .ops.fft import rfft_op
+
+        xr = jnp.asarray(np.real(iq), jnp.float32)
+        out = chain.jit()(xr, rt)
+        spec = rfft_op(xr, pair=True)[..., : n // 2]
+        mag = np.asarray(logmag(spec, rt.mag_mode))
+    elif args.preset == "rx_tx":
+        # wire-format chain: packed beat words in, packed CFAR words out —
+        # unpack for plotting (the serving debug view)
+        from . import packing
+        from .io import native
+
+        words = packing.pack_iq(as_pair(iq))
+        out_words = np.asarray(chain.jit()(words, rt)).reshape(-1)
+        thr_w, _bins, pk_w = native.unpack_cfar_words(out_words,
+                                                      chain.cfg.fft.log2_max)
+        x = as_pair(iq)
+        mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft),
+                                rt.mag_mode))
+        out = None
+        thr, pk = thr_w.astype(np.float64), pk_w.astype(bool)
+    else:
+        x = as_pair(iq)
+        out = chain.jit()(x, rt)
+        mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft),
+                                rt.mag_mode))
+    if out is not None:
+        thr = np.asarray(out.threshold)
+        pk = np.asarray(out.peaks)
 
     fig, ax = plt.subplots(figsize=(10, 4))
     bins = np.arange(len(mag))

@@ -160,6 +160,27 @@ def test_cli_register_value_parsing():
     assert int(rt.ref_window_size) == 16
 
 
+def test_cli_plot_covers_every_preset(tmp_path):
+    """``plot`` must produce a figure for the presets that used to crash the
+    generic 1-D branch: wire-format (packed words out), real-ADC (real frames
+    in, N/2 bins out), and the 2-D CPI presets."""
+    import sys
+
+    from rsp_chains_tpu import cli
+
+    for preset in ("rx_tx", "real_rx", "beamformed_rd", "integrated_search"):
+        out = tmp_path / f"{preset}.pdf"
+        argv = ["prog", "plot", "--preset", preset, "--output", str(out)]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            rc = cli.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        assert out.exists() and out.stat().st_size > 0, preset
+
+
 def test_rx_rd_tx_wire_format_round_trip():
     """Packed beat words [.., P, N] -> fused RD chain -> packed CFAR words:
     decoded thresholds/peaks equal the float RD chain on the same int16 CPI."""
