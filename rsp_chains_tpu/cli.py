@@ -396,16 +396,26 @@ def cmd_plot(args):
     else:
         iq = three_tone_signal(n, shift_range_factor=12)
     if args.preset == "real_rx":
-        # real-ADC chain: real frames in, one-sided N/2-bin CFAR out
-        from .ops.fft import rfft_op
+        # real-ADC chain: real frames in, one-sided N/2-bin CFAR out. The
+        # overlay must apply the same FFT scaling the chain does (default
+        # DIV_N) — an unscaled rfft would plot a spectrum N times the scale
+        # the plotted threshold was computed against.
+        from .ops.fft import _scale_factor, rfft_op
 
         xr = jnp.asarray(np.real(iq), jnp.float32)
         out = chain.jit()(xr, rt)
         spec = rfft_op(xr, pair=True)[..., : n // 2]
+        s = _scale_factor(n, chain.cfg.fft.scaling)
+        if s != 1.0:
+            spec = spec * s
         mag = np.asarray(logmag(spec, rt.mag_mode))
     elif args.preset == "rx_tx":
         # wire-format chain: packed beat words in, packed CFAR words out —
-        # unpack for plotting (the serving debug view)
+        # unpack for plotting (the serving debug view). The overlay spectrum
+        # comes from the UNPACKED words, not the raw float iq: the chain
+        # processes the int16-quantized pack round trip, and the plotted
+        # magnitude must reflect the same quantized input the decoded
+        # (integer-truncated) wire threshold was computed against.
         from . import packing
         from .io import native
 
@@ -413,7 +423,7 @@ def cmd_plot(args):
         out_words = np.asarray(chain.jit()(words, rt)).reshape(-1)
         thr_w, _bins, pk_w = native.unpack_cfar_words(out_words,
                                                       chain.cfg.fft.log2_max)
-        x = as_pair(iq)
+        x = packing.unpack_iq_pair(words)
         mag = np.asarray(logmag(fft_op(x, rt.log2_fft_size, chain.cfg.fft),
                                 rt.mag_mode))
         out = None

@@ -103,6 +103,16 @@ def _cfar_out_specs(cfg: CfarConfig, spec):
     )
 
 
+def _tail_check_vma(cfg: ChainConfig, n_loc: int) -> bool:
+    """Whether the static varying-axes (replication) check can run on a tail
+    shard_map. ``pallas_call`` carries no varying-axes type — its ``out_shape``
+    ShapeDtypeStructs have ``vma=None``, which ``check_vma=True`` rejects
+    outright (SURVEY §5.2 audit, r3) — so the check is only available when the
+    local body lowers through XLA. Every Pallas-tail routing is instead pinned
+    by sharded==unsharded equality tests (tests/test_sharded.py)."""
+    return _fused_tail_local(cfg, n_loc) is None
+
+
 def _fused_tail_local(cfg: ChainConfig, n_loc: int, axis_name: str = RANGE_AXIS):
     """Fused Pallas mag+CFAR tail for a range-sharded *spectrum* block, or
     ``None`` when the elaboration/shapes need the XLA tail.
@@ -191,11 +201,12 @@ def range_sharded_mag_cfar(cfg: ChainConfig, mesh: jax.sharding.Mesh):
     def wrapped(spectrum, rt):
         nb = spectrum.ndim - 1
         spec = P(*([None] * nb), RANGE_AXIS)
+        n_loc = spectrum.shape[-1] // mesh.shape.get(RANGE_AXIS, 1)
         sm = jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(spec, P()),
             out_specs=_cfar_out_specs(cfg.cfar, spec),
-            check_vma=False,
+            check_vma=_tail_check_vma(cfg, n_loc),
         )
         return sm(spectrum, rt)
 
@@ -220,8 +231,11 @@ def range_sharded_fir(taps, mesh: jax.sharding.Mesh, block_size: Optional[int] =
     def wrapped(x):
         nb = x.ndim - 1
         spec = P(*([None] * nb), RANGE_AXIS)
+        # XLA-only body (ppermute halo + overlap-save FIR): the static
+        # varying-axes check runs
         return jax.shard_map(
-            local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
+            local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=True,
         )(x)
 
     return jax.jit(wrapped)
@@ -264,6 +278,7 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
                 mesh=mesh,
                 in_specs=(spec, P()),
                 out_specs=_cfar_out_specs(cfg.cfar, spec),
+                # pallas_call body: no varying-axes type (see _tail_check_vma)
                 check_vma=False,
             )
             return sm(xp, rt)
@@ -279,11 +294,12 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
         def tail(spec_local, rt_):
             return _spectrum_tail_local(cfg, spec_local.shape[-1])(spec_local, rt_)
 
+        n_loc = y.shape[-1] // mesh.shape.get(RANGE_AXIS, 1)
         sm = jax.shard_map(
             tail, mesh=mesh,
             in_specs=(spec, P()),
             out_specs=_cfar_out_specs(cfg.cfar, spec),
-            check_vma=False,
+            check_vma=_tail_check_vma(cfg, n_loc),
         )
         return sm(y, rt)
 
@@ -331,6 +347,7 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
                                                interpret=interpret,
                                                emit="map"),
                 mesh=mesh, in_specs=(ch_spec, P()),
+                # pallas_call body: no varying-axes type (see _tail_check_vma)
                 out_specs=ch_spec, check_vma=False,
             )(xp, rt)
         else:
@@ -354,11 +371,12 @@ def make_sharded_rd_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh, taps):
         def tail(y_local, rt_):
             return _spectrum_tail_local(cfg, y_local.shape[-1])(y_local, rt_)
 
+        n_loc = y.shape[-1] // mesh.shape.get(RANGE_AXIS, 1)
         sm = jax.shard_map(
             tail, mesh=mesh,
             in_specs=(spec, P()),
             out_specs=_cfar_out_specs(cfg.cfar, spec),
-            check_vma=False,
+            check_vma=_tail_check_vma(cfg, n_loc),
         )
         return sm(y, rt)
 

@@ -131,17 +131,9 @@ def test_integrated_search_coherent_mode_runs():
 
 def test_compact_detections_through_cli_run_top_k(capsys):
     """The --top-k serving egress path end to end through the CLI."""
-    import sys
-
     from rsp_chains_tpu import cli
 
-    argv = ["prog", "run", "--preset", "fft_mag_cfar", "--top-k", "8"]
-    old = sys.argv
-    sys.argv = argv
-    try:
-        rc = cli.main()
-    finally:
-        sys.argv = old
+    rc = cli.main(["run", "--preset", "fft_mag_cfar", "--top-k", "8"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "top-8 frame 0" in out
@@ -160,23 +152,43 @@ def test_cli_register_value_parsing():
     assert int(rt.ref_window_size) == 16
 
 
-def test_cli_plot_covers_every_preset(tmp_path):
+def test_cli_plot_covers_every_preset(tmp_path, monkeypatch):
     """``plot`` must produce a figure for the presets that used to crash the
     generic 1-D branch: wire-format (packed words out), real-ADC (real frames
-    in, N/2 bins out), and the 2-D CPI presets."""
-    import sys
-
+    in, N/2 bins out), and the 2-D CPI presets. Small elaborations via a
+    patched ``_build_chain`` — the default 8ch x 256p x 1024bin beamformed
+    CPI through interpret-mode Pallas is the suite's hot spot (CLAUDE.md)."""
     from rsp_chains_tpu import cli
+    from rsp_chains_tpu import presets as P
+    from rsp_chains_tpu.configs import (
+        CfarConfig, ChainConfig, DopplerConfig, FftConfig, MatchedFilterConfig,
+    )
 
-    for preset in ("rx_tx", "real_rx", "beamformed_rd", "integrated_search"):
+    def small(n=256):
+        return dict(
+            fft=FftConfig(max_size=n),
+            cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                            max_fft_size=n),
+        )
+
+    builders = {
+        "rx_tx": lambda: P.rx_fft_mag_cfar_tx_chain(ChainConfig(**small())),
+        "real_rx": lambda: P.real_rx_chain(ChainConfig(**small())),
+        "beamformed_rd": lambda: P.beamformed_rd_chain(ChainConfig(
+            **small(),
+            matched_filter=MatchedFilterConfig(num_taps=32, fft_size=256),
+            doppler=DopplerConfig(num_pulses=16))),
+        "integrated_search": lambda: P.integrated_search_chain(ChainConfig(
+            **small(),
+            matched_filter=MatchedFilterConfig(num_taps=32, fft_size=256))),
+    }
+    monkeypatch.setattr(cli, "_build_chain", lambda preset: builders[preset]())
+
+    for preset in builders:
         out = tmp_path / f"{preset}.pdf"
-        argv = ["prog", "plot", "--preset", preset, "--output", str(out)]
-        old = sys.argv
-        sys.argv = argv
-        try:
-            rc = cli.main()
-        finally:
-            sys.argv = old
+        rc = cli.main(["plot", "--preset", preset, "--output", str(out),
+                       "--set", "fft_size=256", "--set", "ref_window_size=8",
+                       "--set", "guard_window_size=2"])
         assert rc == 0
         assert out.exists() and out.stat().st_size > 0, preset
 
