@@ -138,7 +138,8 @@ class FixedPointConfig:
     # Exact-arithmetic emulation (ops/bit_true.py): every stage computes in
     # integers with the hardware's per-stage truncation, so packed int16 wire
     # streams are bit-exact against golden.int_models — not just SNR-close.
-    # Requires bin_point 0 and a CA-family CFAR elaboration.
+    # Requires bin_point 0; covers every CFAR variant (CA/GOS/GOSCA + CASH)
+    # and the full runtime magnitude menu.
     bit_true: bool = False
 
     @property

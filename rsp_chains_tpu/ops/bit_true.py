@@ -205,6 +205,102 @@ def jpl_mag_int(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(u + (v >> 3), u - (u >> 3) + (v >> 1))
 
 
+def sqr_mag_int(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Integer square magnitude re² + im² (``RspChainTesterUtils.scala:205-208``:
+    ``(c.real*c.real + c.imag*c.imag).toInt``). Each square of 16-bit data fits
+    int32 (≤ 2^30); their sum can exceed int32 by one bit at full scale —
+    saturated to int32 max, matching Scala's ``Double.toInt`` clamp (the
+    reference tester pre-scales inputs to avoid the overflow entirely)."""
+    x1 = re * re
+    x2 = im * im
+    s = x1 + x2
+    # both terms are >= 0 and the true sum is <= 2^31, so a wrapped (negative)
+    # result can only mean overflow-by-one-bit
+    return jnp.where(s < 0, jnp.int32(2**31 - 1), s)
+
+
+def _isqrt32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact integer floor(sqrt(x)) for int32 x ≥ 0: float32 seed (within ±1
+    of the true root for x < 2^31) plus integer corrections. The compare
+    ``s² > x`` is done as ``s > x // s`` so no intermediate overflows."""
+    s = jnp.floor(jnp.sqrt(jnp.maximum(x, 0).astype(jnp.float32))).astype(jnp.int32)
+    s = jnp.maximum(s, 1)
+    for _ in range(2):
+        s = jnp.where(s > x // s, s - 1, s)
+        s = jnp.maximum(s, 1)
+    for _ in range(2):
+        nxt = s + 1
+        s = jnp.where(nxt <= x // nxt, nxt, s)
+    return jnp.where(x <= 0, 0, s)
+
+
+def abs_mag_int(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Integer magnitude floor(|re + j·im|) — the golden menu's default case
+    (``RspChainTesterUtils.scala:214``: ``c.abs.toInt``), exact integer sqrt of
+    the (saturating) square sum."""
+    return _isqrt32(sqr_mag_int(re, im))
+
+
+@functools.lru_cache(maxsize=None)
+def _log2_frac_lut(width: int) -> np.ndarray:
+    """Hardware-style fractional log2 LUT: entry k = floor(log2(1 + k·2^-W)·2^W)
+    — the value the LUT ROM holds for mantissa bucket k (MAGParams.log2LookUpWidth,
+    ``RspChain.scala:125``)."""
+    k = np.arange(1 << width, dtype=np.float64)
+    return np.floor(np.log2(1.0 + k / (1 << width)) * (1 << width)).astype(np.int32)
+
+
+def log2_mag_int(re: jnp.ndarray, im: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """Integer LUT log2 of the JPL magnitude on the protoLog grid
+    (``RspChainTesterUtils.scala:209-211``; protoLog FixedPoint(16, 9.BP),
+    ``RspChainVanillaTester.scala:222-224``).
+
+    Contract (the LogMagMux submodule is not vendored — this is the documented
+    integer arithmetic, mirrored index-wise by ``golden.int_models.
+    int_log2_golden``): j = jplMag; e = floor(log2 j); mantissa bucket = top
+    ``log2_lookup_width`` bits of j's fraction (truncated); output raw value
+    on the 2^-bin_point_log grid = (e·2^L + LUT[bucket]) rescaled from the
+    2^-L grid, clamped to the 16-bit proto; j = 0 clamps to the proto minimum
+    (the golden's log2(0) = -inf)."""
+    from ..configs import LogMagConfig
+
+    cfg = cfg or LogMagConfig()
+    L = cfg.log2_lookup_width
+    B = cfg.bin_point_log
+    j = jpl_mag_int(re, im)
+    # e = floor(log2(j)) for j >= 1, via dyadic compares (no clz on the VPU)
+    e = jnp.zeros_like(j)
+    for k in range(1, 31):
+        e = e + (j >= (1 << k)).astype(jnp.int32)
+    # mantissa bucket: floor(j / 2^(e-L)) - 2^L (truncation IS the hardware's
+    # dropped low mantissa bits); e < L shifts left exactly
+    idx = jnp.where(e >= L, j >> jnp.maximum(e - L, 0),
+                    j << jnp.maximum(L - e, 0)) - (1 << L)
+    idx = jnp.clip(idx, 0, (1 << L) - 1)
+    frac = jnp.take(jnp.asarray(_log2_frac_lut(L)), idx)
+    raw_l = e * (1 << L) + frac
+    raw_b = (raw_l >> (L - B)) if L >= B else (raw_l << (B - L))
+    lo = -(1 << (cfg.data_width_log - 1))
+    hi = (1 << (cfg.data_width_log - 1)) - 1
+    return jnp.clip(jnp.where(j > 0, raw_b, lo), lo, hi)
+
+
+def mag_int_op(x: C, mag_mode: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """The full LogMagMux menu in integer arithmetic, runtime-muxed on the
+    traced mode register like the float ``ops.logmag.logmag`` — closing the
+    register the bit-true pipeline previously pinned to JPL
+    (``RspChainTesterUtils.scala:197-216``)."""
+    re = x.re.astype(jnp.int32)
+    im = x.im.astype(jnp.int32)
+    return jax.lax.switch(
+        jnp.clip(mag_mode, 0, 3),
+        [lambda _: abs_mag_int(re, im),
+         lambda _: sqr_mag_int(re, im),
+         lambda _: jpl_mag_int(re, im),
+         lambda _: log2_mag_int(re, im, cfg)],
+        None)
+
+
 def ca_cfar_int(
     mag: jnp.ndarray,
     rt: RuntimeConfig,
@@ -256,6 +352,192 @@ def ca_cfar_int(
         mode == 1, jnp.maximum(s_lag, s_lead),
         jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
                   (s_lag + s_lead) >> 1))
+
+    scaler_q = jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32)
+    thr_lin = rhu(noise * scaler_q, 6)
+    thr_log = noise + jnp.round(rt.threshold_scaler).astype(jnp.int32)
+    thr = jnp.where(rt.log_or_linear == 1, thr_lin, thr_log)
+    thr = jnp.where(active, thr, 0)
+    peaks = (mag > thr) & active
+
+    big = jnp.int32(-(1 << 30))
+    left_n = jnp.concatenate([jnp.full(mag.shape[:-1] + (1,), big), mag[..., :-1]], -1)
+    right_n = jnp.concatenate([mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), big)], -1)
+    right_n = jnp.where(cell + 1 < n_active, right_n, big)
+    grouped = peaks & (mag >= left_n) & (mag >= right_n)
+    peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
+    return CfarOutput(threshold=thr, peaks=peaks)
+
+
+def _int_windows(m, n_active, g, w, cfg: CfarConfig):
+    """Roll-stacked integer per-cell windows: [..., Wmax, N] int32 with the
+    window offset on axis -2 (the integer mirror of ``ops.cfar._windows_roll``,
+    PARTIAL edges), plus validity masks [Wmax, N].
+    ``win_lag[..., k, i] = m[i - g - w + k]``, valid iff k < w and the cell is
+    inside [0, n_active)."""
+    n = m.shape[-1]
+    wmax = cfg.max_ref_window
+    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
+    padw = max(128, max_shift + 1)
+    shift_bits = max(8, max_shift.bit_length())
+    z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
+    row = jnp.concatenate([z, m, z], axis=-1)
+
+    def roll_dyn(xv, s, left=False):
+        for k in range(shift_bits):
+            sh = -(1 << k) if left else (1 << k)
+            xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
+        return xv
+
+    lag_base = roll_dyn(row, g + w)              # [j] = row[j - g - w]
+    lead_base = roll_dyn(row, g + 1, left=True)  # [j] = row[j + g + 1]
+    lag = jnp.stack([jnp.roll(lag_base, -k, axis=-1) for k in range(wmax)],
+                    axis=-2)[..., :, padw : padw + n]
+    lead = jnp.stack([jnp.roll(lead_base, -k, axis=-1) for k in range(wmax)],
+                     axis=-2)[..., :, padw : padw + n]
+    kk = jnp.arange(wmax, dtype=jnp.int32)[:, None]
+    ii = jnp.arange(n, dtype=jnp.int32)[None, :]
+    lag_pos = ii - g - w + kk
+    lead_pos = ii + g + 1 + kk
+    lag_valid = (kk < w) & (lag_pos >= 0) & (lag_pos < n_active)
+    lead_valid = (kk < w) & (lead_pos >= 0) & (lead_pos < n_active)
+    return lag, lag_valid, lead, lead_valid
+
+
+_INT_BIG = jnp.int32(2**31 - 1)
+
+
+def _int_gos_side(win, valid, rank):
+    """Integer rank select: k-th smallest valid window cell (rank registers
+    base+9/+10, ``RspChainVanillaTester.scala:137-141``). Sorting integers is
+    exact; invalid cells sort to int32 max; the rank clamps to the valid count
+    like the float ``ops.cfar._gos_stats_roll``; empty side -> 0."""
+    valid_b = jnp.broadcast_to(valid, win.shape)
+    vals = jnp.where(valid_b, win, _INT_BIG)
+    s = jnp.sort(vals, axis=-2)
+    nv = jnp.sum(valid_b, axis=-2).astype(jnp.int32)
+    idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, s.shape[-2] - 1)
+    kk = jnp.arange(s.shape[-2], dtype=jnp.int32)[:, None]
+    got = jnp.sum(jnp.where(kk == idx[..., None, :], s, 0), axis=-2)
+    return jnp.where(nv > 0, got, 0)
+
+
+def _int_cash_side(win, valid, sub_w, wmax):
+    """Integer CASH per-side statistic: min over sliding sub-window SUMS of
+    exactly ``sub_w`` valid cells inside the reference window, divided once by
+    ``sub_w`` with truncation (min commutes with the shared monotone division,
+    so this is the float path's min-of-means with an integer divider — a
+    hardware shifter when sub_w is a power of two). Empty -> 0."""
+    valid_b = jnp.broadcast_to(valid, win.shape)
+    v = jnp.where(valid_b, win, 0)
+    zrow = jnp.zeros(v.shape[:-2] + (1,) + v.shape[-1:], jnp.int32)
+    c = jnp.concatenate([zrow, jnp.cumsum(v, axis=-2)], axis=-2)
+    cv = jnp.concatenate(
+        [jnp.zeros(valid_b.shape[:-2] + (1,) + valid_b.shape[-1:], jnp.int32),
+         jnp.cumsum(valid_b.astype(jnp.int32), axis=-2)], axis=-2)
+    # c_sh[t] = c[t + sub_w] via a bit-decomposed roll on the window axis
+    n_bits = max(int(wmax).bit_length(), 1)
+
+    def roll_up(xv, s):
+        for k in range(n_bits):
+            xv = jnp.where(((s >> k) & 1) == 1,
+                           jnp.roll(xv, -(1 << k), axis=-2), xv)
+        return xv
+
+    sub_sum = (roll_up(c, sub_w) - c)[..., :wmax, :]
+    sub_cnt = (roll_up(cv, sub_w) - cv)[..., :wmax, :]
+    tt = jnp.arange(wmax, dtype=jnp.int32)[:, None]
+    ok = (sub_cnt == sub_w) & (tt + sub_w <= wmax)
+    sums = jnp.where(ok, sub_sum, _INT_BIG)
+    est = jnp.min(sums, axis=-2)
+    found = jnp.any(ok, axis=-2)
+    return jnp.where(found, est // jnp.maximum(sub_w, 1), 0)
+
+
+def cfar_int(
+    mag: jnp.ndarray,
+    rt: RuntimeConfig,
+    cfg: CfarConfig = CfarConfig(),
+) -> CfarOutput:
+    """Integer CFAR covering every elaborated variant: CA/GOS/GOSCA statistic
+    datapaths with the runtime algorithm register selecting (base+5,
+    ``RspChainVanillaTester.scala:124-132``), modes CA/GO/SO/CASH (base+6),
+    GOS rank registers, CASH sub-window register — the integer mirror of
+    ``ops.cfar.cfar_op``'s register semantics with ``ca_cfar_int``'s exact
+    hardware arithmetic (truncating shifters, 6-fractional-bit scaler).
+    The reference's shipped ``RspChainVanilla`` elaborates GOSCA + CASH in
+    integer fixed point (``RspChain.scala:118,130-140``); this closes bit-true
+    wire-word parity for those modes. PARTIAL edges."""
+    from ..configs import CfarVariant
+
+    has_gos = cfg.variant in (CfarVariant.GOS, CfarVariant.GOSCA)
+    has_cash = cfg.include_cash
+    if not has_gos and not has_cash:
+        return ca_cfar_int(mag, rt, cfg)
+
+    mag = mag.astype(jnp.int32)
+    n = mag.shape[-1]
+    n_active = jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32)
+    g = jnp.clip(rt.guard_window_size, 0, cfg.max_guard_window).astype(jnp.int32)
+    w = jnp.minimum(rt.ref_window_size, cfg.max_ref_window).astype(jnp.int32)
+    log2w = jnp.round(jnp.log2(jnp.maximum(w, 1).astype(jnp.float32))).astype(jnp.int32)
+
+    cell = jnp.arange(n, dtype=jnp.int32)
+    active = cell < n_active
+    m = jnp.where(active, mag, 0)
+
+    # CA sums (same dyadic machinery as ca_cfar_int)
+    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
+    padw = max(128, max_shift + 1)
+    shift_bits = max(8, max_shift.bit_length())
+    z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
+    row = jnp.concatenate([z, m, z], axis=-1)
+    sel = row
+    box = row
+    for k in range(int(cfg.max_ref_window).bit_length() - 1):
+        box = box + jnp.roll(box, 1 << k, axis=-1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+
+    def roll_dyn(xv, s, left=False):
+        for k in range(shift_bits):
+            sh = -(1 << k) if left else (1 << k)
+            xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
+        return xv
+
+    lag = roll_dyn(sel, g + 1)[..., padw : padw + n]
+    lead = roll_dyn(sel, g + w, left=True)[..., padw : padw + n]
+    div = rt.div_sum.astype(jnp.int32)
+    ca_lag = jnp.right_shift(lag, div)
+    ca_lead = jnp.right_shift(lead, div)
+
+    lag_win, lag_valid, lead_win, lead_valid = _int_windows(m, n_active, g, w, cfg)
+
+    if has_gos:
+        os_lag = _int_gos_side(lag_win, lag_valid, rt.index_lagg)
+        os_lead = _int_gos_side(lead_win, lead_valid, rt.index_lead)
+    else:
+        os_lag = os_lead = jnp.zeros_like(m)
+
+    if cfg.variant is CfarVariant.GOSCA:
+        use_gos = rt.cfar_algorithm == 1
+        s_lag = jnp.where(use_gos, os_lag, ca_lag)
+        s_lead = jnp.where(use_gos, os_lead, ca_lead)
+    elif cfg.variant is CfarVariant.GOS:
+        s_lag, s_lead = os_lag, os_lead
+    else:
+        s_lag, s_lead = ca_lag, ca_lead
+
+    mode = rt.cfar_mode
+    noise = jnp.where(
+        mode == 1, jnp.maximum(s_lag, s_lead),
+        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                  (s_lag + s_lead) >> 1))
+    if has_cash:
+        sw = jnp.clip(rt.sub_window_size, cfg.min_sub_window,
+                      cfg.max_ref_window).astype(jnp.int32)
+        est_lag = _int_cash_side(lag_win, lag_valid, sw, cfg.max_ref_window)
+        est_lead = _int_cash_side(lead_win, lead_valid, sw, cfg.max_ref_window)
+        noise = jnp.where(mode == 3, jnp.maximum(est_lag, est_lead), noise)
 
     scaler_q = jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32)
     thr_lin = rhu(noise * scaler_q, 6)

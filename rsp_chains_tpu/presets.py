@@ -56,19 +56,24 @@ def fft_stage(cfg: ChainConfig) -> Stage:
 
 def mag_stage(cfg: ChainConfig) -> Stage:
     if _bit_true(cfg):
-        # bit-true conformance pins the tester's JPL mode
-        # (RspChainVanillaTester.scala:98 writes mode 2)
-        from .ops.bit_true import jpl_mag_int
+        # the full integer LogMagMux menu, runtime-muxed like the hardware
+        # (RspChainTesterUtils.scala:197-216; the tester's default write is
+        # mode 2 = JPL, RspChainVanillaTester.scala:98)
+        from .ops.bit_true import mag_int_op
 
-        return Stage("logmag_int", lambda x, rt: jpl_mag_int(x.re, x.im))
+        return Stage("logmag_int",
+                     lambda x, rt: mag_int_op(x, rt.mag_mode, cfg.mag))
     return Stage("logmag", lambda x, rt: logmag(x, rt.mag_mode, cfg.mag))
 
 
 def cfar_stage(cfg: ChainConfig) -> Stage:
     if _bit_true(cfg):
-        from .ops.bit_true import ca_cfar_int
+        # covers every elaborated variant: CA family plus GOS/GOSCA rank
+        # select and CASH sub-windows (the reference's shipped RspChainVanilla
+        # is integer GOSCA + CASH, RspChain.scala:118,130-140)
+        from .ops.bit_true import cfar_int
 
-        return Stage("cfar_int", lambda x, rt: ca_cfar_int(x, rt, cfg.cfar),
+        return Stage("cfar_int", lambda x, rt: cfar_int(x, rt, cfg.cfar),
                      terminal=True)
     return Stage("cfar", lambda x, rt: cfar_op(x, rt, cfg.cfar), terminal=True)
 
