@@ -384,6 +384,13 @@ class RuntimeConfig:
       cfar base+8       -> guard_window_size
       cfar base+9/10    -> index_lagg / index_lead (GOS ranks)
       cfar base+11      -> sub_window_size (CASH)
+      mem base+0        -> mem_start_reading (ChainWithMem ROM stream enable,
+                           MemForTesting.scala:81-85; hardware resets to 0 and
+                           the tester writes 1 — make() defaults it ON, the
+                           only sensible always-running deployment)
+      mem base+1        -> mem_run_last (the AXI-Stream ``last`` flag on
+                           emitted beats, MemForTesting.scala:86-93; mapped to
+                           the wire format's FLAG_LAST on served frames)
     """
 
     log2_fft_size: jnp.ndarray        # int32, FFT "number of active stages"
@@ -402,6 +409,16 @@ class RuntimeConfig:
     nco_freq_word: jnp.ndarray        # int32, PLFG start value (self-stimulus chains)
     phase_offset: jnp.ndarray         # float32, NCO poff (cycles)
     cfar_fft_size: jnp.ndarray        # int32, CFAR active frame size (base+0)
+    mem_start_reading: jnp.ndarray    # int32 bool, ChainWithMem ROM enable
+    mem_run_last: jnp.ndarray         # int32 bool, stream last-flag register
+    # The PLFG chirp-RAM content as runtime state: a float32 [frame_len] array
+    # of frequency-word offsets (``ops.plfg.compile_program``), or None to use
+    # the chain's compiled-in program. The hardware writes the segment RAM +
+    # registers on a RUNNING bitstream between frames with no re-elaboration
+    # (RspChainVanillaTester.scala:86-94); supplying a new profile array here
+    # reprograms a compiled chain the same way — the array is a traced operand,
+    # so no recompile (tests/test_rsp_chain.py pins this).
+    plfg_profile: Optional[jnp.ndarray] = None
 
     @staticmethod
     def make(
@@ -422,6 +439,9 @@ class RuntimeConfig:
         nco_freq_word: int = 16,
         phase_offset: float = 0.0,
         cfar_fft_size: Optional[int] = None,
+        mem_start_reading: int = 1,
+        mem_run_last: int = 1,
+        plfg_profile=None,
         validate_against: Optional[CfarConfig] = None,
     ) -> "RuntimeConfig":
         """Build a RuntimeConfig from host Python values, applying the reference's
@@ -476,6 +496,10 @@ class RuntimeConfig:
             nco_freq_word=i32(nco_freq_word),
             phase_offset=f32(phase_offset),
             cfar_fft_size=i32(cfar_fft_size),
+            mem_start_reading=i32(mem_start_reading),
+            mem_run_last=i32(mem_run_last),
+            plfg_profile=(None if plfg_profile is None
+                          else jnp.asarray(plfg_profile, jnp.float32)),
         )
 
     @property
@@ -483,15 +507,37 @@ class RuntimeConfig:
         return jnp.left_shift(jnp.int32(1), self.log2_fft_size)
 
     def peek(self) -> dict:
-        """Read the register file back as plain Python values, keyed by the
-        ``make()`` keyword names (the JTAG/debug-master *read* direction;
-        round-trips through ``make(**peek())``)."""
+        """Read the SCALAR register file back as plain Python values, keyed by
+        the ``make()`` keyword names (the JTAG/debug-master *read* direction;
+        round-trips through ``make(**peek())``). Array state — the PLFG
+        profile RAM — is not a scalar register and is excluded (merge flows
+        preserve it via ``merge_regs``)."""
         out = {}
         for f in dataclasses.fields(self):
-            v = np.asarray(getattr(self, f.name))
+            raw = getattr(self, f.name)
+            if raw is None:
+                continue
+            v = np.asarray(raw)
+            if v.ndim:
+                continue
             out[f.name] = float(v) if v.dtype.kind == "f" else int(v)
         out["fft_size"] = 1 << out.pop("log2_fft_size")
         return out
+
+    def merge_regs(self, validate_against: Optional[CfarConfig] = None,
+                   **writes) -> "RuntimeConfig":
+        """Register WRITE of only the named fields (the jtag2mm/control-server
+        merge primitive): unnamed scalar registers keep their values, array
+        state (the PLFG profile RAM) is carried over unless explicitly
+        rewritten. Unknown names raise (the hardware has no such address)."""
+        regs = self.peek()
+        prof = writes.pop("plfg_profile", self.plfg_profile)
+        unknown = set(writes) - set(regs)
+        if unknown:
+            raise ValueError(f"unknown registers: {sorted(unknown)}")
+        regs.update(writes)
+        return RuntimeConfig.make(validate_against=validate_against,
+                                  plfg_profile=prof, **regs)
 
 
 # ---------------------------------------------------------------------------

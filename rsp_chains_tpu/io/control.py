@@ -84,12 +84,9 @@ class ControlServer:
             return {"ok": True, "regs": self._get_rt().peek()}
 
         def merge(cur: RuntimeConfig) -> RuntimeConfig:
-            regs = cur.peek()
-            unknown = set(req) - set(regs)
-            if unknown:
-                raise ValueError(f"unknown registers: {sorted(unknown)}")
-            regs.update(req)
-            return RuntimeConfig.make(validate_against=self._cfar_cfg, **regs)
+            # scalar register writes only; array state (PLFG profile RAM)
+            # is preserved across the merge
+            return cur.merge_regs(validate_against=self._cfar_cfg, **req)
 
         with self._poke_lock:
             if self._update_rt is not None:

@@ -69,8 +69,10 @@ def save_state(path: str | Path, rt: RuntimeConfig,
                cpi: Optional[CpiBuffer] = None, **extra) -> None:
     """Checkpoint the complete streaming state: the runtime register file plus
     (optionally) the CPI pulse buffer."""
+    # optional array state (the PLFG profile RAM) is saved only when present
     arrs = {f"rt_{f.name}": np.asarray(getattr(rt, f.name))
-            for f in dataclasses.fields(rt)}
+            for f in dataclasses.fields(rt)
+            if getattr(rt, f.name) is not None}
     if cpi is not None:
         st = cpi.state()
         arrs["cpi_buf"] = st["buf"]
@@ -95,7 +97,8 @@ def load_state(path: str | Path, cpi: Optional[CpiBuffer] = None):
     z = np.load(_npz_path(path))
     kw = {}
     for f in dataclasses.fields(RuntimeConfig):
-        kw[f.name] = jnp.asarray(z[f"rt_{f.name}"])
+        key = f"rt_{f.name}"
+        kw[f.name] = jnp.asarray(z[key]) if key in z else None
     rt = RuntimeConfig(**kw)
     if cpi is not None and "cpi_buf" in z:
         cpi.restore({"buf": z["cpi_buf"], "count": z["cpi_count"],

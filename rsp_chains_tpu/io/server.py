@@ -126,13 +126,7 @@ class ChainServer:
             # the elaborated maxima). Validation = the require() analog:
             # out-of-range writes are dropped, not clamped on-device.
             def merge(cur: RuntimeConfig) -> RuntimeConfig:
-                regs = cur.peek()
-                unknown = set(kw) - set(regs)
-                if unknown:
-                    raise ValueError(f"unknown registers: {sorted(unknown)}")
-                regs.update(kw)
-                return RuntimeConfig.make(validate_against=self._cfar_cfg,
-                                          **regs)
+                return cur.merge_regs(validate_against=self._cfar_cfg, **kw)
 
             self._rt = self._pipe.update_runtime(merge)
         except Exception:  # noqa: BLE001 — bad config frame: count + ignore
@@ -153,7 +147,11 @@ class ChainServer:
 
         words = np.asarray(packing.pack_cfar_words(
             out.threshold[0], out.peaks[0], self._log2n))
-        payload = framing.encode_frame(words, seq, last=True, channel=channel)
+        # the runLast register (MemForTesting.scala:86-93 analog): the live
+        # register file drives the emitted frame's last flag
+        run_last = bool(int(np.asarray(self._rt.mem_run_last)))
+        payload = framing.encode_frame(words, seq, last=run_last,
+                                       channel=channel)
         try:
             sendq.put_nowait(payload)   # never block the shared drain thread
         except queue.Full:

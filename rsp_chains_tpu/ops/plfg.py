@@ -119,6 +119,22 @@ def chirp_profile(program: PlfgProgram, cfg: PlfgConfig | None = None) -> np.nda
     return out.astype(np.float32)
 
 
+def compile_program(program: PlfgProgram, cfg: PlfgConfig | None,
+                    frame_len: int) -> np.ndarray:
+    """Compile a program to the FIXED elaborated frame length — the chirp-RAM
+    write for a *running* chain (``RspChainVanillaTester.scala:86-94``: RAM
+    word + frame/chirp/segment registers written before enable, no
+    re-elaboration). The compiled array is what ``RuntimeConfig.plfg_profile``
+    carries: a new program within the elaborated maxima is a new array into
+    the SAME compiled executable. A program whose sample stream is shorter
+    than the frame is cycled to fill it (the hardware keeps streaming the
+    programmed frame sequence); a longer one is truncated to the frame."""
+    prof = chirp_profile(program, cfg)
+    if prof.size == 0:
+        return np.zeros(frame_len, np.float32)
+    return np.resize(prof, frame_len).astype(np.float32)
+
+
 def lfm_program(
     num_samples: int,
     sweep_words: float,

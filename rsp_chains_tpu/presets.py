@@ -32,7 +32,7 @@ from .ops.fft import fft_op
 from .ops.logmag import logmag
 from .ops.matched_filter import matched_filter
 from .ops.nco import nco
-from .ops.plfg import PlfgProgram, chirp_profile
+from .ops.plfg import PlfgProgram
 from . import packing
 
 
@@ -157,14 +157,27 @@ def plfg_nco_stage(cfg: ChainConfig, program: PlfgProgram) -> Stage:
     """Self-stimulus source: PLFG profile + NCO synthesis (``RspChain.scala:57``:
     ``nco.freq := plfg.streamNode``). The compiled profile holds word offsets; the
     runtime start value (base+5*bb register) is ``rt.nco_freq_word`` — a traced
-    scalar, so re-steering the chirp never recompiles."""
-    # keep the compiled profile as HOST numpy: a device-resident closure
-    # constant would be fetched back during jit lowering (constant embedding),
-    # and device->host fetches are unreliable on the target runtime
-    profile = chirp_profile(program, cfg.plfg)
+    scalar, so re-steering the chirp never recompiles. The whole profile can
+    ALSO be reprogrammed at runtime: when ``rt.plfg_profile`` carries a
+    compiled array (``ops.plfg.compile_program``), it replaces the chain's
+    program like the hardware's chirp-RAM write on a running bitstream
+    (``RspChainVanillaTester.scala:86-94``) — a traced operand, no recompile."""
+    # keep the compiled default profile as HOST numpy: a device-resident
+    # closure constant would be fetched back during jit lowering (constant
+    # embedding), and device->host fetches are unreliable on the target runtime
+    from .ops.plfg import compile_program
+
+    profile = compile_program(program, cfg.plfg, cfg.fft.max_size)
 
     def fn(_, rt: RuntimeConfig):
-        words = jnp.asarray(profile) + rt.nco_freq_word.astype(jnp.float32)
+        if rt.plfg_profile is not None:
+            assert rt.plfg_profile.shape[-1] == cfg.fft.max_size, (
+                "plfg_profile must be compiled to the elaborated frame length "
+                f"({cfg.fft.max_size}); use ops.plfg.compile_program")
+            prof = rt.plfg_profile.astype(jnp.float32)
+        else:
+            prof = jnp.asarray(profile)
+        words = prof + rt.nco_freq_word.astype(jnp.float32)
         # pair output: the device-native complex representation
         return nco(words, cfg.nco, phase_offset=rt.phase_offset, pair=True)
 
@@ -258,7 +271,13 @@ def rsp_chain_vanilla(
 def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] = None) -> Chain:
     """ROM-stimulus test top (SURVEY §2.10): a stored three-tone+noise frame
     (``MemForTestingFFT``'s tones at relative freqs 1/8, 1/4, 1/2 + noise,
-    ``MemForTesting.scala:27-40``) streamed into the core subchain."""
+    ``MemForTesting.scala:27-40``) streamed into the core subchain.
+
+    The mem block's CSRs are runtime registers: ``rt.mem_start_reading`` gates
+    the ROM stream (``MemForTesting.scala:81-85`` — no valid beats until set;
+    the whole-array analog is a zero frame, so the tail emits no detections),
+    and ``rt.mem_run_last`` drives the emitted stream's ``last`` flag
+    (``:86-93``; honored as FLAG_LAST by the serving layer)."""
     from .golden.fixtures import three_tone_signal
 
     cfg = cfg or ChainConfig()
@@ -270,7 +289,12 @@ def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] 
     rom_np = np.asarray(rom)
     rom_re = np.ascontiguousarray(rom_np.real.astype(np.float32))
     rom_im = np.ascontiguousarray(rom_np.imag.astype(np.float32))
-    mem = Stage("mem_rom", lambda _, rt: C(jnp.asarray(rom_re), jnp.asarray(rom_im)))
+
+    def mem_fn(_, rt):
+        gate = (rt.mem_start_reading != 0).astype(jnp.float32)
+        return C(jnp.asarray(rom_re) * gate, jnp.asarray(rom_im) * gate)
+
+    mem = Stage("mem_rom", mem_fn)
     return Chain(cfg, [mem, fft_stage(cfg), *tail_stages(cfg)])
 
 

@@ -287,3 +287,24 @@ def test_real_rx_chain_detects_real_tones():
     np.testing.assert_allclose(np.asarray(out.threshold)[lo:hi],
                                np.asarray(out_c.threshold)[lo:hi],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_chain_with_mem_csr_gating():
+    """MemForTesting.scala:81-93 CSRs: mem_start_reading gates the ROM stream
+    on a RUNNING chain (no recompile); disabled -> zero frame, no detections."""
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                        variant=CfarVariant.CA, include_cash=False,
+                        max_fft_size=256),
+    )
+    chain = chain_with_mem(cfg)
+    jf = chain.jit()
+    base = dict(fft_size=256, ref_window_size=8, guard_window_size=2,
+                threshold_scaler=3.5, div_sum=3)
+    on = jf(None, RuntimeConfig.make(**base))
+    off = jf(None, RuntimeConfig.make(mem_start_reading=0, **base))
+    assert jf._cache_size() == 1
+    assert np.asarray(on.peaks).sum() > 0
+    assert np.asarray(off.peaks).sum() == 0
+    assert np.all(np.asarray(off.threshold) == 0)

@@ -71,3 +71,24 @@ def test_checkpoint_path_without_suffix_round_trips(tmp_path):
     rt2, extras = load_state(p)
     assert float(rt2.threshold_scaler) == 4.5
     assert int(rt2.log2_fft_size) == 8
+
+
+def test_checkpoint_carries_plfg_profile(tmp_path):
+    """The PLFG profile RAM is part of the restartable state."""
+    import numpy as np
+
+    from rsp_chains_tpu.configs import RuntimeConfig
+    from rsp_chains_tpu.io.cpi import load_state, save_state
+
+    prof = np.linspace(0, 7, 64).astype(np.float32)
+    rt = RuntimeConfig.make(fft_size=64, ref_window_size=8,
+                            guard_window_size=2, plfg_profile=prof)
+    save_state(tmp_path / "ck", rt)
+    rt2, _ = load_state(tmp_path / "ck")
+    np.testing.assert_array_equal(np.asarray(rt2.plfg_profile), prof)
+    # and absent state restores as absent
+    rt3 = RuntimeConfig.make(fft_size=64, ref_window_size=8,
+                             guard_window_size=2)
+    save_state(tmp_path / "ck2", rt3)
+    rt4, _ = load_state(tmp_path / "ck2")
+    assert rt4.plfg_profile is None

@@ -148,3 +148,72 @@ def test_nco_wide_accumulator_narrow_lut():
     x = np.asarray(nco(words, cfg))
     spec = np.abs(np.fft.fft(x))
     assert np.argmax(spec) == 32
+
+
+def test_runtime_plfg_reprogramming_no_recompile():
+    """VERDICT r2 item 7: a new PlfgProgram (within elaborated maxima) on a
+    RUNNING compiled chain — the chirp-RAM-write analog
+    (RspChainVanillaTester.scala:86-94). The compiled profile rides
+    ``rt.plfg_profile`` as a traced operand: two different programs through
+    ONE executable, and the peak-bin contract holds for each."""
+    from rsp_chains_tpu.ops.plfg import compile_program
+
+    cfg = _cfg()
+    n = cfg.fft.max_size
+    chain = rsp_chain_vanilla(cfg)
+    jf = chain.jit()
+
+    # program A: one constant-tone chirp (offsets all zero) -> bin s*N/(4*T)
+    prog_a = PlfgProgram(chirps=((Segment(num_samples=256),) ,),
+                         repeat_counts=(4,), chirp_ordinals=(0,))
+    # program B: constant OFFSET profile — two segments whose first sample
+    # ramps to +8 words then holds (reset_to_start=False carries the level),
+    # shifting the tone by 8*N/(4*T) = 16 bins for the same start register
+    prog_b = PlfgProgram(chirps=((Segment(num_samples=1, increment=8.0),
+                                  Segment(num_samples=255)),),
+                         repeat_counts=(4,), chirp_ordinals=(0,))
+    prof_a = compile_program(prog_a, cfg.plfg, n)
+    prof_b = compile_program(prog_b, cfg.plfg, n)
+
+    def rt_with(prof):
+        return RuntimeConfig.make(fft_size=n, nco_freq_word=16,
+                                  ref_window_size=32, guard_window_size=4,
+                                  div_sum=5, plfg_profile=prof)
+
+    out_a = jf(None, rt_with(prof_a))
+    out_b = jf(None, rt_with(prof_b))
+    assert jf._cache_size() == 1, "PLFG reprogramming triggered a recompile"
+
+    bins_a = np.flatnonzero(np.asarray(out_a.peaks))
+    bins_b = np.flatnonzero(np.asarray(out_b.peaks))
+    assert 32 in bins_a.tolist(), bins_a
+    # B's held offset +8 moves the tone to bin (16+8)*1024/512 = 48; the
+    # single ramp sample adds only a -48 dB transient
+    assert 48 in bins_b.tolist(), bins_b
+    assert 32 not in bins_b.tolist(), bins_b
+
+    # the register path reproduces the compiled-in default exactly
+    chain_b = rsp_chain_vanilla(cfg, program=prog_b)
+    want_b = chain_b.jit()(None, RuntimeConfig.make(
+        fft_size=n, nco_freq_word=16, ref_window_size=32,
+        guard_window_size=4, div_sum=5))
+    np.testing.assert_array_equal(np.asarray(out_b.peaks),
+                                  np.asarray(want_b.peaks))
+    np.testing.assert_allclose(np.asarray(out_b.threshold),
+                               np.asarray(want_b.threshold), rtol=1e-6)
+
+
+def test_merge_regs_preserves_plfg_profile():
+    """Control-plane pokes (jtag2mm analog) must not drop the profile RAM:
+    merge_regs carries array state across scalar register writes."""
+    prof = np.arange(64, dtype=np.float32)
+    rt = RuntimeConfig.make(fft_size=64, ref_window_size=8,
+                            guard_window_size=2, plfg_profile=prof)
+    rt2 = rt.merge_regs(threshold_scaler=9.0)
+    assert float(rt2.threshold_scaler) == 9.0
+    np.testing.assert_array_equal(np.asarray(rt2.plfg_profile), prof)
+    # peek stays JSON-safe (scalars only)
+    assert "plfg_profile" not in rt.peek()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown registers"):
+        rt.merge_regs(nonexistent=1)

@@ -118,3 +118,28 @@ def test_served_config_frame_merges_not_resets():
                 _time.sleep(0.05)
             assert srv.config_errors == 1
             assert srv._pipe.runtime.peek() == before
+
+
+def test_served_run_last_register_drives_frame_flag():
+    """The runLast CSR analog (MemForTesting.scala:86-93): a config-frame
+    write of mem_run_last=0 clears FLAG_LAST on subsequent reply frames."""
+    import socket
+
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    cfg_payload = json.dumps({"mem_run_last": 0}).encode() + b"\0"
+    pad = (-len(cfg_payload)) % 4
+    words = np.frombuffer(cfg_payload + b"\0" * pad, np.uint32)
+
+    with _server() as srv:
+        results = request_frames("127.0.0.1", srv.port, [iq])
+        assert results[0].last            # default: register resets to 1
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=60) as sock:
+            sock.settimeout(60)
+            sock.sendall(framing.encode_frame(words, seq=0, config=True))
+            sock.sendall(framing.encode_iq_frame(iq, seq=1, last=True))
+            dec = framing.FrameDecoder()
+            got = []
+            while not got:
+                got.extend(dec.feed(sock.recv(1 << 16)))
+        assert not got[0].last
+        assert srv.config_errors == 0
