@@ -203,6 +203,126 @@ def main():
     print(f"fft+mag+cfar [{path}]: {dt*1e3:.4f} ms / {samples} samples",
           file=sys.stderr)
 
+    # ---- validated ladder: the other BASELINE configs, one stderr JSON line
+    # each (digest-validated + watchdogged like the headline; a regression in
+    # any shipped kernel shows in the driver's round-end BENCH tail). The
+    # stdout contract stays ONE line: the headline JSON, printed last. ----
+    def ladder_line(name, f_new, f_ref, xx, rr, n_samples, budget_s,
+                    extra=None):
+        verdict = {"metric": name}
+
+        def _work():
+            try:
+                def digests(a, r):
+                    o1 = f_ref(a, r)
+                    o2 = f_new(a, r)
+                    scale = jnp.maximum(jnp.max(jnp.abs(o1.threshold)), 1e-30)
+                    return (jnp.max(jnp.abs(o1.threshold - o2.threshold))
+                            / scale,
+                            jnp.sum(o1.peaks.astype(jnp.int32)
+                                    - o2.peaks.astype(jnp.int32) != 0))
+
+                dthr, dpk = jax.jit(digests)(xx, rr)
+                verdict["dthr"] = float(f"{float(dthr):.3e}")
+                verdict["peak_flips"] = int(dpk)
+                dtl = measure_per_call(f_new, xx, rr)
+                verdict["ms_per_call"] = round(dtl * 1e3, 4)
+                verdict["msamples_per_s"] = round(n_samples / dtl / 1e6, 1)
+                if extra:
+                    verdict.update(extra(dtl))
+                verdict["validated"] = (verdict["dthr"] < 1e-4
+                                        and verdict["peak_flips"]
+                                        <= 1e-5 * n_samples)
+            except Exception as e:  # noqa: BLE001
+                verdict["err"] = f"{type(e).__name__}: {e}"[:300]
+
+        th = threading.Thread(target=_work, daemon=True)
+        th.start()
+        th.join(timeout=budget_s)
+        if th.is_alive():
+            verdict["err"] = "timeout"
+        print(json.dumps(verdict), file=sys.stderr)
+        sys.stderr.flush()
+
+    try:
+        from rsp_chains_tpu import (
+            DopplerConfig, MatchedFilterConfig, pulse_compression_chain,
+            range_doppler_chain,
+        )
+        from rsp_chains_tpu.golden import lfm_chirp
+        from rsp_chains_tpu.ops.cfar import cfar_op
+        from rsp_chains_tpu.ops.doppler import doppler_fft
+        from rsp_chains_tpu.ops.fft import fft_op
+        from rsp_chains_tpu.ops.logmag import logmag
+        from rsp_chains_tpu.ops.matched_filter import matched_filter
+
+        taps = lfm_chirp(128, 0.0, 0.25)
+        taps_np = np.asarray(taps)
+
+        # config 3 (flagship): fused range-Doppler chain, 16 x 256 x 1024
+        cfg3 = ChainConfig(
+            fft=FftConfig(max_size=n),
+            matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n),
+            doppler=DopplerConfig(num_pulses=256), cfar=cfar_cfg1,
+        )
+        rd = range_doppler_chain(cfg3, taps=taps).jit()
+
+        def xla_rd(a, r):
+            y = matched_filter(a, taps_np, cfg3.matched_filter)
+            d3 = doppler_fft(y, cfg3.doppler)
+            return cfar_op(logmag(d3, r.mag_mode, cfg3.mag), r, cfg3.cfar)
+
+        x3 = C(x.re[:16], x.im[:16])
+        ladder_line("rd_chain_fused_16x256x1024", rd, jax.jit(xla_rd), x3, rt,
+                    16 * 256 * n, 2400,
+                    extra=lambda dtl: {"rd_maps_per_s": round(16 / dtl, 1)})
+
+        # config 2: collapsed pulse compression, 4 x 256 x 4096
+        n2 = 4096
+        cfg2 = ChainConfig(
+            fft=FftConfig(max_size=n2),
+            matched_filter=MatchedFilterConfig(num_taps=128, fft_size=n2),
+            cfar=CfarConfig(max_ref_window=64, max_fft_size=n2,
+                            variant=CfarVariant.CA, include_cash=False),
+        )
+        pc = pulse_compression_chain(cfg2, taps=taps).jit()
+        rt2 = RuntimeConfig.make(fft_size=n2, ref_window_size=32,
+                                 guard_window_size=4, threshold_scaler=8.0)
+
+        def xla_pc(a, r):
+            y = matched_filter(a, taps_np, cfg2.matched_filter)
+            s = fft_op(y, r.log2_fft_size, cfg2.fft)
+            return cfar_op(logmag(s, r.mag_mode, cfg2.mag), r, cfg2.cfar)
+
+        rng2 = np.random.RandomState(1)
+        x2 = C(jnp.asarray(rng2.randn(4, 256, n2) * 100, jnp.float32),
+               jnp.asarray(rng2.randn(4, 256, n2) * 100, jnp.float32))
+        ladder_line("pulse_compression_fused_4x256x4096", pc, jax.jit(xla_pc),
+                    x2, rt2, 4 * 256 * n2, 2400)
+
+        # GOS whole-chain kernel (r3): fused FFT+mag+sort tail, GOSCA regs
+        from rsp_chains_tpu.kernels.chain_pallas import fused_chain_gos
+
+        gos_cfg = CfarConfig(max_ref_window=64, variant=CfarVariant.GOSCA,
+                             include_cash=True, max_fft_size=n)
+        f_gos = jax.jit(lambda a, r: fused_chain_gos(
+            a, r, FftConfig(max_size=n), gos_cfg))
+        rt_gos = dataclasses.replace(
+            rt, cfar_algorithm=jnp.asarray(1, jnp.int32),
+            index_lagg=jnp.asarray(16, jnp.int32),
+            index_lead=jnp.asarray(16, jnp.int32))
+
+        def xla_gos(a, r):
+            s = fft_op(a, r.log2_fft_size, FftConfig(max_size=n))
+            return cfar_op(logmag(s, r.mag_mode), r, gos_cfg)
+
+        # validate at 8 channels (the XLA GOS window stack is ~4 GB at 64)
+        x8 = C(x.re[:8], x.im[:8])
+        ladder_line("gos_chain_fused_8x256x1024", f_gos, jax.jit(xla_gos),
+                    x8, rt_gos, 8 * 256 * n, 2400)
+    except Exception as e:  # noqa: BLE001 — the ladder must never cost the headline
+        print(f"ladder error: {type(e).__name__}: {e}"[:300], file=sys.stderr)
+
     print(json.dumps({
         "metric": "fft_mag_cfar_chain_throughput",
         "value": round(msps, 1),

@@ -202,13 +202,7 @@ class StreamingPipeline:
             with self._rt_lock:
                 rt = self._rt
             try:
-                if np.iscomplexobj(cpi):
-                    # complex never touches the device: host-split to a pair
-                    from ..cplx import as_pair
-
-                    x = as_pair(np.asarray(cpi))
-                else:
-                    x = jax.device_put(cpi)  # overlaps with prior CPI's compute
+                x = self._place(jax, cpi)
                 out = self._fn(x, rt)      # async dispatch
             except Exception as e:         # noqa: BLE001 — elastic: skip the CPI
                 self.stats.bump(frames_failed=1)
@@ -219,6 +213,25 @@ class StreamingPipeline:
             if t_start is None:
                 t_start = time.perf_counter()
             self.stats.set_time(time.perf_counter() - (t_start or 0))
+
+    def _place(self, jax, cpi):
+        """Host CPI -> device operand. Overridden by the pod variant
+        (``parallel.multihost.PodStreamingPipeline``) to build globally-sharded
+        arrays; the single-process default device-puts locally."""
+        if np.iscomplexobj(cpi):
+            # complex never touches the device: host-split to a pair
+            from ..cplx import as_pair
+
+            return as_pair(np.asarray(cpi))
+        return jax.device_put(cpi)  # overlaps with prior CPI's compute
+
+    def checkpoint(self, path, cpi_buffer=None, **extra):
+        """Write the pipeline's restartable state — the live register file
+        (+ optional CPI corner-turn buffer, + caller extras such as the
+        stream cursor) — via ``io.cpi.save_state`` (SURVEY §5.4)."""
+        from .cpi import save_state
+
+        save_state(path, self.runtime, cpi=cpi_buffer, **extra)
 
     def _drain(self):
         import jax
@@ -245,10 +258,18 @@ class StreamingPipeline:
                 if hasattr(out, "peaks"):
                     # reduce ON DEVICE and fetch one scalar: full-array
                     # device->host fetches hang/fail on the relay runtime
-                    # (CLAUDE.md) and this is the streaming hot path
+                    # (CLAUDE.md) and this is the streaming hot path. Under
+                    # jit, not eager: the pod pipeline's outputs are global
+                    # (not fully addressable) arrays, which eager ops reject —
+                    # the jitted SPMD reduction is the sanctioned path and
+                    # yields the GLOBAL detection count on every process.
+                    import jax as _jax
                     import jax.numpy as jnp
 
-                    det = int(jnp.sum(out.peaks))
+                    if not hasattr(self, "_det_fn"):
+                        self._det_fn = _jax.jit(
+                            lambda p: jnp.sum(p.astype(jnp.int32)))
+                    det = int(self._det_fn(out.peaks))
                 else:
                     det = 0
                 self._on_result(

@@ -954,6 +954,30 @@ def _bitonic_merge_list(rows):
         s //= 2
 
 
+def _oe_merge_lists(a, b):
+    """Batcher ODD-EVEN merge of two ascending row lists of equal power-of-two
+    length m: returns the merged ascending 2m list. Comparator count
+    m·log2(m)+1 vs the bitonic merge's m·(log2(m)+1) — ~20% fewer compare-
+    exchange passes over the ladder (rows are Python-list VALUES, so the
+    odd/even interleaved access is free)."""
+    m = len(a)
+    assert len(b) == m and (m & (m - 1)) == 0
+    if m == 1:
+        return [jnp.minimum(a[0], b[0]), jnp.maximum(a[0], b[0])]
+    even = _oe_merge_lists(a[0::2], b[0::2])
+    odd = _oe_merge_lists(a[1::2], b[1::2])
+    # interleave even/odd then compare-exchange adjacent interior pairs
+    out = [None] * (2 * m)
+    out[0] = even[0]
+    out[-1] = odd[-1]
+    for i in range(m - 1):
+        lo = jnp.minimum(odd[i], even[i + 1])
+        hi = jnp.maximum(odd[i], even[i + 1])
+        out[2 * i + 1] = lo
+        out[2 * i + 2] = hi
+    return out
+
+
 def _rank_select_tree(rows, idx):
     """Value at per-lane rank ``idx`` from ascending-sorted ``rows`` via a
     binary selection tree (2^L − 1 selects, no adds)."""
@@ -966,6 +990,47 @@ def _rank_select_tree(rows, idx):
     return sel[0]
 
 
+def _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr, *,
+                   n: int, max_log2_w: int):
+    """Per-frame-block full-row work of the v3 GOS kernel, from a NATURAL-order
+    [F, N] magnitude VALUE: writes the zero-masked magnitude row, the CA
+    lag/lead rows, and the peak-grouping neighbor rows into the persistent
+    scratches. Shared by ``_gos_kernel3`` (mag from the spectrum operands) and
+    the fused whole-chain GOS kernel (mag from the in-kernel FFT,
+    ``chain_pallas._chain_gos_kernel``)."""
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    active_hi = scal_ref[6]
+    active_lo = scal_ref[12]
+    M = GOS3_MARGIN
+    f = mag.shape[0]
+    w = jnp.int32(1) << log2w
+
+    col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+    active_row = (col >= active_lo) & (col < active_hi)
+    mag = jnp.where(active_row, mag, 0.0)
+
+    row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
+    row_scr[:, M : M + n] = mag
+
+    row = row_scr[:, :]
+    sel = row
+    box = row
+    for k in range(max_log2_w):
+        box = box + pltpu.roll(box, 1 << k, axis=1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+    inv_div = jnp.exp2(-div.astype(jnp.float32))
+    ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
+    ca_scr[1] = _roll_left(sel, guard + w) * inv_div
+
+    jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
+    mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                     row, -jnp.inf)
+    nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
+    nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
+
+
 def _gos_kernel3(
     scal_ref, fscal_ref,
     re_ref, im_ref,                  # [F, N] full rows
@@ -976,15 +1041,39 @@ def _gos_kernel3(
     stat_scr,                        # scratch [6, F, T]
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
+    merge_impl: str = "bitonic",
 ):
+    mag_mode = scal_ref[7]
+    t_idx = pl.program_id(1)
+    ts = pl.multiple_of(t_idx * tile, 128)
+
+    # ---- hoisted full-row work (as v2; scratch persists across range tiles)
+    @pl.when(t_idx == 0)
+    def _full_row():
+        mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
+        _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr,
+                       n=n, max_log2_w=max_log2_w)
+
+    _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
+              stat_scr, ts, n=n, tile=tile, wmax=wmax,
+              max_log2_w=max_log2_w, with_cash=with_cash,
+              merge_impl=merge_impl)
+
+
+def _gos_tail(
+    scal_ref, fscal_ref, thr_ref, pk_ref,
+    row_scr, ca_scr, nb_scr, stat_scr, ts, *,
+    n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
+    merge_impl: str = "bitonic",
+):
+    """The v3 GOS/CASH datapath for one range tile starting at lane ``ts``,
+    reading the rows ``_gos_rows_init`` left in scratch."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
-    div = scal_ref[2]
     mode = scal_ref[3]
     log_or_linear = scal_ref[4]
     peak_grouping = scal_ref[5]
     active_hi = scal_ref[6]
-    mag_mode = scal_ref[7]
     algorithm = scal_ref[8]
     rank_lagg = scal_ref[9]
     rank_lead = scal_ref[10]
@@ -993,38 +1082,8 @@ def _gos_kernel3(
     scaler = fscal_ref[0]
 
     M = GOS3_MARGIN
-    t_idx = pl.program_id(1)
-    ts = pl.multiple_of(t_idx * tile, 128)
-
-    f = re_ref.shape[0]
+    f = thr_ref.shape[0]
     w = jnp.int32(1) << log2w
-
-    # ---- hoisted full-row work (as v2; scratch persists across range tiles)
-    @pl.when(t_idx == 0)
-    def _full_row():
-        mag = _magnitude(re_ref[:, :], im_ref[:, :], mag_mode)
-        col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-        active_row = (col >= active_lo) & (col < active_hi)
-        mag = jnp.where(active_row, mag, 0.0)
-
-        row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
-        row_scr[:, M : M + n] = mag
-
-        row = row_scr[:, :]
-        sel = row
-        box = row
-        for k in range(max_log2_w):
-            box = box + pltpu.roll(box, 1 << k, axis=1)
-            sel = jnp.where(log2w == k + 1, box, sel)
-        inv_div = jnp.exp2(-div.astype(jnp.float32))
-        ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
-        ca_scr[1] = _roll_left(sel, guard + w) * inv_div
-
-        jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
-        mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
-                         row, -jnp.inf)
-        nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
-        nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
 
     ii_t = jax.lax.broadcasted_iota(jnp.int32, (f, tile), 1) + ts
 
@@ -1055,9 +1114,13 @@ def _gos_kernel3(
                     m = 1 << lev
                     shifted = [pltpu.roll(r, slab_w - m, axis=1)
                                for r in rows]          # [p] = r[p + m]
-                    merged = rows + shifted[::-1]      # bitonic: asc ++ desc
-                    _bitonic_merge_list(merged)
-                    rows = merged
+                    if merge_impl == "oe":
+                        # Batcher odd-even merge: ~20% fewer comparators
+                        rows = _oe_merge_lists(rows, shifted)
+                    else:
+                        merged = rows + shifted[::-1]  # bitonic: asc ++ desc
+                        _bitonic_merge_list(merged)
+                        rows = merged
                 # rows[k][p] = k-th smallest of window cells [p, p+wl)
                 nv = (jnp.clip(jg + wl, active_lo, active_hi)
                       - jnp.clip(jg, active_lo, active_hi))
@@ -1155,6 +1218,7 @@ def fused_mag_gos_cfar(
     version: int = 3,
     block_frames: int | None = None,
     range_tile: int | None = None,
+    merge_impl: str = "oe",
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO/CASH) with the window sort resident in VMEM.
@@ -1227,7 +1291,8 @@ def fused_mag_gos_cfar(
     if version == 3:
         kernel = functools.partial(_gos_kernel3, n=n, tile=tile, wmax=wmax,
                                    max_log2_w=MAX_LOG2_W,
-                                   with_cash=cfg.include_cash)
+                                   with_cash=cfg.include_cash,
+                                   merge_impl=merge_impl)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
             pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),

@@ -1082,6 +1082,238 @@ def fused_chain_ca_packed(
     return out.reshape(batch_shape + (n,))
 
 
+def _fft_block_order(xr, xi, w_ref, n1: int, dot_impl: str):
+    """The in-kernel four-step FFT front in BLOCK order: host-unrolled radix
+    pass 1 + per-block folded-twiddle DFT-128 pass 3 (``_chain_consts_folded``
+    constants). Returns (c_re, c_im) [F, N] with lane 128·k1+k2 holding bin
+    k1 + n1·sigma(k2) under ``fold_perm`` constants (natural order after the
+    ``_fold_perm_steps`` bit swaps). Shared by the CA chain core and the fused
+    GOS chain kernel."""
+    xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
+    ar_blocks, ai_blocks = _dft_blocks(xrb, xib)
+    c_re_blocks, c_im_blocks = [], []
+    for k1 in range(n1):
+        cr, ci = _dot_pass3(ar_blocks[k1], ai_blocks[k1], w_ref[k1], dot_impl)
+        c_re_blocks.append(cr)
+        c_im_blocks.append(ci)
+    return (jnp.concatenate(c_re_blocks, axis=1),
+            jnp.concatenate(c_im_blocks, axis=1))
+
+
+def _chain_gos_kernel(
+    scal_ref, fscal_ref,     # the 13-scalar GOS register file (+1 float)
+    xr_ref, xi_ref,          # [F, N] time-domain IQ pair
+    w_ref,                   # [n1, 6, 128, 128] bf16 folded pass-3 constants
+    pm_ref,                  # [n_steps, N] int32 fold interleave masks
+    thr_ref, pk_ref,         # [F, N] outputs (pk int32)
+    row_scr, ca_scr, nb_scr, stat_scr,   # the v3 GOS scratches
+    *,
+    n: int, n1: int, dot_impl: str, wmax: int, max_log2_w: int,
+    with_cash: bool, merge_impl: str = "bitonic",
+):
+    """Whole FFT + magnitude + GOS/GOSCA/CASH chain in ONE kernel: the
+    spectrum never touches HBM (VERDICT r2 item 1 — GOS elaborations used to
+    compose the XLA FFT with the sort-tail kernel). FFT front and fold
+    interleave are the CA chain kernel's (``fused_chain_ca`` shipped
+    formulation); the tail is the v3 sliding-merge shared sort
+    (``cfar_pallas._gos_rows_init`` + ``_gos_tail``) with tile = N."""
+    from .cfar_pallas import _gos_rows_init, _gos_tail, _magnitude
+
+    mag_mode = scal_ref[7]
+    c_re, c_im = _fft_block_order(xr_ref[:, :], xi_ref[:, :], w_ref, n1,
+                                  dot_impl)
+    # magnitude in block order (elementwise — commutes with the interleave),
+    # then the log2(n1)-step fold permutation to natural order
+    mag_b = _magnitude(c_re, c_im, mag_mode)
+    steps = _fold_perm_steps(n, n1)
+    mag = (_apply_bit_perm(mag_b, pm_ref[:, :], n, n1, steps=steps)
+           if steps else mag_b)
+    _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr,
+                   n=n, max_log2_w=max_log2_w)
+    _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
+              stat_scr, pl.multiple_of(0, 128), n=n, tile=n, wmax=wmax,
+              max_log2_w=max_log2_w, with_cash=with_cash,
+              merge_impl=merge_impl)
+
+
+GOS_CHAIN_BLOCK_FRAMES = 32   # r3 on-chip A/B (benchmarks/profile_r3d): 32
+                              # frames amortize the ladder's slab margins —
+                              # 5.14 ms vs 6.22 (bf16) / 8.19 (bf8) at the
+                              # headline CPI; bf64 exceeds scoped VMEM with
+                              # the wmax=64 value-resident stack
+
+
+def fused_chain_gos(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    block_frames: int = GOS_CHAIN_BLOCK_FRAMES,
+    dot_impl: str = "bf16x2",
+    merge_impl: str = "oe",
+) -> CfarOutput:
+    """Single-kernel FFT + mag + GOS/GOSCA(+CASH) chain at the full elaborated
+    FFT size, N ∈ {256, 512, 1024}: one HBM read of the IQ pair, one write of
+    threshold + peaks — the GOS analog of ``fused_chain_ca``. Runtime
+    registers (the full 13-scalar GOS file) stay traced."""
+    from ..cplx import as_pair
+    from .cfar_pallas import GOS3_MARGIN, MAX_LOG2_W, PAD
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    n1 = n // 128
+    assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    wmax = cfar_cfg.max_ref_window
+    assert wmax & (wmax - 1) == 0 and wmax <= 1 << MAX_LOG2_W
+    assert wmax + cfar_cfg.max_guard_window + 1 <= PAD
+
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.float32).reshape(flat, n)
+    im = xp.im.astype(jnp.float32).reshape(flat, n)
+    bf = block_frames
+    f_pad = (-flat) % bf
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    log2w = jnp.round(jnp.log2(jnp.clip(
+        rt.ref_window_size, 1, wmax).astype(jnp.float32))).astype(jnp.int32)
+    scalars = jnp.stack([
+        log2w,
+        jnp.clip(rt.guard_window_size, 0,
+                 cfar_cfg.max_guard_window).astype(jnp.int32),
+        rt.div_sum.astype(jnp.int32),
+        rt.cfar_mode.astype(jnp.int32),
+        rt.log_or_linear.astype(jnp.int32),
+        rt.peak_grouping.astype(jnp.int32),
+        jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        rt.cfar_algorithm.astype(jnp.int32),
+        rt.index_lagg.astype(jnp.int32),
+        rt.index_lead.astype(jnp.int32),
+        jnp.clip(rt.sub_window_size, cfar_cfg.min_sub_window,
+                 wmax).astype(jnp.int32),
+        jnp.int32(0),                    # active_lo
+    ])
+    fscal = rt.threshold_scaler.astype(jnp.float32).reshape(1)
+
+    triple = _chain_consts_folded(n, _fft_scale(n, fft_cfg),
+                                  split_bf16=(dot_impl == "bf16x2"),
+                                  fold_perm=True)
+    pm = _fold_masks(n, n1)
+
+    kernel = functools.partial(
+        _chain_gos_kernel, n=n, n1=n1, dot_impl=dot_impl, wmax=wmax,
+        max_log2_w=MAX_LOG2_W, with_cash=cfar_cfg.include_cash,
+        merge_impl=merge_impl)
+    M = GOS3_MARGIN
+    extra = {}
+    if n1 >= 8 and bf >= 16 or bf >= 32:
+        # window stack (wmax value rows of [bf, n + 2M]) + FFT constants
+        # overflow the 16 MB default scoped budget at N=1024
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+    thr, pk = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(f_tot // bf,),
+            in_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(np.asarray(triple).shape,
+                             lambda i, *_, _nd=np.asarray(triple).ndim:
+                             (0,) * _nd,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pm.shape[0], pm.shape[1]),
+                             lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bf, n + 2 * M), jnp.float32),
+                pltpu.VMEM((2, bf, n + 2 * M), jnp.float32),
+                pltpu.VMEM((2, bf, n + 2 * M), jnp.float32),
+                pltpu.VMEM((6, bf, n), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f_tot, n), jnp.float32),
+            jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
+        ],
+        interpret=interpret,
+        **extra,
+    )(scalars, fscal, re, im, jnp.asarray(triple), jnp.asarray(pm))
+
+    thr = thr[:flat].reshape(batch_shape + (n,))
+    pk = (pk[:flat] != 0).reshape(batch_shape + (n,))
+    return CfarOutput(threshold=thr, peaks=pk)
+
+
+def fused_chain_gos_op(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+) -> CfarOutput:
+    """The GOSCA whole-chain stage honoring BOTH runtime dispatch registers:
+
+    * CA algorithm + non-CASH mode takes the (faster) CA whole-chain kernel —
+      the reference switches CA/GOS per run on one bitstream
+      (``RspChainVanillaTester.scala:124-132``);
+    * GOS algorithm or CASH mode takes the fused GOS chain kernel;
+    * runtime FFT sizes below the elaborated max keep the XLA FFT + fused
+      GOS-dispatch tail.
+
+    All branches live under ``lax.cond`` on traced registers — one compiled
+    executable, no recompiles (the same contract as ``fused_chain_ca_op``)."""
+    from ..configs import CfarVariant
+    from ..cplx import as_pair
+    from ..ops.fft import fft_op
+    from .cfar_pallas import fused_mag_gos_dispatch
+
+    xp = as_pair(x)
+
+    if cfar_cfg.variant is CfarVariant.GOS and not cfar_cfg.include_cash:
+        # pure-GOS elaboration: the CA algorithm register is not compiled in
+        def full_branch(xi):
+            return fused_chain_gos(xi, rt, fft_cfg, cfar_cfg,
+                                   interpret=interpret)
+    else:
+        ca_like = (rt.cfar_algorithm == 0) & (rt.cfar_mode != 3)
+
+        def full_branch(xi):
+            return jax.lax.cond(
+                ca_like,
+                lambda v: fused_chain_ca(v, rt, fft_cfg, cfar_cfg,
+                                         interpret=interpret),
+                lambda v: fused_chain_gos(v, rt, fft_cfg, cfar_cfg,
+                                          interpret=interpret),
+                xi)
+
+    def small_branch(xi):
+        spec = fft_op(xi, rt.log2_fft_size, fft_cfg)
+        return fused_mag_gos_dispatch(spec, rt, cfar_cfg, interpret=interpret)
+
+    if not fft_cfg.runtime_size:
+        return full_branch(xp)
+    is_full = rt.log2_fft_size >= fft_cfg.log2_max
+    return jax.lax.cond(is_full, full_branch, small_branch, xp)
+
+
 def fused_chain_ca_op(
     x,
     rt: RuntimeConfig,

@@ -242,26 +242,12 @@ def _mf_rows(xr, xi, wf_ref, wi_ref, h_ref, n1: int, dot_impl: str):
     return jnp.concatenate(yr, axis=1), jnp.concatenate(yi, axis=1)
 
 
-def _rd_kernel(
-    scal_ref, fscal_ref,
-    xr_ref, xi_ref,          # [P, N] one channel's CPI (IQ pair)
-    wf_ref,                  # [n1, 6, 128, 128] bf16 fwd folded consts
-    wi_ref,                  # [n1, 6, 128, 128] bf16 inverse folded consts
-    h_ref,                   # [2, N] f32 block-order MF reference spectrum
-    d_ref,                   # [6, P, P] bf16 Doppler DFT Gauss triple (hi/lo)
-    thr_ref, pk_ref,         # [P, N] outputs
-    y_scr,                   # [P, N + PAD] f32 scratch (see below)
-    *,
-    n: int, n1: int, p: int, row_group: int, col_tile: int, dot_impl: str,
-    emit: str, lag_bits: int, lead2_bits: int,
-):
-    """VMEM budget: the compressed-pulse pair is stored as yr -> ``thr_ref``
-    (each Doppler column tile reads its slice then overwrites it — value
-    semantics make the read-then-write safe) and yi -> ``y_scr[:, :n]``, whose
-    buffer is then REUSED as the CFAR circular working row ([P, N + PAD]) once
-    the Doppler loop has consumed the pulses. No dedicated RD-map buffers."""
-    mag_mode = scal_ref[7]
-
+def _rd_front(xr_ref, xi_ref, wf_ref, wi_ref, h_ref, d_ref, thr_ref, pk_ref,
+              y_scr, mag_mode, *, n: int, n1: int, p: int, row_group: int,
+              col_tile: int, dot_impl: str, emit: str):
+    """Matched filter + Doppler transform, leaving the magnitude map in
+    ``thr_ref`` (or, ``emit='map'``, the complex RD pair in thr/pk refs).
+    Shared by the 1-D-CFAR and 2-D-CFAR RD kernels."""
     # ---- matched filter along range, in row groups of pulses ----
     for g in range(p // row_group):
         sl = slice(g * row_group, (g + 1) * row_group)
@@ -281,6 +267,29 @@ def _rd_kernel(
         else:
             thr_ref[:, cs] = _magnitude(rr, ri, mag_mode)
 
+
+def _rd_kernel(
+    scal_ref, fscal_ref,
+    xr_ref, xi_ref,          # [P, N] one channel's CPI (IQ pair)
+    wf_ref,                  # [n1, 6, 128, 128] bf16 fwd folded consts
+    wi_ref,                  # [n1, 6, 128, 128] bf16 inverse folded consts
+    h_ref,                   # [2, N] f32 block-order MF reference spectrum
+    d_ref,                   # [6, P, P] bf16 Doppler DFT Gauss triple (hi/lo)
+    thr_ref, pk_ref,         # [P, N] outputs
+    y_scr,                   # [P, N + PAD] f32 scratch (see below)
+    *,
+    n: int, n1: int, p: int, row_group: int, col_tile: int, dot_impl: str,
+    emit: str, lag_bits: int, lead2_bits: int,
+):
+    """VMEM budget: the compressed-pulse pair is stored as yr -> ``thr_ref``
+    (each Doppler column tile reads its slice then overwrites it — value
+    semantics make the read-then-write safe) and yi -> ``y_scr[:, :n]``, whose
+    buffer is then REUSED as the CFAR circular working row ([P, N + PAD]) once
+    the Doppler loop has consumed the pulses. No dedicated RD-map buffers."""
+    mag_mode = scal_ref[7]
+    _rd_front(xr_ref, xi_ref, wf_ref, wi_ref, h_ref, d_ref, thr_ref, pk_ref,
+              y_scr, mag_mode, n=n, n1=n1, p=p, row_group=row_group,
+              col_tile=col_tile, dot_impl=dot_impl, emit=emit)
     if emit == "map":
         return
 
@@ -288,6 +297,254 @@ def _rd_kernel(
     mag = thr_ref[:, :]
     _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, y_scr, n,
                   lag_bits=lag_bits, lead2_bits=lead2_bits)
+
+
+# ---------------------------------------------------------------------------
+# fused 2-D (range x Doppler) CA-CFAR (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _cbox(x, half, axis: int, max_half: int):
+    """In-kernel centered sliding sum over offsets [-half, +half] of runtime
+    half-extent along ``axis`` (the Pallas mirror of
+    ``ops.cfar_2d._centered_box``): a bit-composed right-aligned dyadic
+    ladder + one bit-decomposed recenter roll, on VALUES. The caller provides
+    a >= (2·max_half + 2) zero margin on both sides of ``axis``."""
+    w = 2 * half + 1
+    size = x.shape[axis]
+    acc = jnp.zeros_like(x)
+    blk = x
+    n_bits = max(int(np.ceil(np.log2(2 * max_half + 2))), 1)
+    for b in range(n_bits):
+        bit = ((w >> b) & 1) == 1
+        acc = jnp.where(bit, blk + pltpu.roll(acc, 1 << b, axis=axis), acc)
+        if b < n_bits - 1:
+            blk = blk + pltpu.roll(blk, 1 << b, axis=axis)
+    for b in range(max(int(max_half).bit_length(), 1)):
+        acc = jnp.where(((half >> b) & 1) == 1,
+                        pltpu.roll(acc, size - (1 << b), axis=axis), acc)
+    return acc
+
+
+def _interval_count(pos, a, lo, hi):
+    """|[pos-a, pos+a] ∩ [lo, hi)| — the separable per-axis training count
+    (the validity mask is an outer product of two interval indicators, so the
+    2-D count plane needs no box sums)."""
+    return jnp.maximum(
+        jnp.minimum(pos + a, hi - 1) - jnp.maximum(pos - a, lo) + 1, 0
+    ).astype(jnp.float32)
+
+
+def _cfar2d_into(scal_ref, fscal_ref, thr_ref, pk_ref, plane_scr, *,
+                 p: int, n: int, pd: int, pr: int,
+                 max_ar: int, max_ad: int, max_gr: int, max_gd: int):
+    """2-D rectangular-annulus CA-CFAR on the magnitude map sitting in
+    ``thr_ref`` [P, N], writing threshold/peaks in place. Same semantics as
+    ``ops.cfar_2d.cfar_2d_op`` (PARTIAL edges, true training-count divisor,
+    8-neighbour grouping), VMEM-resident: ``plane_scr`` [P+2pd, N+2pr] holds
+    the zero-padded map; box sums are value rolls along lanes (range) and
+    sublanes (Doppler); the training count is built from the separable
+    per-axis interval counts (no box sums over a validity plane).
+
+    2-D register file (scal layout): [w_r, g_r, w_d, g_d, log_or_linear,
+    peak_grouping, active_hi, mag_mode, active_lo]; fscal [scaler]."""
+    w_r = scal_ref[0]
+    g_r = scal_ref[1]
+    w_d = scal_ref[2]
+    g_d = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    active_hi = scal_ref[6]
+    active_lo = scal_ref[8]
+    scaler = fscal_ref[0]
+
+    m_raw = thr_ref[:, :]
+    rcol = jax.lax.broadcasted_iota(jnp.int32, (p, n), 1)
+    active = (rcol >= active_lo) & (rcol < active_hi)
+    m = jnp.where(active, m_raw, 0.0)
+
+    plane_scr[:, :] = jnp.zeros((p + 2 * pd, n + 2 * pr), jnp.float32)
+    plane_scr[pd : pd + p, pr : pr + n] = m
+    x = plane_scr[:, :]
+
+    a_r = g_r + w_r
+    a_d = g_d + w_d
+    outer = _cbox(_cbox(x, a_r, 1, max_ar), a_d, 0, max_ad)
+    inner = _cbox(_cbox(x, g_r, 1, max_gr), g_d, 0, max_gd)
+    train_sum = (outer - inner)[pd : pd + p, pr : pr + n]
+
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+    cnt_out = (_interval_count(rcol, a_r, active_lo, active_hi)
+               * _interval_count(dcol, a_d, 0, p))
+    cnt_in = (_interval_count(rcol, g_r, active_lo, active_hi)
+              * _interval_count(dcol, g_d, 0, p))
+    noise = train_sum / jnp.maximum(cnt_out - cnt_in, 1.0)
+    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    thr = jnp.where(active, thr, 0.0)
+    peaks = (m > thr) & active
+    thr_ref[:, :] = thr
+    pk_ref[:, :] = peaks.astype(pk_ref.dtype)
+
+    @pl.when(peak_grouping == 1)
+    def _():
+        # 8-neighbour local maxima: -inf outside the active frame
+        ninf = jnp.float32(-jnp.inf)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) - pr
+        prow = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) - pd
+        in_frame = ((pcol >= active_lo) & (pcol < active_hi)
+                    & (prow >= 0) & (prow < p))
+        mrow = jnp.where(in_frame, x, ninf)
+        pp, pn = x.shape
+        is_max = peaks
+        for dd in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                if dd == 0 and dr == 0:
+                    continue
+                nb = pltpu.roll(pltpu.roll(mrow, dd % pp, axis=0),
+                                dr % pn, axis=1)[pd : pd + p, pr : pr + n]
+                is_max = is_max & (m >= nb)
+        pk_ref[:, :] = is_max.astype(pk_ref.dtype)
+
+
+def _rd_kernel_2d(
+    scal_ref, fscal_ref,
+    xr_ref, xi_ref, wf_ref, wi_ref, h_ref, d_ref,
+    thr_ref, pk_ref,
+    y_scr,                   # [P, N + PAD] f32 (front-half scratch)
+    plane_scr,               # [P + 2*pd, N + 2*pr] f32 (padded map plane)
+    *,
+    n: int, n1: int, p: int, row_group: int, col_tile: int, dot_impl: str,
+    pd: int, pr: int, max_ar: int, max_ad: int, max_gr: int, max_gd: int,
+):
+    """The flagship RD chain with the 2-D map detector, ONE kernel per CPI:
+    matched filter -> Doppler -> magnitude -> 2-D annulus CFAR, everything
+    after the input read VMEM-resident (the XLA composition wrote the RD map
+    to HBM and re-read it — VERDICT r2 item 8)."""
+    mag_mode = scal_ref[7]
+    _rd_front(xr_ref, xi_ref, wf_ref, wi_ref, h_ref, d_ref, thr_ref, pk_ref,
+              y_scr, mag_mode, n=n, n1=n1, p=p, row_group=row_group,
+              col_tile=col_tile, dot_impl=dot_impl, emit="cfar")
+    _cfar2d_into(scal_ref, fscal_ref, thr_ref, pk_ref, plane_scr,
+                 p=p, n=n, pd=pd, pr=pr, max_ar=max_ar, max_ad=max_ad,
+                 max_gr=max_gr, max_gd=max_gd)
+
+
+def fused_rd_2d_chain(
+    x,
+    rt: RuntimeConfig,
+    rt2,
+    taps: np.ndarray,
+    cfg: ChainConfig,
+    cfg2d,
+    interpret: bool = False,
+    *,
+    dot_impl: str = "bf16x2",
+    row_group: int | None = None,
+    col_tile: int | None = None,
+) -> CfarOutput:
+    """Single-kernel RD chain + 2-D CA-CFAR: ``x`` [..., P, N] IQ pair,
+    ``rt2`` a ``Cfar2dRuntime`` register record (traced — reconfiguration
+    never recompiles). Requires ``rd_fusable`` shapes plus a 2-D window
+    reach 2·(max_guard+max_ref)+2 within the lane pad per axis."""
+    from ..cplx import as_pair
+
+    mf_cfg = cfg.matched_filter or MatchedFilterConfig()
+    dop_cfg = cfg.doppler or DopplerConfig()
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    p = xp.shape[-2]
+    n1 = n // 128
+    assert n == cfg.fft.max_size and n1 in (2, 4, 8), (n, cfg.fft.max_size)
+    assert p == dop_cfg.num_pulses and (p & (p - 1)) == 0 and 8 <= p <= 512, p
+    assert mf_cfg.method == "freq", mf_cfg.method
+    max_ar = cfg2d.max_ref_range + cfg2d.max_guard_range
+    max_ad = cfg2d.max_ref_doppler + cfg2d.max_guard_doppler
+    pr = PAD
+    assert 2 * max_ar + 2 <= pr, "2-D range reach exceeds the lane pad"
+    pd = -(-(2 * max_ad + 2) // 8) * 8          # sublane-aligned Doppler pad
+
+    rg = row_group or min(RD_ROW_GROUP, p)
+    ct = col_tile or min(RD_COL_TILE, n)
+    assert p % rg == 0 and n % ct == 0
+
+    batch_shape = xp.shape[:-2]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.float32).reshape(b * p, n)
+    im = xp.im.astype(jnp.float32).reshape(b * p, n)
+
+    # 2-D register file (layout in _cfar2d_into; registers clamped to the
+    # elaborated maxima like the 1-D kernels)
+    scalars = jnp.stack([
+        jnp.clip(rt2.ref_range, 1, cfg2d.max_ref_range).astype(jnp.int32),
+        jnp.clip(rt2.guard_range, 0, cfg2d.max_guard_range).astype(jnp.int32),
+        jnp.clip(rt2.ref_doppler, 1, cfg2d.max_ref_doppler).astype(jnp.int32),
+        jnp.clip(rt2.guard_doppler, 0,
+                 cfg2d.max_guard_doppler).astype(jnp.int32),
+        rt2.log_or_linear.astype(jnp.int32),
+        rt2.peak_grouping.astype(jnp.int32),
+        jnp.minimum(rt2.active_range, n).astype(jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        jnp.int32(0),                    # active_lo
+    ])
+    fscal = rt2.threshold_scaler.astype(jnp.float32).reshape(1)
+
+    split = dot_impl == "bf16x2"
+    wf = _chain_consts_folded(n, 1.0, split_bf16=split)
+    wi = _inv_folded(n, split_bf16=split)
+    h = _h_block(np.asarray(taps), n, mf_cfg.normalize)
+    d = _doppler_triple(p, dop_cfg.window, dop_cfg.fft_shift, dop_cfg.scaling,
+                        split_bf16=split)
+
+    kernel = functools.partial(
+        _rd_kernel_2d, n=n, n1=n1, p=p, row_group=rg, col_tile=ct,
+        dot_impl=dot_impl, pd=pd, pr=pr, max_ar=max_ar, max_ad=max_ad,
+        max_gr=cfg2d.max_guard_range, max_gd=cfg2d.max_guard_doppler)
+
+    pk_dtype = jnp.uint8 if p >= 32 else jnp.int32
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((p, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wf.shape, lambda i, *_: (0,) * wf.ndim,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wi.shape, lambda i, *_: (0,) * wi.ndim,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(h.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(d.shape, lambda i, *_: (0,) * d.ndim,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((p, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((p, n + PAD), jnp.float32),
+                pltpu.VMEM((p + 2 * pd, n + 2 * pr), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * p, n), jnp.float32),
+            jax.ShapeDtypeStruct((b * p, n), pk_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(96 if p > 256 else 64) * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, fscal, re, im, jnp.asarray(wf), jnp.asarray(wi),
+      jnp.asarray(h), jnp.asarray(d))
+
+    thr = outs[0].reshape(batch_shape + (p, n))
+    pk = outs[1].reshape(batch_shape + (p, n))
+    return CfarOutput(threshold=thr, peaks=pk.astype(jnp.bool_))
 
 
 # ---------------------------------------------------------------------------

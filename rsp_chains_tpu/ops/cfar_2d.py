@@ -210,10 +210,13 @@ def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
                      taps=None,
                      cfg2d: Cfar2dConfig = Cfar2dConfig()):
     """Range-Doppler chain with the 2-D map detector: matched filter ->
-    Doppler -> |.| -> 2-D CA-CFAR. The MF+Doppler front half runs the fused
-    map kernel when the elaboration allows (``kernels/rd_pallas.py``,
-    ``emit='map'``). Returns ``f(x, rt, rt2) -> CfarOutput`` (not a ``Chain``
-    — the 2-D detector has its own register record)."""
+    Doppler -> |.| -> 2-D CA-CFAR. CA-fusable elaborations run the WHOLE CPI
+    as ONE kernel (``kernels/rd_pallas.fused_rd_2d_chain`` — the 2-D annulus
+    applied before the map leaves VMEM; the previous composition wrote the RD
+    map to HBM and re-read it); non-fusable front halves keep the ``emit='map'``
+    kernel or XLA stages + the XLA 2-D detector. Returns
+    ``f(x, rt, rt2) -> CfarOutput`` (not a ``Chain`` — the 2-D detector has
+    its own register record)."""
     from ..configs import DopplerConfig
     from ..cplx import as_pair
     from ..ops.logmag import logmag
@@ -230,24 +233,37 @@ def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
         taps_np = None
         mf = None
         fusable = False
+        fully_fusable = False
     else:
         if taps is None:
             from ..golden.fixtures import lfm_chirp
 
             taps = lfm_chirp(cfg.matched_filter.num_taps)
         taps_np = np.asarray(taps)
+        from ..kernels.cfar_pallas import PAD
         from ..kernels.rd_pallas import rd_fusable
 
         fusable = rd_fusable(cfg, taps_np) and cfg.cfar.use_pallas
+        # the in-kernel 2-D detector additionally needs the annulus reach
+        # inside the lane pad and the LUT-free magnitude menu
+        fully_fusable = (
+            fusable
+            and 2 * (cfg2d.max_ref_range + cfg2d.max_guard_range) + 2 <= PAD
+            and not cfg.mag.use_lut_log and not cfg.fixed_point.enabled)
         mf = matched_filter_stage(cfg, taps_np)
     dop = doppler_stage(cfg)
 
     def run(x, rt, rt2: Cfar2dRuntime) -> CfarOutput:
         xp = as_pair(x)
+        interpret = jax.default_backend() != "tpu"
+        if fully_fusable:
+            from ..kernels.rd_pallas import fused_rd_2d_chain
+
+            return fused_rd_2d_chain(xp, rt, rt2, taps_np, cfg, cfg2d,
+                                     interpret=interpret)
         if fusable:
             from ..kernels.rd_pallas import fused_rd_chain
 
-            interpret = jax.default_backend() != "tpu"
             y = fused_rd_chain(xp, rt, taps_np, cfg, interpret=interpret,
                                emit="map")
         else:

@@ -90,6 +90,60 @@ def pod_spec(batch_axes: int = 1) -> jax.sharding.PartitionSpec:
     return P(TIME_AXIS, CHANNEL_AXIS, *mid, RANGE_AXIS)
 
 
+class PodStreamingPipeline:
+    """Continuous multi-CPI streaming over a pod mesh (BASELINE config 5):
+    the multi-host ``io.stream.StreamingPipeline``.
+
+    Every process runs the same SPMD program: each submitted CPI batch
+    ([T, C, ..., N] — identical host content on every process, the usual
+    replicated-ingest contract) is placed as a globally-sharded ``jax.Array``
+    via ``make_array_from_callback`` (a process materializes only its
+    addressable shards — the DCN never carries bulk samples), then one jitted
+    pod step (``shard_cpi_stream``) processes it; per-CPI detection counts in
+    the metrics are GLOBAL (an on-device reduction over the pod array, fetched
+    as one scalar). Checkpoint/restore rides the inherited ``checkpoint``
+    (register file + stream cursor; every process writes/reads identically, so
+    a restarted fleet resumes from the same registers and sequence point).
+
+    SPMD ordering contract: every process must ``submit`` the same sequence —
+    the single worker + single drainer threads then issue the collective
+    programs in matching order on all processes."""
+
+    def __init__(self, chain_fn, rt, mesh: jax.sharding.Mesh, **kw):
+        from ..io.stream import StreamingPipeline
+
+        outer_mesh = mesh
+
+        class _Pod(StreamingPipeline):
+            def _place(self, jax_mod, cpi):
+                a = np.asarray(cpi)
+                spec = pod_spec(batch_axes=a.ndim - 2)
+                sh = jax_mod.sharding.NamedSharding(outer_mesh, spec)
+
+                def mk(plane):
+                    return jax_mod.make_array_from_callback(
+                        plane.shape, sh, lambda idx: plane[idx])
+
+                if np.iscomplexobj(a):
+                    from ..cplx import C
+
+                    return C(mk(np.ascontiguousarray(a.real.astype(np.float32))),
+                             mk(np.ascontiguousarray(a.imag.astype(np.float32))))
+                return mk(a)
+
+        self._pipe = _Pod(shard_cpi_stream(chain_fn, mesh), rt, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._pipe, name)
+
+    def __enter__(self):
+        self._pipe.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._pipe.stop()
+
+
 def shard_cpi_stream(pipeline_fn, mesh: jax.sharding.Mesh):
     """Wrap a per-CPI pipeline ``f(x, rt)`` for pod execution: input
     [T, C, P, N] (T CPI blocks x C channels x P pulses x N range) sharded over

@@ -258,12 +258,14 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
     from ..kernels.cfar_pallas import fused_tail_kind
     from ..presets import _fusable_fft
 
+    kind = fused_tail_kind(cfg)
     if (mesh.shape.get(RANGE_AXIS, 1) == 1
-            and fused_tail_kind(cfg) == "ca" and _fusable_fft(cfg)):
+            and kind in ("ca", "gos") and _fusable_fft(cfg)):
         import jax as _jax
 
-        from ..kernels.chain_pallas import fused_chain_ca_op
+        from ..kernels.chain_pallas import fused_chain_ca_op, fused_chain_gos_op
 
+        chain_op = fused_chain_ca_op if kind == "ca" else fused_chain_gos_op
         interpret = _jax.default_backend() != "tpu"
 
         def step_fused(x, rt: RuntimeConfig):
@@ -273,8 +275,8 @@ def make_sharded_pipeline(cfg: ChainConfig, mesh: jax.sharding.Mesh):
             nb = xp.ndim - 1
             spec = P(CHANNEL_AXIS, *([None] * nb))
             sm = jax.shard_map(
-                lambda xl, rt_: fused_chain_ca_op(xl, rt_, cfg.fft, cfg.cfar,
-                                                  interpret=interpret),
+                lambda xl, rt_: chain_op(xl, rt_, cfg.fft, cfg.cfar,
+                                         interpret=interpret),
                 mesh=mesh,
                 in_specs=(spec, P()),
                 out_specs=_cfar_out_specs(cfg.cfar, spec),

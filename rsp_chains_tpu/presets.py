@@ -218,16 +218,30 @@ def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     cfg = cfg or ChainConfig()
     from .kernels.cfar_pallas import fused_tail_kind
 
-    if fused_tail_kind(cfg) == "ca" and _fusable_fft(cfg):
+    kind = fused_tail_kind(cfg)
+    if kind is not None and _fusable_fft(cfg):
         import jax
 
-        from .kernels.chain_pallas import fused_chain_ca_op
-
         interpret = jax.default_backend() != "tpu"
+        if kind == "ca":
+            from .kernels.chain_pallas import fused_chain_ca_op
+
+            return Chain(cfg, [Stage(
+                "fft_mag_cfar_fused",
+                lambda x, rt: fused_chain_ca_op(x, rt, cfg.fft, cfg.cfar,
+                                                interpret=interpret),
+                terminal=True,
+            )])
+        # GOS/GOSCA: the whole chain as ONE kernel too (in-kernel FFT in
+        # front of the v3 sliding-merge sort tail) — the spectrum never
+        # round-trips HBM, and the runtime CA/GOS + mode registers dispatch
+        # between the CA and GOS chain kernels under one lax.cond
+        from .kernels.chain_pallas import fused_chain_gos_op
+
         return Chain(cfg, [Stage(
-            "fft_mag_cfar_fused",
-            lambda x, rt: fused_chain_ca_op(x, rt, cfg.fft, cfg.cfar,
-                                            interpret=interpret),
+            "fft_mag_gos_cfar_fused",
+            lambda x, rt: fused_chain_gos_op(x, rt, cfg.fft, cfg.cfar,
+                                             interpret=interpret),
             terminal=True,
         )])
     return Chain(cfg, [fft_stage(cfg), *tail_stages(cfg)])

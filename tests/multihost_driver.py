@@ -13,8 +13,7 @@ import os
 import sys
 
 
-def main():
-    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+def _setup(port, pid):
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -27,6 +26,15 @@ def main():
                        num_processes=2, process_id=pid)
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())
+    return jax
+
+
+def main():
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "oneshot"
+    if mode == "stream":
+        return main_stream(port, pid, outdir)
+    jax = _setup(port, pid)
 
     import numpy as np
     import jax.numpy as jnp
@@ -80,6 +88,110 @@ def main():
     for i, s in enumerate(pk.addressable_shards):
         shards[f"pk_{i}"] = np.asarray(s.data)
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), **shards)
+    jax.distributed.shutdown()
+
+
+def _shards_of(arr, prefix, store):
+    import numpy as np
+
+    for i, s in enumerate(arr.addressable_shards):
+        store[f"{prefix}_{i}"] = np.asarray(s.data)
+        store[f"{prefix}_idx_{i}"] = np.array(
+            [[d.start or 0, d.stop if d.stop is not None else dim]
+             for d, dim in zip(s.index, arr.shape)], np.int64)
+
+
+def main_stream(port, pid, outdir):
+    """BASELINE config 5 end to end: continuous multi-CPI streaming through
+    the pod pipeline on 2 processes, with a register write + checkpoint after
+    CPI 2 and a RESTORED pipeline finishing CPIs 3-5."""
+    jax = _setup(port, pid)
+
+    import dataclasses
+    import time
+
+    import numpy as np
+
+    from rsp_chains_tpu import (
+        CfarConfig, ChainConfig, FftConfig, RuntimeConfig, fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+    from rsp_chains_tpu.io.cpi import load_state
+    from rsp_chains_tpu.parallel.multihost import (
+        PodStreamingPipeline, make_pod_mesh,
+    )
+
+    mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+    )
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
+                            guard_window_size=4, threshold_scaler=3.5,
+                            div_sum=5)
+    rt = jax.tree_util.tree_map(np.asarray, rt)
+
+    n_cpis = 6
+    cpis = []
+    for seq in range(n_cpis):
+        iq = np.stack([
+            np.stack([three_tone_signal(1024, shift_range_factor=12,
+                                        seed=100 * seq + s + 10 * t)
+                      for s in range(2)])
+            for t in range(2)
+        ]).astype(np.complex64)           # [T=2, C=2, N] — same on both procs
+        cpis.append(iq)
+
+    store = {}
+    dets = np.full(n_cpis, -1, np.int64)
+
+    def on_result(seq, out, m):
+        _shards_of(out.threshold, f"thr{seq}", store)
+        _shards_of(out.peaks, f"pk{seq}", store)
+        dets[seq] = m.detections          # GLOBAL count (pod-array reduction)
+
+    def wait_out(pipe, k, budget=180):
+        t0 = time.time()
+        while pipe.stats.frames_out < k:
+            if time.time() - t0 > budget:
+                raise TimeoutError(
+                    f"proc{pid}: {pipe.stats.frames_out}/{k} CPIs drained")
+            time.sleep(0.02)
+
+    pipe = PodStreamingPipeline(chain.__call__, rt, mesh, on_result=on_result)
+    pipe.start()
+    for seq in range(3):
+        assert pipe.submit(seq, cpis[seq])
+    wait_out(pipe, 3)
+
+    # mid-stream register write, then checkpoint (register file + cursor);
+    # every process checkpoints its own (identical) copy
+    rt_hot = dataclasses.replace(rt, threshold_scaler=np.float32(5.0))
+    pipe.reconfigure(rt_hot)
+    ck = os.path.join(outdir, f"ckpt{pid}")
+    pipe.checkpoint(ck, next_seq=np.int64(3))
+    pipe.stop()
+
+    # --- restart: a NEW pipeline resumes from the checkpointed state ---
+    rt_restored, extras = load_state(ck)
+    rt_restored = jax.tree_util.tree_map(np.asarray, rt_restored)
+    assert float(rt_restored.threshold_scaler) == 5.0
+    next_seq = int(extras["next_seq"])
+    assert next_seq == 3
+
+    pipe2 = PodStreamingPipeline(chain.__call__, rt_restored, mesh,
+                                 on_result=on_result)
+    pipe2.start()
+    for seq in range(next_seq, n_cpis):
+        assert pipe2.submit(seq, cpis[seq])
+    wait_out(pipe2, n_cpis - next_seq)
+    pipe2.stop()
+
+    assert pipe.stats.frames_out + pipe2.stats.frames_out == n_cpis
+    assert pipe.stats.frames_failed == 0 and pipe2.stats.frames_failed == 0
+    store["detections"] = dets
+    np.savez(os.path.join(outdir, f"stream_proc{pid}.npz"), **store)
     jax.distributed.shutdown()
 
 

@@ -275,3 +275,63 @@ def test_rd_2d_chain_no_matched_filter_means_no_filter(rng):
                               threshold_scaler=3.0, log_or_linear=1,
                               peak_grouping=0, active_range=1 << 30)
     np.testing.assert_allclose(got_thr[0], thr_g, rtol=1e-4, atol=1e-5)
+
+
+def _rd_cfg(p=16, n=256, use_pallas=True):
+    from rsp_chains_tpu import (
+        CfarConfig, CfarVariant, ChainConfig, DopplerConfig, FftConfig,
+        MatchedFilterConfig,
+    )
+
+    return ChainConfig(
+        fft=FftConfig(max_size=n),
+        matched_filter=MatchedFilterConfig(num_taps=32, fft_size=n),
+        doppler=DopplerConfig(num_pulses=p, window=None),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=4, max_fft_size=n,
+                        variant=CfarVariant.CA, include_cash=False,
+                        use_pallas=use_pallas),
+    )
+
+
+def test_fused_rd_2d_kernel_register_sweep_matches_xla(rng):
+    """The single-kernel RD+2-D-CFAR (fused_rd_2d_chain) equals the XLA
+    composition across the 2-D register grid, with ONE compiled executable
+    (the 2-D register file is traced — VERDICT r2 item 8)."""
+    import jax
+
+    from rsp_chains_tpu import RuntimeConfig
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import lfm_chirp
+
+    p, n = 16, 256
+    taps = lfm_chirp(32, 0.0, 0.25)
+    cfg = _rd_cfg(p, n)
+    cfg_xla = _rd_cfg(p, n, use_pallas=False)
+    run_fused = rd_2d_cfar_chain(cfg, taps=taps, cfg2d=CFG)
+    run_xla = rd_2d_cfar_chain(cfg_xla, taps=taps, cfg2d=CFG)
+    jf = jax.jit(run_fused)
+
+    x = as_pair((rng.randn(2, p, n) + 1j * rng.randn(2, p, n))
+                .astype(np.complex64))
+    rt = RuntimeConfig.make(fft_size=n, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=8.0,
+                            div_sum=3)
+    sweeps = [
+        dict(),
+        dict(ref_range=8, guard_range=3, ref_doppler=4, guard_doppler=2),
+        dict(ref_range=1, guard_range=0, ref_doppler=1, guard_doppler=0),
+        dict(log_or_linear=0, threshold_scaler=1.5),
+        dict(peak_grouping=1),
+        dict(active_range=64),
+    ]
+    for kw in sweeps:
+        rt2 = _rt2(**kw)
+        got = jf(x, rt, rt2)
+        want = run_xla(x, rt, rt2)
+        thr_w = np.asarray(want.threshold)
+        scale = max(np.abs(thr_w).max(), 1e-30)
+        assert (np.abs(np.asarray(got.threshold) - thr_w).max() / scale
+                < 1e-4), kw
+        np.testing.assert_array_equal(np.asarray(got.peaks),
+                                      np.asarray(want.peaks), err_msg=str(kw))
+    assert jf._cache_size() == 1

@@ -125,3 +125,79 @@ def test_pod_mesh_rejects_block_straddling_hosts(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="intra-host"):
         make_pod_mesh(time_blocks=1, channels=8, range_shards=1)
+
+
+def test_two_process_pod_streaming_with_checkpoint_restore(tmp_path):
+    """BASELINE config 5 end to end: continuous multi-CPI streaming through
+    PodStreamingPipeline on 2 jax.distributed processes — 6 CPIs processed,
+    a mid-stream register write + checkpoint after CPI 2, a RESTORED pipeline
+    finishing 3..5 — and every produced shard equals the unsharded chain."""
+    port = _free_port()
+    driver = os.path.join(os.path.dirname(__file__), "multihost_driver.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(driver))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, driver, str(port), str(pid), str(tmp_path),
+             "stream"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()[-3000:]
+
+    from rsp_chains_tpu import (
+        CfarConfig, ChainConfig, FftConfig, RuntimeConfig, fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.cplx import as_pair
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(
+        fft=FftConfig(max_size=1024),
+        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+    )
+    jf = fft_mag_cfar_chain(cfg).jit()
+
+    n_cpis = 6
+    z = {pid: np.load(tmp_path / f"stream_proc{pid}.npz") for pid in (0, 1)}
+    total_shards = 0
+    for seq in range(n_cpis):
+        scaler = 3.5 if seq < 3 else 5.0   # the mid-stream register write
+        rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
+                                guard_window_size=4, threshold_scaler=scaler,
+                                div_sum=5)
+        iq = np.stack([
+            np.stack([three_tone_signal(1024, shift_range_factor=12,
+                                        seed=100 * seq + s + 10 * t)
+                      for s in range(2)])
+            for t in range(2)
+        ]).astype(np.complex64)
+        want = jf(as_pair(iq), rt)
+        want_thr = np.asarray(want.threshold)
+        want_pk = np.asarray(want.peaks)
+        for pid in (0, 1):
+            k = 0
+            while f"thr{seq}_{k}" in z[pid]:
+                idx = z[pid][f"thr{seq}_idx_{k}"]
+                sl = tuple(slice(a, b) for a, b in idx)
+                np.testing.assert_allclose(z[pid][f"thr{seq}_{k}"],
+                                           want_thr[sl], rtol=1e-5, atol=1e-4)
+                np.testing.assert_array_equal(
+                    z[pid][f"pk{seq}_{k}"].astype(bool), want_pk[sl])
+                total_shards += 1
+                k += 1
+        # per-CPI metrics aggregated across processes: the global detection
+        # count equals the unsharded chain's
+        for pid in (0, 1):
+            assert int(z[pid]["detections"][seq]) == int(want_pk.sum()), seq
+    assert total_shards == n_cpis * 8, total_shards

@@ -218,10 +218,12 @@ def test_gos_kernel_frame_shrink_and_grouping(version, rng):
 
 
 def test_gos_kernel_chain_integration(rng):
+    """A GOSCA elaboration whose FFT is NOT fusable (pre-FFT window) keeps the
+    two-stage composition: XLA FFT + the fused sort-tail kernel."""
     from rsp_chains_tpu.presets import fft_mag_cfar_chain
     from rsp_chains_tpu.golden import three_tone_signal
 
-    cfg = ChainConfig(fft=FftConfig(max_size=1024),
+    cfg = ChainConfig(fft=FftConfig(max_size=1024, window="hann"),
                       cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
                                       variant=CfarVariant.GOSCA,
                                       include_cash=False, use_pallas=True))
@@ -582,13 +584,20 @@ def test_chain_builder_uses_fused_chain_kernel():
     )
     ch = fft_mag_cfar_chain(cfg)
     assert ch.stage_names == ("fft_mag_cfar_fused",)
-    # GOS elaborations keep the composed form
+    # GOS elaborations fuse the whole chain too (r3); a non-fusable FFT
+    # (pre-FFT window) keeps the composed form
     cfg2 = ChainConfig(
         fft=FftConfig(max_size=256),
         cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.GOSCA,
                         include_cash=False),
     )
-    assert "fft" in fft_mag_cfar_chain(cfg2).stage_names
+    assert fft_mag_cfar_chain(cfg2).stage_names == ("fft_mag_gos_cfar_fused",)
+    cfg3 = ChainConfig(
+        fft=FftConfig(max_size=256, window="hann"),
+        cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.GOSCA,
+                        include_cash=False),
+    )
+    assert "fft" in fft_mag_cfar_chain(cfg3).stage_names
 
 
 def test_fused_wire_chain_matches_composed(rng):
@@ -630,3 +639,132 @@ def test_fused_wire_chain_matches_composed(rng):
         np.testing.assert_array_equal(pg, pw_)
         assert np.abs(tg.astype(np.int64) - tw_.astype(np.int64)).max() <= 1
     assert jf._cache_size() == 1
+
+
+# ---------------------------------------------------------------------------
+# fully-fused FFT+mag+GOS/CASH chain kernel (VERDICT r2 item 1)
+# ---------------------------------------------------------------------------
+
+from rsp_chains_tpu.kernels.chain_pallas import (  # noqa: E402
+    fused_chain_gos, fused_chain_gos_op,
+)
+
+
+@pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING,
+                                  CfarMode.GREATEST_OF])
+@pytest.mark.parametrize("rank", [0, 7])
+def test_fused_chain_gos_matches_xla(mode, rank, rng):
+    """One kernel: in-kernel FFT -> mag -> v3 sliding-merge GOS tail == the
+    XLA fft_op + logmag + cfar_op composition."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    rt = RuntimeConfig.make(fft_size=n, cfar_mode=mode,
+                            cfar_algorithm=CfarAlgorithm.GOS,
+                            ref_window_size=8, guard_window_size=2,
+                            index_lagg=rank, index_lead=rank,
+                            threshold_scaler=3.0)
+    x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
+    got = fused_chain_gos(as_pair(x), rt, fft_cfg, GCFG, interpret=True)
+    want = _xla_chain_out(as_pair(x), rt, fft_cfg, GCFG)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_fused_chain_gos_cash_mode(rng):
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    rt = RuntimeConfig.make(fft_size=n, cfar_mode=CfarMode.CASH,
+                            cfar_algorithm=CfarAlgorithm.GOS,
+                            ref_window_size=8, guard_window_size=2,
+                            sub_window_size=4, threshold_scaler=3.0)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    got = fused_chain_gos(as_pair(x), rt, fft_cfg, GCFG_CASH, interpret=True)
+    want = _xla_chain_out(as_pair(x), rt, fft_cfg, GCFG_CASH)
+    np.testing.assert_allclose(np.asarray(got.threshold),
+                               np.asarray(want.threshold), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
+
+
+def test_fused_chain_gos_op_runtime_dispatch(rng):
+    """fused_chain_gos_op: ONE executable dispatches CA register -> CA chain
+    kernel, GOS/CASH -> GOS chain kernel, small runtime size -> XLA FFT +
+    spectrum tail; each branch equals the XLA composition."""
+    import jax
+
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    jf = jax.jit(lambda a, r: fused_chain_gos_op(a, r, fft_cfg, GCFG_CASH,
+                                                 interpret=True))
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    sweeps = [
+        dict(cfar_algorithm=CfarAlgorithm.CA),
+        dict(cfar_algorithm=CfarAlgorithm.GOS, index_lagg=5, index_lead=5),
+        dict(cfar_algorithm=CfarAlgorithm.CA, cfar_mode=CfarMode.CASH,
+             sub_window_size=4),
+        dict(cfar_algorithm=CfarAlgorithm.GOS, fft_size=128),
+    ]
+    for kw in sweeps:
+        rt = RuntimeConfig.make(ref_window_size=8, guard_window_size=2,
+                                threshold_scaler=3.0,
+                                **{"fft_size": n, **kw})
+        got = jf(as_pair(x), rt)
+        want = _xla_chain_out(as_pair(x), rt, fft_cfg, GCFG_CASH)
+        np.testing.assert_allclose(np.asarray(got.threshold),
+                                   np.asarray(want.threshold),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(got.peaks),
+                                      np.asarray(want.peaks), err_msg=str(kw))
+    assert jf._cache_size() == 1
+
+
+def test_fused_chain_gos_preset_single_stage(rng):
+    """A GOSCA elaboration with a fusable FFT builds the whole chain as ONE
+    stage (the r2 verdict's 'done' bar) and still detects the three tones."""
+    from rsp_chains_tpu.golden import three_tone_signal
+    from rsp_chains_tpu.presets import fft_mag_cfar_chain
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, max_guard_window=4,
+                                      variant=CfarVariant.GOSCA,
+                                      include_cash=True, max_fft_size=256))
+    chain = fft_mag_cfar_chain(cfg)
+    assert chain.stage_names == ("fft_mag_gos_cfar_fused",)
+    iq = jnp.asarray(three_tone_signal(256, shift_range_factor=12),
+                     jnp.complex64)
+    rt = RuntimeConfig.make(fft_size=256, cfar_algorithm=CfarAlgorithm.GOS,
+                            ref_window_size=16, guard_window_size=4,
+                            index_lagg=8, index_lead=8, threshold_scaler=3.5)
+    out = chain.jit()(iq, rt)
+    peaks = np.flatnonzero(np.asarray(out.peaks))
+    assert {32, 64, 128} <= set(peaks.tolist())
+
+
+def test_gos_oe_merge_bit_identical_to_bitonic(rng):
+    """Batcher odd-even merge ladder == bitonic merge ladder bit-for-bit
+    (both are exact f32 min/max networks computing the same sorted windows)."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    x = (rng.randn(2, n) + 1j * rng.randn(2, n)).astype(np.complex64)
+    for mode, extra in ((CfarMode.CELL_AVERAGING, {}),
+                        (CfarMode.GREATEST_OF, {})):
+        rt = RuntimeConfig.make(fft_size=n, cfar_mode=mode,
+                                cfar_algorithm=CfarAlgorithm.GOS,
+                                ref_window_size=16, guard_window_size=2,
+                                index_lagg=3, index_lead=11,
+                                threshold_scaler=3.0, **extra)
+        a = fused_chain_gos(as_pair(x), rt, fft_cfg, GCFG, interpret=True,
+                            merge_impl="bitonic")
+        b = fused_chain_gos(as_pair(x), rt, fft_cfg, GCFG, interpret=True,
+                            merge_impl="oe")
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
