@@ -193,8 +193,11 @@ def main():
     cfar_cfg1 = CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                            include_cash=False, max_fft_size=n,
                            use_pallas=True)
+    # pinned to 128-frame tiles: the [N, N] permutation operand plus the
+    # (r3-default) 256-frame tiles overflow scoped VMEM and crash the compiler
     f_mxu = jax.jit(lambda a, r: fused_chain_ca(
-        a, r, FftConfig(max_size=n), cfar_cfg1, perm_impl="mxu"))
+        a, r, FftConfig(max_size=n), cfar_cfg1, perm_impl="mxu",
+        block_frames=128))
     dt_mxu = try_candidate("pallas-fused-chain-mxu", f_mxu, 2400)
     if dt_mxu is not None and dt_mxu < dt:
         dt, path = dt_mxu, "pallas-fused-chain-mxu"

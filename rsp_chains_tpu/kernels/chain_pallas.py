@@ -60,8 +60,13 @@ from ..ops.cfar import CfarOutput
 from .cfar_pallas import _ca_cfar_body, _magnitude
 
 # frame-tile height: 128 sublanes measured 0.41 ms vs 0.78 ms at 32 for the
-# bench CPI on v5e (bigger DMA bursts + fewer grid steps; benchmarks/profile_r2d)
+# bench CPI on v5e (bigger DMA bursts + fewer grid steps; benchmarks/profile_r2d).
+# r3 drift-controlled A/B (profile_r3g, interleaved reps): 256 is a consistent
+# ~8% further win at the headline shapes (0.88-1.01 vs 0.99-1.18 ms,
+# bit-identical) — applied for n1 <= 8 by fused_chain_ca; 4096-point frames
+# measured a wash and keep 128
 CHAIN_BLOCK_FRAMES = 128
+CHAIN_BLOCK_FRAMES_SMALL_N = 256
 
 _EPS = 1e-12
 
@@ -805,7 +810,7 @@ def fused_chain_ca(
     *,
     active_lo: jnp.ndarray | None = None,
     active_hi: jnp.ndarray | None = None,
-    block_frames: int = CHAIN_BLOCK_FRAMES,
+    block_frames: int | None = None,
     perm_mag_only: bool = True,
     mask_operand: bool = True,
     pass1_radix2: bool = True,
@@ -859,6 +864,9 @@ def fused_chain_ca(
     n1 = n // 128
     assert n == fft_cfg.max_size and n1 in (2, 4, 8, 16, 32), n
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
+    if block_frames is None:
+        block_frames = (CHAIN_BLOCK_FRAMES_SMALL_N if n1 <= 8
+                        else CHAIN_BLOCK_FRAMES)
     if n1 > 8 and perm_impl == "mxu":
         # the [N, N] permutation operand is n²·2 bytes — past VMEM at 2048+;
         # the roll/select networks scale as O(log n) passes
