@@ -136,6 +136,33 @@ def main():
                                              perm_impl="fold", h_block=hb2)),
          iq(4, n2), rt2)
 
+    # 7. r3 kernels: the GOS whole chain (dispatch preset + direct kernel at
+    # the bench-ladder shapes), and the fused RD + 2-D CFAR
+    gos_chain = rsp.fft_mag_cfar_chain(ChainConfig(fft=FftConfig(max_size=n),
+                                                   cfar=gos_cfg)).jit()
+    warm("gos_chain_preset_8ch", gos_chain, iq(8, 256, n), rt_gos)
+    from rsp_chains_tpu.kernels.chain_pallas import fused_chain_gos
+
+    warm("gos_chain_kernel_64ch",
+         jax.jit(lambda a, r: fused_chain_gos(a, r, FftConfig(max_size=n),
+                                              gos_cfg)),
+         iq(64, 256, n), rt_gos)
+    warm("headline_64ch (exact bench shape)", chain, iq(64, 256, n), rt)
+
+    from rsp_chains_tpu.ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime
+    from rsp_chains_tpu.kernels.rd_pallas import fused_rd_2d_chain
+
+    cfg2d = Cfar2dConfig(max_ref_range=16, max_guard_range=4,
+                         max_ref_doppler=8, max_guard_doppler=2)
+    rt2d = Cfar2dRuntime.make(ref_range=8, guard_range=2, ref_doppler=4,
+                              guard_doppler=1, threshold_scaler=6.0,
+                              active_range=n)
+    warm("rd_2d_fused_256p",
+         jax.jit(lambda a, r, r2: fused_rd_2d_chain(a, r, r2,
+                                                    np.asarray(taps), cfg3,
+                                                    cfg2d)),
+         iq(2, 256, n), rt, rt2d)
+
     print(f"total: {time.perf_counter()-t_all:.1f}s", file=sys.stderr)
     import os
 
