@@ -246,6 +246,9 @@ def main():
             verdict["err"] = "timeout"
         print(json.dumps(verdict), file=sys.stderr)
         sys.stderr.flush()
+        # a timed-out worker is a zombie still issuing device work — any
+        # later ladder measurement would be contended and silently polluted
+        return not th.is_alive()
 
     try:
         from rsp_chains_tpu import (
@@ -276,9 +279,10 @@ def main():
             return cfar_op(logmag(d3, r.mag_mode, cfg3.mag), r, cfg3.cfar)
 
         x3 = C(x.re[:16], x.im[:16])
-        ladder_line("rd_chain_fused_16x256x1024", rd, jax.jit(xla_rd), x3, rt,
-                    16 * 256 * n, 2400,
-                    extra=lambda dtl: {"rd_maps_per_s": round(16 / dtl, 1)})
+        ok = ladder_line("rd_chain_fused_16x256x1024", rd, jax.jit(xla_rd),
+                         x3, rt, 16 * 256 * n, 2400,
+                         extra=lambda dtl: {"rd_maps_per_s":
+                                            round(16 / dtl, 1)})
 
         # config 2: collapsed pulse compression, 4 x 256 x 4096
         n2 = 4096
@@ -300,8 +304,9 @@ def main():
         rng2 = np.random.RandomState(1)
         x2 = C(jnp.asarray(rng2.randn(4, 256, n2) * 100, jnp.float32),
                jnp.asarray(rng2.randn(4, 256, n2) * 100, jnp.float32))
-        ladder_line("pulse_compression_fused_4x256x4096", pc, jax.jit(xla_pc),
-                    x2, rt2, 4 * 256 * n2, 2400)
+        if ok:
+            ok = ladder_line("pulse_compression_fused_4x256x4096", pc,
+                             jax.jit(xla_pc), x2, rt2, 4 * 256 * n2, 2400)
 
         # GOS whole-chain kernel (r3): fused FFT+mag+sort tail, GOSCA regs
         from rsp_chains_tpu.kernels.chain_pallas import fused_chain_gos
@@ -321,8 +326,9 @@ def main():
 
         # validate at 8 channels (the XLA GOS window stack is ~4 GB at 64)
         x8 = C(x.re[:8], x.im[:8])
-        ladder_line("gos_chain_fused_8x256x1024", f_gos, jax.jit(xla_gos),
-                    x8, rt_gos, 8 * 256 * n, 2400)
+        if ok:
+            ladder_line("gos_chain_fused_8x256x1024", f_gos, jax.jit(xla_gos),
+                        x8, rt_gos, 8 * 256 * n, 2400)
     except Exception as e:  # noqa: BLE001 — the ladder must never cost the headline
         print(f"ladder error: {type(e).__name__}: {e}"[:300], file=sys.stderr)
 

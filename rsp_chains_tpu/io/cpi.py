@@ -95,10 +95,19 @@ def load_state(path: str | Path, cpi: Optional[CpiBuffer] = None):
     import jax.numpy as jnp
 
     z = np.load(_npz_path(path))
+    # registers added after a checkpoint was written restore to their make()
+    # defaults (a pre-upgrade checkpoint must not hand a None scalar to the
+    # data plane); only the genuinely-optional array state stays None
+    defaults = RuntimeConfig.make()
     kw = {}
     for f in dataclasses.fields(RuntimeConfig):
         key = f"rt_{f.name}"
-        kw[f.name] = jnp.asarray(z[key]) if key in z else None
+        if key in z:
+            kw[f.name] = jnp.asarray(z[key])
+        elif f.name == "plfg_profile":
+            kw[f.name] = None
+        else:
+            kw[f.name] = getattr(defaults, f.name)
     rt = RuntimeConfig(**kw)
     if cpi is not None and "cpi_buf" in z:
         cpi.restore({"buf": z["cpi_buf"], "count": z["cpi_count"],

@@ -1095,8 +1095,10 @@ def _fft_block_order(xr, xi, w_ref, n1: int, dot_impl: str):
     pass 1 + per-block folded-twiddle DFT-128 pass 3 (``_chain_consts_folded``
     constants). Returns (c_re, c_im) [F, N] with lane 128·k1+k2 holding bin
     k1 + n1·sigma(k2) under ``fold_perm`` constants (natural order after the
-    ``_fold_perm_steps`` bit swaps). Shared by the CA chain core and the fused
-    GOS chain kernel."""
+    ``_fold_perm_steps`` bit swaps). Used by the fused GOS chain kernel; the
+    CA core (``_chain_core``) keeps its own front because it also carries the
+    A/B instrumentation (ablate/dot_impl/fold_twiddle switches) this slim
+    helper deliberately omits — an FFT-front change must touch BOTH."""
     xrb = [xr[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
     xib = [xi[:, 128 * m1 : 128 * (m1 + 1)] for m1 in range(n1)]
     ar_blocks, ai_blocks = _dft_blocks(xrb, xib)

@@ -134,6 +134,11 @@ class PodStreamingPipeline:
         self._pipe = _Pod(shard_cpi_stream(chain_fn, mesh), rt, **kw)
 
     def __getattr__(self, name):
+        if name == "_pipe":
+            # _pipe unset (e.g. attribute access before __init__ completes,
+            # copy/pickle protocols): a plain AttributeError, not the
+            # RecursionError a self._pipe dereference would loop into
+            raise AttributeError(name)
         return getattr(self._pipe, name)
 
     def __enter__(self):

@@ -92,3 +92,26 @@ def test_checkpoint_carries_plfg_profile(tmp_path):
     save_state(tmp_path / "ck2", rt3)
     rt4, _ = load_state(tmp_path / "ck2")
     assert rt4.plfg_profile is None
+
+
+def test_checkpoint_from_older_register_file_restores_defaults(tmp_path):
+    """A checkpoint written before a register was added must restore that
+    register to its make() default, not None (code-review r3 finding)."""
+    import numpy as np
+
+    from rsp_chains_tpu.configs import RuntimeConfig
+    from rsp_chains_tpu.io.cpi import load_state, save_state
+
+    rt = RuntimeConfig.make(fft_size=64, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=7.0)
+    save_state(tmp_path / "old", rt)
+    # simulate a pre-upgrade checkpoint: strip the mem CSRs
+    z = dict(np.load(tmp_path / "old.npz"))
+    z.pop("rt_mem_start_reading")
+    z.pop("rt_mem_run_last")
+    np.savez(tmp_path / "old.npz", **z)
+    rt2, _ = load_state(tmp_path / "old")
+    assert int(rt2.mem_start_reading) == 1    # make() default, not None
+    assert int(rt2.mem_run_last) == 1
+    assert float(rt2.threshold_scaler) == 7.0  # saved registers kept
+    assert rt2.plfg_profile is None
