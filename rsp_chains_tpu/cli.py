@@ -19,13 +19,49 @@ import time
 
 
 PRESETS = ("fft_mag_cfar", "rsp_vanilla", "chain_with_mem", "rx_tx",
-           "pulse_compression", "range_doppler", "real_rx",
+           "pulse_compression", "range_doppler", "rd_2d", "real_rx",
            "beamformed_rd", "integrated_search")
 
 
-def _build_chain(preset: str):
+class _Rd2dChain:
+    """Chain-like facade over ``ops.cfar_2d.rd_2d_cfar_chain`` (whose run
+    signature carries the 2-D detector's OWN register record): binds the
+    ``--set2d`` register overrides so the CLI's uniform ``f(x, rt)`` call
+    sites work unchanged. The 2-D registers are traced like the 1-D file —
+    rebinding them would not recompile either."""
+
+    def __init__(self, set2d):
+        from .configs import (
+            ChainConfig, DopplerConfig, FftConfig, MatchedFilterConfig,
+        )
+        from .ops.cfar_2d import Cfar2dConfig, Cfar2dRuntime, rd_2d_cfar_chain
+
+        self.cfg = ChainConfig(
+            fft=FftConfig(max_size=1024),
+            matched_filter=MatchedFilterConfig(num_taps=128, fft_size=1024),
+            doppler=DopplerConfig(num_pulses=256),
+        )
+        self.cfg2d = Cfar2dConfig()
+        kw = dict(ref_range=8, guard_range=2, ref_doppler=4, guard_doppler=1,
+                  threshold_scaler=6.0)
+        for ov in set2d or []:
+            k, _, v = ov.partition("=")
+            kw[k] = _reg_value(v)
+        self.rt2 = Cfar2dRuntime.make(validate_against=self.cfg2d, **kw)
+        self._run = rd_2d_cfar_chain(self.cfg, cfg2d=self.cfg2d)
+        self.stage_names = ("rd_2d_cfar",)
+
+    def jit(self):
+        import jax
+
+        return jax.jit(lambda x, rt: self._run(x, rt, self.rt2))
+
+
+def _build_chain(preset: str, set2d=None):
     from . import presets as P
 
+    if preset == "rd_2d":
+        return _Rd2dChain(set2d)
     return {
         "fft_mag_cfar": P.fft_mag_cfar_chain,
         "rsp_vanilla": P.rsp_chain_vanilla,
@@ -103,7 +139,7 @@ def cmd_run(args):
     import numpy as np
     import jax.numpy as jnp
 
-    chain = _build_chain(args.preset)
+    chain = _build_chain(args.preset, getattr(args, "set2d", None))
     rt = _runtime(args.set or [], chain.cfg.cfar)
     from .cplx import as_pair
 
@@ -125,7 +161,8 @@ def cmd_run(args):
                         jnp.float32)
         print(f"(no --input: real part of the canonical {n}-pt three-tone fixture)",
               file=sys.stderr)
-    elif args.preset in ("range_doppler", "beamformed_rd", "integrated_search"):
+    elif args.preset in ("range_doppler", "rd_2d", "beamformed_rd",
+                         "integrated_search"):
         x = as_pair(_default_cpi(args.preset, chain.cfg))
         print("(no --input: synthetic one-target LFM CPI fixture)",
               file=sys.stderr)
@@ -319,11 +356,11 @@ def cmd_plot(args):
     from .ops.fft import fft_op
     from .ops.logmag import logmag
 
-    chain = _build_chain(args.preset)
+    chain = _build_chain(args.preset, getattr(args, "set2d", None))
     rt = _runtime(args.set or [], chain.cfg.cfar)
     n = chain.cfg.fft.max_size
 
-    if args.preset in ("range_doppler", "beamformed_rd"):
+    if args.preset in ("range_doppler", "rd_2d", "beamformed_rd"):
         # 2-D range-Doppler map with CFAR detection overlay
         from .golden import chirp_with_targets, lfm_chirp
 
@@ -469,6 +506,9 @@ def main(argv=None):
                          "per frame (ops/detect.py serving egress)")
     pr.add_argument("--set", action="append", metavar="REG=VAL",
                     help="runtime register override (RuntimeConfig.make kwarg)")
+    pr.add_argument("--set2d", action="append", metavar="REG=VAL",
+                    help="2-D detector register override (rd_2d preset; "
+                         "Cfar2dRuntime.make kwarg)")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("selftest", help="self-stimulus peak-bin contract check")
@@ -509,6 +549,8 @@ def main(argv=None):
     pp.add_argument("--input", help=".npy complex IQ frame")
     pp.add_argument("--output", help="output figure path (default ThresholdPlot.pdf)")
     pp.add_argument("--set", action="append", metavar="REG=VAL")
+    pp.add_argument("--set2d", action="append", metavar="REG=VAL",
+                    help="2-D detector register override (rd_2d preset)")
     pp.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)

@@ -145,3 +145,76 @@ def test_poke_rmw_atomic_vs_concurrent_reconfigure(chain):
         # whole file — peak_grouping goes back to the racer's value (0).
         # That combination means the lock ordering broke.
         raise AssertionError(f"lost update: {regs}")
+
+
+def test_concurrent_pokes_never_tear_the_register_file(chain):
+    """SURVEY §5.2 (race detection): many concurrent debug masters hammer
+    single-register writes while the data plane streams CPIs. Every write is
+    a read-merge-write under the pipeline's runtime lock, so the final file
+    must reflect exactly one interleaving — no torn/partial states, no lost
+    profile RAM — and every intermediate peek must round-trip make()."""
+    import queue
+
+    from rsp_chains_tpu.ops.plfg import PlfgProgram, Segment, compile_program
+
+    prof = compile_program(
+        PlfgProgram(chirps=((Segment(num_samples=256),),)),
+        None, 256)
+    rt0 = rsp.RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                                 guard_window_size=2, threshold_scaler=3.5,
+                                 div_sum=3, plfg_profile=prof)
+    pipe = StreamingPipeline(chain.jit(), rt0)
+    errors: queue.Queue = queue.Queue()
+    iq = (np.random.RandomState(0).randn(256)
+          + 1j * np.random.RandomState(1).randn(256)).astype(np.complex64)
+
+    with pipe, ControlServer(lambda: pipe.runtime, pipe.reconfigure,
+                             cfar_cfg=chain.cfg.cfar,
+                             update_rt=pipe.update_runtime) as srv:
+        def hammer(reg, values):
+            try:
+                for v in values:
+                    r = poke("127.0.0.1", srv.port, {reg: v})
+                    assert r["ok"], r
+                    regs = r["regs"]
+                    rsp.RuntimeConfig.make(**regs)  # never torn: re-validates
+            except Exception as e:  # noqa: BLE001
+                errors.put(e)
+
+        threads = [
+            threading.Thread(target=hammer, args=("threshold_scaler",
+                                                  [float(v) for v in
+                                                   range(2, 22)])),
+            threading.Thread(target=hammer, args=("guard_window_size",
+                                                  [1, 2] * 10)),
+            threading.Thread(target=hammer, args=("peak_grouping",
+                                                  [0, 1] * 10)),
+        ]
+        feeder_stop = threading.Event()
+
+        def feeder():
+            seq = 0
+            while not feeder_stop.is_set():
+                pipe.submit(seq, iq[None])
+                seq += 1
+                time.sleep(0.002)
+
+        ft = threading.Thread(target=feeder)
+        for t in threads:
+            t.start()
+        ft.start()
+        for t in threads:
+            t.join(timeout=60)
+        feeder_stop.set()
+        ft.join(timeout=10)
+        assert errors.empty(), errors.get()
+        final = pipe.runtime
+    # the last write of each hammered register is one of its written values,
+    # untouched registers kept their initial values, and the profile RAM
+    # survived every scalar merge
+    assert float(final.threshold_scaler) == 21.0
+    assert int(final.guard_window_size) in (1, 2)
+    assert int(final.peak_grouping) in (0, 1)
+    assert int(final.ref_window_size) == 8
+    np.testing.assert_array_equal(np.asarray(final.plfg_profile), prof)
+    assert pipe.stats.frames_failed == 0

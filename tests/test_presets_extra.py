@@ -182,7 +182,8 @@ def test_cli_plot_covers_every_preset(tmp_path, monkeypatch):
             **small(),
             matched_filter=MatchedFilterConfig(num_taps=32, fft_size=256))),
     }
-    monkeypatch.setattr(cli, "_build_chain", lambda preset: builders[preset]())
+    monkeypatch.setattr(cli, "_build_chain",
+                        lambda preset, *a: builders[preset]())
 
     for preset in builders:
         out = tmp_path / f"{preset}.pdf"
@@ -331,3 +332,39 @@ def test_real_rx_chain_honors_sqrt_n_scaling_and_rejects_window(rng):
                       for i in range(2)])
     np.testing.assert_allclose(np.asarray(got.threshold), thr_g,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_cli_rd_2d_preset_run_and_plot(tmp_path, monkeypatch):
+    """The 2-D map detector is CLI-reachable: ``run/plot --preset rd_2d``
+    with --set2d register overrides (small elaboration via patched builder)."""
+    from rsp_chains_tpu import cli
+    from rsp_chains_tpu.configs import (
+        ChainConfig, DopplerConfig, FftConfig, MatchedFilterConfig,
+    )
+
+    real_init = cli._Rd2dChain.__init__
+
+    def small_init(self, set2d):
+        real_init(self, set2d)
+        from rsp_chains_tpu.ops.cfar_2d import Cfar2dConfig, rd_2d_cfar_chain
+
+        self.cfg = ChainConfig(
+            fft=FftConfig(max_size=256),
+            matched_filter=MatchedFilterConfig(num_taps=32, fft_size=256),
+            doppler=DopplerConfig(num_pulses=16),
+        )
+        self._run = rd_2d_cfar_chain(self.cfg, cfg2d=self.cfg2d)
+
+    monkeypatch.setattr(cli._Rd2dChain, "__init__", small_init)
+    rc = cli.main(["run", "--preset", "rd_2d", "--set", "fft_size=256",
+                   "--set2d", "ref_range=4", "--set2d", "guard_range=1",
+                   "--set2d", "threshold_scaler=8.0"])
+    assert rc == 0
+    out = tmp_path / "rd2d.pdf"
+    rc = cli.main(["plot", "--preset", "rd_2d", "--set", "fft_size=256",
+                   "--set2d", "ref_range=4", "--output", str(out)])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
+    # out-of-range 2-D register writes are rejected like the 1-D require()s
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="elaborated maxima"):
+        cli.main(["run", "--preset", "rd_2d", "--set2d", "ref_range=999"])
