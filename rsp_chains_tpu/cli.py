@@ -50,11 +50,14 @@ class _Rd2dChain:
         self.rt2 = Cfar2dRuntime.make(validate_against=self.cfg2d, **kw)
         self._run = rd_2d_cfar_chain(self.cfg, cfg2d=self.cfg2d)
         self.stage_names = ("rd_2d_cfar",)
+        self._jitted = None
 
     def jit(self):
         import jax
 
-        return jax.jit(lambda x, rt: self._run(x, rt, self.rt2))
+        if self._jitted is None:
+            self._jitted = jax.jit(lambda x, rt: self._run(x, rt, self.rt2))
+        return self._jitted
 
 
 def _build_chain(preset: str, set2d=None):

@@ -1128,7 +1128,7 @@ def _chain_gos_kernel(
     interleave are the CA chain kernel's (``fused_chain_ca`` shipped
     formulation); the tail is the v3 sliding-merge shared sort
     (``cfar_pallas._gos_rows_init`` + ``_gos_tail``) with tile = N."""
-    from .cfar_pallas import _gos_rows_init, _gos_tail, _magnitude
+    from .cfar_pallas import _gos_rows_init, _gos_tail
 
     mag_mode = scal_ref[7]
     c_re, c_im = _fft_block_order(xr_ref[:, :], xi_ref[:, :], w_ref, n1,
@@ -1223,7 +1223,7 @@ def fused_chain_gos(
         merge_impl=merge_impl)
     M = GOS3_MARGIN
     extra = {}
-    if n1 >= 8 and bf >= 16 or bf >= 32:
+    if (n1 >= 8 and bf >= 16) or bf >= 32:
         # window stack (wmax value rows of [bf, n + 2M]) + FFT constants
         # overflow the 16 MB default scoped budget at N=1024
         extra["compiler_params"] = pltpu.CompilerParams(

@@ -301,6 +301,61 @@ def mag_int_op(x: C, mag_mode: jnp.ndarray, cfg=None) -> jnp.ndarray:
         None)
 
 
+def _shift_params(cfg: CfarConfig):
+    """Zero-pad width and dynamic-shift bit count from the ELABORATED maxima
+    (a fixed 128/8-bit cap would silently drop high shift bits of large
+    elaborations and take window sums from the wrong cells)."""
+    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
+    return max(128, max_shift + 1), max(8, max_shift.bit_length())
+
+
+def _roll_dyn(xv, s, bits: int, left: bool = False):
+    """Circular roll by traced ``s`` via bit-decomposed static rolls."""
+    for k in range(bits):
+        sh = -(1 << k) if left else (1 << k)
+        xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
+    return xv
+
+
+def _int_ca_sums(m, g, w, log2w, cfg: CfarConfig):
+    """Integer lag/lead reference-window sums (undivided): zero-padded dyadic
+    box ladder + runtime rotations — exact adds throughout."""
+    n = m.shape[-1]
+    padw, bits = _shift_params(cfg)
+    z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
+    row = jnp.concatenate([z, m, z], axis=-1)
+    sel = row
+    box = row
+    for k in range(int(cfg.max_ref_window).bit_length() - 1):
+        box = box + jnp.roll(box, 1 << k, axis=-1)
+        sel = jnp.where(log2w == k + 1, box, sel)
+    lag = _roll_dyn(sel, g + 1, bits)[..., padw : padw + n]
+    lead = _roll_dyn(sel, g + w, bits, left=True)[..., padw : padw + n]
+    return lag, lead
+
+
+def _int_thr_peaks(mag, noise, rt: RuntimeConfig, active, n_active, cell):
+    """Shared integer threshold + detection tail: 6-fractional-bit scaler
+    (linear) / additive round (log domain), active-frame masking, optional
+    local-maximum peak grouping."""
+    scaler_q = jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32)
+    thr_lin = rhu(noise * scaler_q, 6)
+    thr_log = noise + jnp.round(rt.threshold_scaler).astype(jnp.int32)
+    thr = jnp.where(rt.log_or_linear == 1, thr_lin, thr_log)
+    thr = jnp.where(active, thr, 0)
+    peaks = (mag > thr) & active
+
+    big = jnp.int32(-(1 << 30))
+    left_n = jnp.concatenate(
+        [jnp.full(mag.shape[:-1] + (1,), big), mag[..., :-1]], -1)
+    right_n = jnp.concatenate(
+        [mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), big)], -1)
+    right_n = jnp.where(cell + 1 < n_active, right_n, big)
+    grouped = peaks & (mag >= left_n) & (mag >= right_n)
+    peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
+    return thr, peaks
+
+
 def ca_cfar_int(
     mag: jnp.ndarray,
     rt: RuntimeConfig,
@@ -309,8 +364,8 @@ def ca_cfar_int(
     """Integer CA/GO/SO CFAR with the exact hardware dividers: window sums by
     dyadic rolls (exact adds), per-side ``>> divSum``, threshold through the
     6-fractional-bit scaler. Peak grouping and active-frame masking follow
-    ``cfar_op``. PARTIAL edges, CA family only (the bit-true conformance
-    configuration)."""
+    ``cfar_op``. PARTIAL edges, CA family only (``cfar_int`` adds the
+    GOS/GOSCA + CASH datapaths)."""
     mag = mag.astype(jnp.int32)
     n = mag.shape[-1]
     n_active = jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32)
@@ -321,29 +376,7 @@ def ca_cfar_int(
     cell = jnp.arange(n, dtype=jnp.int32)
     active = cell < n_active
     m = jnp.where(active, mag, 0)
-    # pad and dynamic-shift widths derive from the ELABORATED maxima (after
-    # the clamps above, g + w <= max_guard + max_ref): a fixed 128/8-bit cap
-    # would silently drop high shift bits of large elaborations and take the
-    # window sums from the wrong cells
-    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
-    padw = max(128, max_shift + 1)
-    shift_bits = max(8, max_shift.bit_length())
-    z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
-    row = jnp.concatenate([z, m, z], axis=-1)
-    sel = row
-    box = row
-    for k in range(int(cfg.max_ref_window).bit_length() - 1):
-        box = box + jnp.roll(box, 1 << k, axis=-1)
-        sel = jnp.where(log2w == k + 1, box, sel)
-
-    def roll_dyn(xv, s, left=False):
-        for k in range(shift_bits):
-            sh = -(1 << k) if left else (1 << k)
-            xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
-        return xv
-
-    lag = roll_dyn(sel, g + 1)[..., padw : padw + n]
-    lead = roll_dyn(sel, g + w, left=True)[..., padw : padw + n]
+    lag, lead = _int_ca_sums(m, g, w, log2w, cfg)
     div = rt.div_sum.astype(jnp.int32)
     s_lag = jnp.right_shift(lag, div)     # non-negative: truncating shifter
     s_lead = jnp.right_shift(lead, div)
@@ -352,20 +385,7 @@ def ca_cfar_int(
         mode == 1, jnp.maximum(s_lag, s_lead),
         jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
                   (s_lag + s_lead) >> 1))
-
-    scaler_q = jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32)
-    thr_lin = rhu(noise * scaler_q, 6)
-    thr_log = noise + jnp.round(rt.threshold_scaler).astype(jnp.int32)
-    thr = jnp.where(rt.log_or_linear == 1, thr_lin, thr_log)
-    thr = jnp.where(active, thr, 0)
-    peaks = (mag > thr) & active
-
-    big = jnp.int32(-(1 << 30))
-    left_n = jnp.concatenate([jnp.full(mag.shape[:-1] + (1,), big), mag[..., :-1]], -1)
-    right_n = jnp.concatenate([mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), big)], -1)
-    right_n = jnp.where(cell + 1 < n_active, right_n, big)
-    grouped = peaks & (mag >= left_n) & (mag >= right_n)
-    peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
+    thr, peaks = _int_thr_peaks(mag, noise, rt, active, n_active, cell)
     return CfarOutput(threshold=thr, peaks=peaks)
 
 
@@ -377,20 +397,12 @@ def _int_windows(m, n_active, g, w, cfg: CfarConfig):
     inside [0, n_active)."""
     n = m.shape[-1]
     wmax = cfg.max_ref_window
-    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
-    padw = max(128, max_shift + 1)
-    shift_bits = max(8, max_shift.bit_length())
+    padw, bits = _shift_params(cfg)
     z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
     row = jnp.concatenate([z, m, z], axis=-1)
 
-    def roll_dyn(xv, s, left=False):
-        for k in range(shift_bits):
-            sh = -(1 << k) if left else (1 << k)
-            xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
-        return xv
-
-    lag_base = roll_dyn(row, g + w)              # [j] = row[j - g - w]
-    lead_base = roll_dyn(row, g + 1, left=True)  # [j] = row[j + g + 1]
+    lag_base = _roll_dyn(row, g + w, bits)              # [j] = row[j - g - w]
+    lead_base = _roll_dyn(row, g + 1, bits, left=True)  # [j] = row[j + g + 1]
     lag = jnp.stack([jnp.roll(lag_base, -k, axis=-1) for k in range(wmax)],
                     axis=-2)[..., :, padw : padw + n]
     lead = jnp.stack([jnp.roll(lead_base, -k, axis=-1) for k in range(wmax)],
@@ -486,26 +498,7 @@ def cfar_int(
     active = cell < n_active
     m = jnp.where(active, mag, 0)
 
-    # CA sums (same dyadic machinery as ca_cfar_int)
-    max_shift = int(cfg.max_ref_window + cfg.max_guard_window)
-    padw = max(128, max_shift + 1)
-    shift_bits = max(8, max_shift.bit_length())
-    z = jnp.zeros(m.shape[:-1] + (padw,), jnp.int32)
-    row = jnp.concatenate([z, m, z], axis=-1)
-    sel = row
-    box = row
-    for k in range(int(cfg.max_ref_window).bit_length() - 1):
-        box = box + jnp.roll(box, 1 << k, axis=-1)
-        sel = jnp.where(log2w == k + 1, box, sel)
-
-    def roll_dyn(xv, s, left=False):
-        for k in range(shift_bits):
-            sh = -(1 << k) if left else (1 << k)
-            xv = jnp.where(((s >> k) & 1) == 1, jnp.roll(xv, sh, axis=-1), xv)
-        return xv
-
-    lag = roll_dyn(sel, g + 1)[..., padw : padw + n]
-    lead = roll_dyn(sel, g + w, left=True)[..., padw : padw + n]
+    lag, lead = _int_ca_sums(m, g, w, log2w, cfg)
     div = rt.div_sum.astype(jnp.int32)
     ca_lag = jnp.right_shift(lag, div)
     ca_lead = jnp.right_shift(lead, div)
@@ -539,17 +532,5 @@ def cfar_int(
         est_lead = _int_cash_side(lead_win, lead_valid, sw, cfg.max_ref_window)
         noise = jnp.where(mode == 3, jnp.maximum(est_lag, est_lead), noise)
 
-    scaler_q = jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32)
-    thr_lin = rhu(noise * scaler_q, 6)
-    thr_log = noise + jnp.round(rt.threshold_scaler).astype(jnp.int32)
-    thr = jnp.where(rt.log_or_linear == 1, thr_lin, thr_log)
-    thr = jnp.where(active, thr, 0)
-    peaks = (mag > thr) & active
-
-    big = jnp.int32(-(1 << 30))
-    left_n = jnp.concatenate([jnp.full(mag.shape[:-1] + (1,), big), mag[..., :-1]], -1)
-    right_n = jnp.concatenate([mag[..., 1:], jnp.full(mag.shape[:-1] + (1,), big)], -1)
-    right_n = jnp.where(cell + 1 < n_active, right_n, big)
-    grouped = peaks & (mag >= left_n) & (mag >= right_n)
-    peaks = jnp.where(rt.peak_grouping == 1, grouped, peaks)
+    thr, peaks = _int_thr_peaks(mag, noise, rt, active, n_active, cell)
     return CfarOutput(threshold=thr, peaks=peaks)
