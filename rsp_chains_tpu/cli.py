@@ -41,12 +41,27 @@ class _Rd2dChain:
             matched_filter=MatchedFilterConfig(num_taps=128, fft_size=1024),
             doppler=DopplerConfig(num_pulses=256),
         )
-        self.cfg2d = Cfar2dConfig()
         kw = dict(ref_range=8, guard_range=2, ref_doppler=4, guard_doppler=1,
                   threshold_scaler=6.0)
         for ov in set2d or []:
             k, _, v = ov.partition("=")
             kw[k] = _reg_value(v)
+        if kw.get("algorithm") == 1:
+            # OS registers need an include_os elaboration, whose annulus
+            # stack is capped — elaborate the small OS maxima and shrink the
+            # default window to fit (explicit overrides still validate)
+            self.cfg2d = Cfar2dConfig(max_ref_range=4, max_guard_range=1,
+                                      max_ref_doppler=2, max_guard_doppler=1,
+                                      include_os=True)
+            for key, mx in (("ref_range", 4), ("guard_range", 1),
+                            ("ref_doppler", 2), ("guard_doppler", 1)):
+                if key not in {o.partition("=")[0] for o in set2d or []}:
+                    kw[key] = min(kw[key], mx)
+            # median-rank default: high ranks self-mask on compressed-pulse
+            # sidelobes when the guard rectangle is this small
+            kw.setdefault("os_rank", self.cfg2d.os_stack // 2)
+        else:
+            self.cfg2d = Cfar2dConfig()
         self.rt2 = Cfar2dRuntime.make(validate_against=self.cfg2d, **kw)
         self._run = rd_2d_cfar_chain(self.cfg, cfg2d=self.cfg2d)
         self.stage_names = ("rd_2d_cfar",)

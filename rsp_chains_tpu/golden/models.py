@@ -232,9 +232,12 @@ def range_doppler_golden(
 def cfar_2d_golden(mag: np.ndarray, *, ref_range: int, guard_range: int,
                    ref_doppler: int, guard_doppler: int,
                    threshold_scaler: float, log_or_linear: int = 1,
-                   peak_grouping: int = 0, active_range: int | None = None):
-    """Index-wise 2-D CA-CFAR golden (rectangular annulus, PARTIAL edges,
-    count-normalized mean; mirrors ``ops.cfar_2d.cfar_2d_op``). ``mag``:
+                   peak_grouping: int = 0, active_range: int | None = None,
+                   algorithm: int = 0, os_rank: int = 0):
+    """Index-wise 2-D CFAR golden (rectangular annulus, PARTIAL edges;
+    mirrors ``ops.cfar_2d.cfar_2d_op``). ``algorithm`` 0 = CA
+    (count-normalized mean), 1 = OS (``os_rank``-th smallest training cell,
+    0-based, clamped to the valid count like the 1-D GOS golden). ``mag``:
     [P, N] (Doppler, range). Deliberately a literal double loop — not the
     op's roll/vector formulation — so equality is a real cross-check."""
     mag = np.asarray(mag, np.float64)
@@ -245,8 +248,7 @@ def cfar_2d_golden(mag: np.ndarray, *, ref_range: int, guard_range: int,
     pk = np.zeros((p, n), bool)
     for d in range(p):
         for r in range(n_act):
-            s = 0.0
-            c = 0
+            cells = []
             for dd in range(d - a_d, d + a_d + 1):
                 for rr in range(r - a_r, r + a_r + 1):
                     if not (0 <= dd < p and 0 <= rr < n_act):
@@ -254,9 +256,12 @@ def cfar_2d_golden(mag: np.ndarray, *, ref_range: int, guard_range: int,
                     if (abs(dd - d) <= guard_doppler
                             and abs(rr - r) <= guard_range):
                         continue
-                    s += mag[dd, rr]
-                    c += 1
-            noise = s / max(c, 1)
+                    cells.append(mag[dd, rr])
+            c = len(cells)
+            if algorithm == 1:
+                noise = sorted(cells)[min(os_rank, c - 1)] if c else 0.0
+            else:
+                noise = sum(cells) / max(c, 1)
             t = noise * threshold_scaler if log_or_linear == 1 \
                 else noise + threshold_scaler
             thr[d, r] = t

@@ -43,16 +43,36 @@ from .cfar import CfarOutput
 
 @dataclass(frozen=True)
 class Cfar2dConfig:
-    """Elaboration maxima for the 2-D detector (per-axis window bounds)."""
+    """Elaboration maxima for the 2-D detector (per-axis window bounds).
+
+    ``include_os`` compiles in the ordered-statistic body (2-D analog of the
+    1-D GOS rank select, ``ops/cfar.py``): the runtime ``algorithm`` register
+    then muxes CA/OS on one executable. OS materializes one rolled copy of the
+    map per elaborated annulus offset, so it is gated on small maxima — the
+    stack cap below bounds memory at ~256x the map."""
 
     max_ref_range: int = 16
     max_guard_range: int = 4
     max_ref_doppler: int = 8
     max_guard_doppler: int = 2
+    include_os: bool = False
+
+    @property
+    def os_stack(self) -> int:
+        """Elaborated training-stack size: every offset of the outer rectangle
+        except the CUT itself (inner-rectangle offsets are masked at runtime —
+        the guard extents are registers)."""
+        return ((2 * (self.max_ref_doppler + self.max_guard_doppler) + 1)
+                * (2 * (self.max_ref_range + self.max_guard_range) + 1) - 1)
 
     def __post_init__(self):
         assert self.max_ref_range >= 1 and self.max_ref_doppler >= 1
         assert self.max_guard_range >= 0 and self.max_guard_doppler >= 0
+        if self.include_os and self.os_stack > 256:
+            raise ValueError(
+                f"include_os with annulus stack {self.os_stack} > 256: the OS "
+                "body stacks one rolled map per elaborated offset — elaborate "
+                "smaller per-axis maxima for ordered-statistic detection")
 
 
 @jax.tree_util.register_dataclass
@@ -68,18 +88,25 @@ class Cfar2dRuntime:
     log_or_linear: jnp.ndarray    # int32: 1 = multiply, 0 = add (log domain)
     peak_grouping: jnp.ndarray    # int32: 1 = keep 8-neighbour local maxima
     active_range: jnp.ndarray     # int32: valid range cells [0, active_range)
+    algorithm: jnp.ndarray        # int32: 0 = CA, 1 = OS (needs include_os)
+    os_rank: jnp.ndarray          # int32: 0-based rank among valid cells
 
     @staticmethod
     def make(*, ref_range: int, guard_range: int, ref_doppler: int,
              guard_doppler: int, threshold_scaler: float,
              log_or_linear: int = 1, peak_grouping: int = 0,
              active_range: int = 1 << 30,
+             algorithm: int = 0, os_rank: int = 0,
              validate_against: Optional[Cfar2dConfig] = None
              ) -> "Cfar2dRuntime":
         if ref_range < 1 or ref_doppler < 1:
             raise ValueError("reference extents must be >= 1")
         if guard_range < 0 or guard_doppler < 0:
             raise ValueError("guard extents must be >= 0")
+        if algorithm not in (0, 1):
+            raise ValueError("algorithm must be 0 (CA) or 1 (OS)")
+        if os_rank < 0:
+            raise ValueError("os_rank must be >= 0")
         if validate_against is not None:
             c = validate_against
             if (ref_range > c.max_ref_range
@@ -87,6 +114,11 @@ class Cfar2dRuntime:
                     or ref_doppler > c.max_ref_doppler
                     or guard_doppler > c.max_guard_doppler):
                 raise ValueError("2-D window exceeds elaborated maxima")
+            if algorithm == 1 and not c.include_os:
+                raise ValueError(
+                    "algorithm=OS requires an include_os=True elaboration")
+            if algorithm == 1 and os_rank >= c.os_stack:
+                raise ValueError("os_rank exceeds the elaborated annulus")
         i32 = lambda v: jnp.asarray(v, jnp.int32)
         return Cfar2dRuntime(
             ref_range=i32(ref_range), guard_range=i32(guard_range),
@@ -94,6 +126,7 @@ class Cfar2dRuntime:
             threshold_scaler=jnp.asarray(threshold_scaler, jnp.float32),
             log_or_linear=i32(log_or_linear), peak_grouping=i32(peak_grouping),
             active_range=i32(active_range),
+            algorithm=i32(algorithm), os_rank=i32(os_rank),
         )
 
 
@@ -183,6 +216,39 @@ def cfar_2d_op(
     train_sum = (outer - inner)[sl]
     train_cnt = (c_out - c_in)[sl]
     noise = train_sum / jnp.maximum(train_cnt, 1.0)
+
+    if cfg.include_os:
+        # Ordered-statistic body (2-D analog of ops/cfar.py's gather-free
+        # rank select): one rolled copy of the padded map per elaborated
+        # outer-rectangle offset, runtime annulus membership as a scalar mask
+        # per offset, sort along the stack, one-hot-select the clamped rank.
+        # The (0,0) offset is excluded statically — guard extents >= 0 keep
+        # the CUT inside the runtime inner rectangle. A raw register write of
+        # algorithm=1 on an include_os=False elaboration is inert (no OS body
+        # compiled in): the mux below only exists under include_os.
+        vals, oks = [], []
+        for dd in range(-max_ad, max_ad + 1):
+            m_d = jnp.roll(mp, -dd, axis=-2)
+            v_d = jnp.roll(vp, -dd, axis=-2)
+            for dr in range(-max_ar, max_ar + 1):
+                if dd == 0 and dr == 0:
+                    continue
+                member = ((abs(dd) <= a_d) & (abs(dr) <= a_r)
+                          & ~((abs(dd) <= g_d) & (abs(dr) <= g_r)))
+                vals.append(jnp.roll(m_d, -dr, axis=-1)[sl])
+                oks.append(member & (jnp.roll(v_d, -dr, axis=-1)[sl] > 0.5))
+        stack_v = jnp.stack(vals, axis=-3)
+        stack_ok = jnp.stack(oks, axis=-3)
+        sv = jnp.sort(jnp.where(stack_ok, stack_v, jnp.float32(jnp.inf)),
+                      axis=-3)
+        nv = jnp.sum(stack_ok, axis=-3).astype(jnp.int32)
+        idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0, sv.shape[-3] - 1)
+        ks = jnp.arange(sv.shape[-3], dtype=jnp.int32).reshape(-1, 1, 1)
+        os_noise = jnp.sum(jnp.where(ks == idx[..., None, :, :], sv, 0.0),
+                           axis=-3)
+        os_noise = jnp.where(nv > 0, os_noise, 0.0)
+        noise = jnp.where(rt2.algorithm == 1, os_noise, noise)
+
     thr = jnp.where(rt2.log_or_linear == 1,
                     noise * rt2.threshold_scaler,
                     noise + rt2.threshold_scaler)
@@ -249,7 +315,8 @@ def rd_2d_cfar_chain(cfg: Optional[ChainConfig] = None,
         fully_fusable = (
             fusable
             and 2 * (cfg2d.max_ref_range + cfg2d.max_guard_range) + 2 <= PAD
-            and not cfg.mag.use_lut_log and not cfg.fixed_point.enabled)
+            and not cfg.mag.use_lut_log and not cfg.fixed_point.enabled
+            and not cfg2d.include_os)  # OS body is XLA-only (stacked sort)
         mf = matched_filter_stage(cfg, taps_np)
     dop = doppler_stage(cfg)
 
