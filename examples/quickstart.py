@@ -60,6 +60,30 @@ def main():
     print(f"range-Doppler: {pk.sum()} detections; "
           f"target cells hit: {bool(pk[38, 300])}, {bool(pk[19, 600])}")
 
+    # 4b. 2-D map detector on the same CPI: one executable serves both the
+    # CA annulus and (include_os elaborations) the ordered-statistic rank —
+    # the algorithm/os_rank fields are traced registers like everything else
+    import jax
+
+    cfg2d = rsp.Cfar2dConfig(max_ref_range=4, max_guard_range=1,
+                             max_ref_doppler=2, max_guard_doppler=1,
+                             include_os=True)
+    run2d = jax.jit(rsp.rd_2d_cfar_chain(rsp.ChainConfig(
+        doppler=rsp.DopplerConfig(num_pulses=64),
+        matched_filter=rsp.MatchedFilterConfig(num_taps=128)),
+        taps=chirp, cfg2d=cfg2d))
+    rt1 = rsp.RuntimeConfig.make(fft_size=1024)
+    for alg, name in ((0, "CA"), (1, "OS")):
+        rt2d = rsp.Cfar2dRuntime.make(
+            ref_range=4, guard_range=1, ref_doppler=2, guard_doppler=1,
+            threshold_scaler=8.0, peak_grouping=1, algorithm=alg,
+            os_rank=cfg2d.os_stack // 2, validate_against=cfg2d)
+        o2d = run2d(rsp.as_pair(cpi[None]), rt1, rt2d)
+        p2d = np.asarray(o2d.peaks)[0]
+        print(f"2-D {name}-CFAR: {p2d.sum()} detections; "
+              f"targets hit: {bool(p2d[38, 300])}, {bool(p2d[19, 600])}")
+    print("2-D compiles:", run2d._cache_size())
+
     # 5. served loop: framed bytes through the TCP server
     from rsp_chains_tpu.io.server import ChainServer, request_frames
 
