@@ -158,3 +158,50 @@ def test_fused_rd_random_register_files(trial):
     assert np.abs(np.asarray(got.threshold) - thr_w).max() / scale < 1e-4
     flips = int(np.sum(np.asarray(got.peaks) != np.asarray(want.peaks)))
     assert flips <= 2, flips
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_cfar_2d_random_register_files(trial):
+    """2-D detector fuzz: random map shapes x random register files (CA and
+    OS), op vs the literal index-wise golden."""
+    from rsp_chains_tpu.golden import cfar_2d_golden
+    from rsp_chains_tpu.ops.cfar_2d import (
+        Cfar2dConfig, Cfar2dRuntime, cfar_2d_op,
+    )
+
+    rng = np.random.RandomState(2000 + trial)
+    p = int(rng.choice([6, 12, 20]))
+    n = int(rng.choice([24, 48, 96]))
+    m = (np.abs(rng.randn(p, n)) * rng.uniform(1, 50)).astype(np.float32)
+    for _ in range(rng.randint(1, 3)):
+        m[rng.randint(p), rng.randint(n)] *= rng.uniform(5, 40)
+
+    cfg = Cfar2dConfig(max_ref_range=4, max_guard_range=2,
+                       max_ref_doppler=3, max_guard_doppler=1,
+                       include_os=True)
+    kw = dict(
+        ref_range=int(rng.randint(1, 5)),
+        guard_range=int(rng.randint(0, 3)),
+        ref_doppler=int(rng.randint(1, 4)),
+        guard_doppler=int(rng.randint(0, 2)),
+        threshold_scaler=float(rng.uniform(1.0, 8.0)),
+        log_or_linear=int(rng.randint(0, 2)),
+        peak_grouping=int(rng.randint(0, 2)),
+        active_range=int(rng.randint(4, n + 8)),
+        algorithm=int(rng.randint(0, 2)),
+        os_rank=int(rng.randint(0, cfg.os_stack)),
+    )
+    rt2 = Cfar2dRuntime.make(validate_against=cfg, **kw)
+    out = cfar_2d_op(jnp.asarray(m), rt2, cfg)
+    thr_g, pk_g = cfar_2d_golden(
+        m, ref_range=kw["ref_range"], guard_range=kw["guard_range"],
+        ref_doppler=kw["ref_doppler"], guard_doppler=kw["guard_doppler"],
+        threshold_scaler=kw["threshold_scaler"],
+        log_or_linear=kw["log_or_linear"],
+        peak_grouping=kw["peak_grouping"], active_range=kw["active_range"],
+        algorithm=kw["algorithm"], os_rank=kw["os_rank"],
+    )
+    np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
+                               rtol=1e-4, atol=1e-4, err_msg=str(kw))
+    np.testing.assert_array_equal(np.asarray(out.peaks), pk_g,
+                                  err_msg=str(kw))
