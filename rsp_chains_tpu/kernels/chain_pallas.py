@@ -545,7 +545,8 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 lag_bits: int = 7, lead_bits: int = 7, mag_ref=None,
                 perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8,
                 boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
-                h_ref=None):
+                h_ref=None, tail_impl: str = "lean",
+                words_ref=None, bin_width: int = 0):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
     (threshold f32, peaks u8).
 
@@ -666,11 +667,18 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
     if ablate == "cfar":
         return mag, (mag > fscal_ref[0]).astype(jnp.uint8)
     if gated_refs is not None:
-        from .cfar_pallas import _ca_cfar_into
+        from .cfar_pallas import _ca_cfar_into, _ca_cfar_into_lean
 
         thr_ref, pk_ref, scr_ref = gated_refs
-        _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr_ref, n,
-                      lag_bits=lag_bits, lead2_bits=lead2_bits)
+        if tail_impl == "lean":
+            _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref,
+                               scr_ref, n, lag_bits=lag_bits,
+                               lead2_bits=lead2_bits,
+                               words_ref=words_ref, bin_width=bin_width)
+        else:
+            assert words_ref is None, "packed-word emission needs tail 'lean'"
+            _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr_ref,
+                          n, lag_bits=lag_bits, lead2_bits=lead2_bits)
         return None
     return _ca_cfar_body(mag, scal_ref, fscal_ref, n, lag_bits, lead_bits)
 
@@ -688,7 +696,7 @@ def _chain_kernel(
     lag_bits: int = 7, lead_bits: int = 7, lead2_bits: int = 8,
     gate_mag: bool = True, perm_impl: str = "roll", gated_cfar: bool = True,
     row_groups: int = 1, boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
-    with_h: bool = False,
+    with_h: bool = False, tail_impl: str = "lean",
 ):
     """``row_groups`` > 1 partitions the tile's frames into independent
     groups, each running the full FFT->mag->perm->CFAR chain: the groups share
@@ -721,7 +729,8 @@ def _chain_kernel(
                           mag_ref=thr_g if gate_mag else None,
                           perm_impl=perm_impl, gated_refs=gated_refs,
                           lead2_bits=lead2_bits, boxsum_impl=boxsum_impl,
-                          stack_hi_lo=stack_hi_lo, h_ref=h_ref)
+                          stack_hi_lo=stack_hi_lo, h_ref=h_ref,
+                          tail_impl=tail_impl)
         if out is not None:
             thr, pk_u8 = out
             thr_g[:, :] = thr
@@ -733,25 +742,41 @@ def _chain_kernel_packed(
     xw_ref,                  # [F, N] int32 beat words (re[31:16], im[15:0])
     tw_ref, w_ref, pm_ref,
     out_ref,                 # [F, N] int32 CFAR output words
-    thr_scr, pk_scr, scr_ref,  # gated-CFAR scratches ([F,N] f32/i32, [F,N+2P])
-    *,
+    *rest,                   # scratches (see fused_chain_ca_packed)
     n: int, n1: int, bin_width: int, dot_impl: str = "f32",
     fold_twiddle: bool = False, lag_bits: int = 7, lead_bits: int = 7,
     lead2_bits: int = 8, perm_impl: str = "roll", gated_cfar: bool = True,
+    tail_impl: str = "lean",
 ):
     """Wire-format variant: packed IQ beat words in, packed CFAR words out —
     the RxFftMagCfarTxChain data plane as ONE kernel. Halves the input HBM
-    read and shrinks the output write 5x vs the float pair form."""
+    read and shrinks the output write 5x vs the float pair form. The 'lean'
+    tail (default since r4) emits the ``{thr | bin | peak}`` words straight
+    from the peak pass — no thr/pk scratch round-trips, no standalone pack
+    passes (VERDICT r3 item 3)."""
     w32 = xw_ref[:, :]
     xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
-    xi = (((w32 & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.float32)
+    xi = ((w32 << 16) >> 16).astype(jnp.float32)   # sign-extend low half
+    if tail_impl == "lean":
+        thr_scr, scr_ref = rest
+        _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
+                    scal_ref, fscal_ref, n, n1, dot_impl=dot_impl,
+                    fold_twiddle=fold_twiddle,
+                    lag_bits=lag_bits, lead_bits=lead_bits,
+                    lead2_bits=lead2_bits,
+                    perm_impl=perm_impl,
+                    gated_refs=(thr_scr, None, scr_ref),
+                    tail_impl="lean", words_ref=out_ref, bin_width=bin_width)
+        return
+    thr_scr, pk_scr, scr_ref = rest
     gated_refs = (thr_scr, pk_scr, scr_ref) if gated_cfar else None
     out = _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
                       scal_ref, fscal_ref, n, n1, dot_impl=dot_impl,
                       fold_twiddle=fold_twiddle,
                       lag_bits=lag_bits, lead_bits=lead_bits,
                       lead2_bits=lead2_bits,
-                      perm_impl=perm_impl, gated_refs=gated_refs)
+                      perm_impl=perm_impl, gated_refs=gated_refs,
+                      tail_impl="classic")
     if out is None:
         thr, pk_u8 = thr_scr[:, :], pk_scr[:, :]
     else:
@@ -824,6 +849,7 @@ def fused_chain_ca(
     boxsum_impl: str = "vpu",
     stack_hi_lo: bool = True,
     h_block=None,
+    tail_impl: str = "lean",
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024} (headline shapes)
@@ -928,7 +954,7 @@ def fused_chain_ca(
         fold_twiddle=fold_twiddle, ablate=ablate, gate_mag=gate_mag,
         perm_impl=perm_impl, gated_cfar=gated_cfar, row_groups=row_groups,
         boxsum_impl=boxsum_impl, stack_hi_lo=stack_hi_lo,
-        with_h=h_block is not None,
+        with_h=h_block is not None, tail_impl=tail_impl,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
@@ -1002,19 +1028,25 @@ def fused_chain_ca_packed(
     cfar_cfg: CfarConfig,
     interpret: bool = False,
     *,
-    block_frames: int = CHAIN_BLOCK_FRAMES,
+    block_frames: int | None = None,
     dot_impl: str = "bf16x2",
     fold_twiddle: bool = True,
     perm_impl: str = "fold",
     gated_cfar: bool = True,
+    tail_impl: str = "lean",
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
     packed ``{threshold | bin | peak}`` words out — the full
     ``RxFftMagCfarTxChain`` data plane in one kernel, with half the input HBM
-    read and a 5x smaller output write than the float-pair form."""
+    read and a 5x smaller output write than the float-pair form. Default
+    formulation follows the pair kernel (256-frame tiles for n1 <= 8, lean
+    tail with in-pass word emission — VERDICT r3 item 3)."""
     n = words.shape[-1]
     n1 = n // 128
     assert n == fft_cfg.max_size and n1 in (2, 4, 8), n
+    if block_frames is None:
+        block_frames = (CHAIN_BLOCK_FRAMES_SMALL_N if n1 <= 8
+                        else CHAIN_BLOCK_FRAMES)
     batch_shape = words.shape[:-1]
     flat = int(np.prod(batch_shape)) if batch_shape else 1
     # int32 view: Mosaic's integer ops are int32; the kernel sign-extends
@@ -1050,13 +1082,24 @@ def fused_chain_ca_packed(
         _chain_kernel_packed, n=n, n1=n1,
         bin_width=int(np.log2(n)), dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, perm_impl=perm_impl,
-        gated_cfar=gated_cfar,
+        gated_cfar=gated_cfar, tail_impl=tail_impl,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
         lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
                              + cfar_cfg.max_ref_window + 1))
     from .cfar_pallas import PAD as _CPAD
+    if tail_impl == "lean":
+        scratch_shapes = [
+            pltpu.VMEM((bf, n), jnp.float32),
+            pltpu.VMEM((bf, n + _CPAD), jnp.float32),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((bf, n), jnp.float32),
+            pltpu.VMEM((bf, n), jnp.uint8),
+            pltpu.VMEM((bf, n + _CPAD), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1075,11 +1118,7 @@ def fused_chain_ca_packed(
             ],
             out_specs=pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((bf, n), jnp.float32),
-                pltpu.VMEM((bf, n), jnp.uint8),
-                pltpu.VMEM((bf, n + _CPAD), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
         interpret=interpret,

@@ -55,7 +55,13 @@ from ..configs import (
     RuntimeConfig,
 )
 from ..ops.cfar import CfarOutput
-from .cfar_pallas import PAD, _bits_for, _ca_cfar_into, _magnitude
+from .cfar_pallas import (
+    PAD,
+    _bits_for,
+    _ca_cfar_into,
+    _ca_cfar_into_lean,
+    _magnitude,
+)
 from .chain_pallas import (
     _chain_consts_folded,
     _chain_scalars,
@@ -279,7 +285,7 @@ def _rd_kernel(
     y_scr,                   # [P, N + PAD] f32 scratch (see below)
     *,
     n: int, n1: int, p: int, row_group: int, col_tile: int, dot_impl: str,
-    emit: str, lag_bits: int, lead2_bits: int,
+    emit: str, lag_bits: int, lead2_bits: int, tail_impl: str = "lean",
 ):
     """VMEM budget: the compressed-pulse pair is stored as yr -> ``thr_ref``
     (each Doppler column tile reads its slice then overwrites it — value
@@ -295,8 +301,12 @@ def _rd_kernel(
 
     # ---- CA/GO/SO CFAR along range per Doppler bin (shared gated body) ----
     mag = thr_ref[:, :]
-    _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, y_scr, n,
-                  lag_bits=lag_bits, lead2_bits=lead2_bits)
+    if tail_impl == "lean":
+        _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref, y_scr,
+                           n, lag_bits=lag_bits, lead2_bits=lead2_bits)
+    else:
+        _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, y_scr, n,
+                      lag_bits=lag_bits, lead2_bits=lead2_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +573,7 @@ def fused_rd_chain(
     dot_impl: str = "bf16x2",
     row_group: int | None = None,
     col_tile: int | None = None,
+    tail_impl: str = "lean",
 ):
     """Whole range-Doppler chain for CA-family elaborations: ``x`` [..., P, N]
     IQ pair/complex (P = cfg.doppler.num_pulses, N = cfg.fft.max_size),
@@ -609,7 +620,7 @@ def fused_rd_chain(
 
     kernel = functools.partial(
         _rd_kernel, n=n, n1=n1, p=p, row_group=rg, col_tile=ct,
-        dot_impl=dot_impl, emit=emit,
+        dot_impl=dot_impl, emit=emit, tail_impl=tail_impl,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
                              + cfar_cfg.max_ref_window + 1))

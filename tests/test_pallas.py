@@ -445,6 +445,62 @@ def test_fused_chain_packed_fold_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
+                                  CfarMode.SMALLEST_OF])
+@pytest.mark.parametrize("ll,pg", [(1, 0), (0, 1), (1, 1)])
+def test_fused_chain_lean_tail_bit_identical(mode, ll, pg, rng):
+    """The r4 'lean' CA tail folds the power-of-two divider, the CA 1/2, and
+    the linear-mode scaler into one coefficient, mode-gates the threshold
+    writes, and fast-paths the full-active frame — all EXACT transformations
+    (power-of-two scaling commutes with every rounding; max/min commute with
+    positive scaling), so it must match the classic tail bit-for-bit."""
+    from rsp_chains_tpu.cplx import as_pair
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=32, max_guard_window=8,
+                          variant=CfarVariant.CA, include_cash=False)
+    x = (rng.randn(3, n) + 1j * rng.randn(3, n)).astype(np.complex64)
+    for fft_size in (n, n // 2):      # full-active fast path AND masked path
+        rt = RuntimeConfig.make(fft_size=n, cfar_fft_size=fft_size,
+                                cfar_mode=mode, ref_window_size=16,
+                                guard_window_size=3, threshold_scaler=3.5,
+                                div_sum=4, log_or_linear=ll, peak_grouping=pg)
+        a = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           tail_impl="classic")
+        b = fused_chain_ca(as_pair(x), rt, fft_cfg, cfar_cfg, interpret=True,
+                           tail_impl="lean")
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
+@pytest.mark.parametrize("pg", [0, 1])
+def test_fused_chain_packed_lean_bit_identical(pg, rng):
+    """The wire-format kernel's lean tail emits {thr | bin | peak} words
+    in-pass; the words must equal the classic unfuse-then-pack epilogue's."""
+    from rsp_chains_tpu import packing
+    from rsp_chains_tpu.kernels.chain_pallas import fused_chain_ca_packed
+
+    n = 256
+    fft_cfg = _FftCfg(max_size=n)
+    cfar_cfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                          variant=CfarVariant.CA, include_cash=False)
+    iq = (rng.randint(-20000, 20000, (2, n))
+          + 1j * rng.randint(-20000, 20000, (2, n))).astype(np.complex64)
+    words = jnp.asarray(packing.pack_iq(jnp.asarray(iq)), jnp.uint32)
+    for fft_size in (n, n // 2):
+        rt = RuntimeConfig.make(fft_size=n, cfar_fft_size=fft_size,
+                                ref_window_size=8, guard_window_size=2,
+                                threshold_scaler=3.0, div_sum=3,
+                                peak_grouping=pg)
+        a = fused_chain_ca_packed(words, rt, fft_cfg, cfar_cfg,
+                                  interpret=True, tail_impl="classic")
+        b = fused_chain_ca_packed(words, rt, fft_cfg, cfar_cfg,
+                                  interpret=True, tail_impl="lean")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_chain_stack_hi_lo_bit_identical(rng):
     """Stacking the hi/lo split terms into one tall matmul is the same math
     in a different dispatch shape — outputs must be bit-identical."""
