@@ -1,0 +1,445 @@
+"""At-speed bit-true integer chain: FFT + magnitude + CA-CFAR in ONE Pallas
+kernel (VERDICT r3 item 4).
+
+The reference's *shipped* top is integer hardware — 16-bit binPoint-0 data
+running at 1 sample/cycle (``/root/reference/src/main/scala/RspChain.scala:
+118,130-140``). Until r4 the framework's exact integer pipeline
+(``ops/bit_true.py``) was an XLA-only fidelity mode that routed around every
+Pallas kernel; this kernel is its at-speed leg, BIT-EXACT against the same
+``golden.int_models`` contract.
+
+Bit-exactness forces the FFT to be the stage-by-stage radix-2 DIF pipeline
+(per-stage RoundHalfUp halving / keepLSB wraparound is nonlinear — no
+four-step matmul factorization exists), so the kernel is pure VPU integer
+passes: per stage, the butterfly is two static lane rotations + a b-lane
+select, the trim is a shift/mask, and the 1.15 twiddle product is exact int32
+arithmetic (the 8-bit split-product path of ``ops.bit_true._rhu15_wide`` when
+expanding stages have grown the data past 16 bits). The final bit-reversal is
+log2(n)/2 disjoint bit-transposition roll/select steps — the same machinery
+as the float chain kernel's interleave (``chain_pallas._apply_bit_perm``).
+
+Magnitude modes 0 (exact integer isqrt), 1 (saturating square) and 2 (JPL
+shift-add) run in-kernel; the LUT-log2 mode needs a 2^L-entry gather and runs
+on the XLA integer path — ``fused_chain_int_op`` dispatches on the traced
+mode register under ``lax.cond`` (one executable, no recompiles), exactly as
+the GOSCA chain dispatches CA/GOS.
+
+The CFAR tail mirrors ``ops.bit_true.ca_cfar_int`` + ``_int_thr_peaks``
+operation-for-operation (truncating ``>> divSum`` shifters, the
+6-fractional-bit scaler product with RoundHalfUp, raw-magnitude neighbor
+compares) on the float kernel's gated circular-scratch machinery.
+
+Register semantics: ``RspChainVanillaTester.scala:96-146``; word format
+``:164-172``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..configs import CfarConfig, FftConfig, RuntimeConfig
+from ..ops.bit_true import stage_twiddles
+from ..ops.cfar import CfarOutput
+from .cfar_pallas import (
+    MAX_LOG2_W,
+    PAD,
+    _bits_for,
+    _roll_left_gated,
+    _roll_right_gated,
+)
+
+INT_CHAIN_BLOCK_FRAMES = 256   # follows the float chain kernel's r3 pick
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_steps(n: int):
+    """Bit reversal of log2(n) lane-index bits as disjoint bit transpositions
+    (i <-> p-1-i for i < p/2) — each a roll/select step exactly like the
+    float kernel's interleave steps. Verified exhaustively at build time
+    against the ``stage_twiddles`` reversal table."""
+    p = int(np.log2(n))
+    steps = tuple((i, p - 1 - i, (1 << (p - 1 - i)) - (1 << i))
+                  for i in range(p // 2))
+    # verify: applying the steps' index map must equal the bit-reversal table
+    o = np.arange(n)
+    for pp, qq, _d in steps:
+        bp = (o >> pp) & 1
+        bq = (o >> qq) & 1
+        o = o ^ (((bp ^ bq) << pp) | ((bp ^ bq) << qq))
+    _, rev = stage_twiddles(n)
+    assert np.array_equal(o, rev), "bit-reversal decomposition failed"
+    return steps
+
+
+def _rhu1(v):
+    """RoundHalfUp halving (the keepMSB per-stage trim)."""
+    return (v + 1) >> 1
+
+
+def _wrap16(v):
+    """16-bit two's-complement wraparound trim (keepMSBorLSB = LSB)."""
+    return ((v + 32768) & 0xFFFF) - 32768
+
+
+def _rhu15_wide_k(a, b, wa, wb):
+    """``rhu(a*wa + b*wb, 15)`` exactly in int32 for >16-bit data — the 8-bit
+    split-product recombination of ``ops.bit_true._rhu15_wide``, identical
+    operation order (bit-identical results by construction)."""
+    al = a & 255
+    ah = (a - al) >> 8
+    bl = b & 255
+    bh = (b - bl) >> 8
+    h = ah * wa + bh * wb
+    t = al * wa + bl * wb + (1 << 14)
+    return (h + (t >> 8)) >> 7
+
+
+def _isqrt32_k(x):
+    """Exact integer floor(sqrt(x)) for int32 x >= 0, square-compare form.
+
+    ``ops.bit_true._isqrt32`` corrects its float seed with ``s > x // s``
+    compares; Mosaic has no vector integer divide, so this uses ``s*s > x``,
+    equivalent for s >= 1 (s > floor(x/s) <=> s^2 > x). The seed
+    floor(sqrt(f32(x))) is <= 46340 for every int32 input (f32(2^31-1) = 2^31,
+    sqrt = 46340.95), so s^2 never overflows; the up-step guards nxt <= 46340
+    (46341^2 > 2^31-1 >= x, so a skipped 46341 candidate is never the root)."""
+    s = jnp.floor(jnp.sqrt(jnp.maximum(x, 0).astype(jnp.float32))).astype(
+        jnp.int32)
+    s = jnp.clip(s, 1, 46340)
+    for _ in range(2):
+        s = jnp.where(s * s > x, s - 1, s)
+        s = jnp.maximum(s, 1)
+    for _ in range(2):
+        nxt = s + 1
+        s = jnp.where((nxt <= 46340) & (nxt * nxt <= x), nxt, s)
+    return jnp.where(x <= 0, 0, s)
+
+
+def _int_chain_kernel(
+    scal_ref,                # [10] int32 register file (layout below)
+    xr_ref, xi_ref,          # [F, N] int32 IQ pair (16-bit values)
+    tw_ref,                  # [stages, 2, N] int32 1.15 twiddle rows
+    thr_ref, pk_ref,         # [F, N] int32 / uint8 outputs
+    scr_ref,                 # [F, N + PAD] int32 circular CFAR scratch
+    *,
+    n: int, expand_logic, keep_msb, lag_bits: int, lead2_bits: int,
+    max_log2w: int = MAX_LOG2_W,
+):
+    """scal layout: [0] log2w, [1] guard, [2] divSum, [3] mode,
+    [4] log_or_linear, [5] peak_grouping, [6] n_active, [7] mag_mode,
+    [8] scaler_q (round(scaler*64)), [9] scaler_add (round(scaler))."""
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    n_active = scal_ref[6]
+    mag_mode = scal_ref[7]
+    scaler_q = scal_ref[8]
+    scaler_add = scal_ref[9]
+
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    f = xr.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (f, n), 1)
+    p = int(np.log2(n))
+
+    # ---- radix-2 DIF integer FFT (mirrors ops.bit_true._fft_int_fixed) ----
+    grown = 0
+    for s in range(p):
+        half = (n >> s) >> 1
+        b_lane = (col & half) != 0
+        add_r = xr + pltpu.roll(xr, n - half, axis=1)   # [j] = xr[j + half]
+        add_i = xi + pltpu.roll(xi, n - half, axis=1)
+        sub_r = pltpu.roll(xr, half, axis=1) - xr       # [j] = xr[j - half]
+        sub_i = pltpu.roll(xi, half, axis=1) - xi
+        sr = jnp.where(b_lane, sub_r, add_r)
+        si = jnp.where(b_lane, sub_i, add_i)
+        lsb_stage = False
+        expanding = expand_logic is not None and expand_logic[s]
+        if not expanding:
+            if keep_msb is None or keep_msb[s]:
+                sr, si = _rhu1(sr), _rhu1(si)
+            else:
+                sr, si = _wrap16(sr), _wrap16(si)
+                lsb_stage = True
+        wr = tw_ref[s, 0, :]
+        wi = tw_ref[s, 1, :]
+        if expanding:
+            grown += 1
+        if grown:
+            xr = _rhu15_wide_k(sr, si, wr, -wi)
+            xi = _rhu15_wide_k(sr, si, wi, wr)
+        else:
+            xr = (sr * wr - si * wi + (1 << 14)) >> 15
+            xi = (sr * wi + si * wr + (1 << 14)) >> 15
+        if lsb_stage:
+            xr, xi = _wrap16(xr), _wrap16(xi)
+
+    # ---- bit-reversal to natural order: disjoint bit-transposition steps ----
+    for pp, qq, d in _bitrev_steps(n):
+        bp = (col >> pp) & 1
+        bq = (col >> qq) & 1
+        take_left = (bp == 1) & (bq == 0)     # value from lane j + d
+        take_right = (bp == 0) & (bq == 1)    # value from lane j - d
+        for v in ("xr", "xi"):
+            x = xr if v == "xr" else xi
+            left = pltpu.roll(x, n - d, axis=1)
+            right = pltpu.roll(x, d, axis=1)
+            x = jnp.where(take_left, left, jnp.where(take_right, right, x))
+            if v == "xr":
+                xr = x
+            else:
+                xi = x
+
+    # ---- integer magnitude menu (modes 0/1/2; LUT-log2 = XLA dispatch) ----
+    ar, ai = jnp.abs(xr), jnp.abs(xi)
+    u, v = jnp.maximum(ar, ai), jnp.minimum(ar, ai)
+    jpl = jnp.maximum(u + (v >> 3), u - (u >> 3) + (v >> 1))
+    sq = xr * xr + xi * xi
+    sq = jnp.where(sq < 0, jnp.int32(2**31 - 1), sq)    # one-bit saturate
+    thr_ref[:, :] = jnp.where(mag_mode == 1, sq, jpl)
+
+    @pl.when(mag_mode == 0)
+    def _():
+        thr_ref[:, :] = _isqrt32_k(sq)
+
+    mag = thr_ref[:, :]
+
+    # ---- integer CA/GO/SO CFAR (mirrors ca_cfar_int + _int_thr_peaks) ----
+    active = col < n_active
+    scr_ref[:, :PAD] = jnp.zeros((f, PAD), jnp.int32)
+    scr_ref[:, PAD : PAD + n] = jnp.where(active, mag, 0)
+    for k in range(max_log2w):
+        @pl.when(log2w > k)
+        def _(k=k):
+            row = scr_ref[:, :]
+            scr_ref[:, :] = row + pltpu.roll(row, 1 << k, axis=1)
+    _roll_right_gated(scr_ref, guard + 1, lag_bits)
+    lag = scr_ref[:, PAD : PAD + n]
+    w = jnp.int32(1) << log2w
+    _roll_left_gated(scr_ref, 2 * guard + w + 1, lead2_bits)
+    lead = scr_ref[:, PAD : PAD + n]
+
+    s_lag = lag >> div        # non-negative sums: the truncating shifter
+    s_lead = lead >> div
+
+    @pl.when((mode != 1) & (mode != 2))
+    def _():
+        thr_ref[:, :] = (s_lag + s_lead) >> 1
+
+    @pl.when(mode == 1)
+    def _():
+        thr_ref[:, :] = jnp.maximum(s_lag, s_lead)
+
+    @pl.when(mode == 2)
+    def _():
+        thr_ref[:, :] = jnp.minimum(s_lag, s_lead)
+
+    noise = thr_ref[:, :]
+    thr = jnp.where(log_or_linear == 1,
+                    (noise * scaler_q + (1 << 5)) >> 6,   # rhu(noise*q, 6)
+                    noise + scaler_add)
+    thr = jnp.where(active, thr, 0)
+    thr_ref[:, :] = thr
+    pk = (mag > thr) & active
+
+    @pl.when(peak_grouping == 0)
+    def _():
+        pk_ref[:, :] = pk.astype(pk_ref.dtype)
+
+    @pl.when(peak_grouping == 1)
+    def _():
+        # raw-magnitude neighbors with frame-edge / active-edge sentinels,
+        # exactly _int_thr_peaks' concat semantics
+        big = jnp.int32(-(1 << 30))
+        left = jnp.where(col == 0, big, pltpu.roll(mag, 1, axis=1))
+        right = jnp.where(col + 1 < n_active,
+                          pltpu.roll(mag, n - 1, axis=1), big)
+        pk_ref[:, :] = (pk & (mag >= left)
+                        & (mag >= right)).astype(pk_ref.dtype)
+
+
+def fused_chain_int(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    block_frames: int | None = None,
+) -> CfarOutput:
+    """Bit-true integer FFT + mag + CA-CFAR at the full elaborated FFT size:
+    ``x`` an int-valued IQ pair [..., N]; returns CfarOutput with an int32
+    threshold (the ``ops.bit_true`` contract). Magnitude modes 0/1/2 only —
+    use ``fused_chain_int_op`` for the full runtime register surface."""
+    from ..cplx import as_pair
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    assert n == fft_cfg.max_size and n % 128 == 0 and n & (n - 1) == 0, n
+    assert cfar_cfg.max_ref_window <= 1 << MAX_LOG2_W
+    assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= PAD
+    el = fft_cfg.expand_logic
+    if el is not None and sum(1 for e in el if e) > 7:
+        raise ValueError("bit-true FFT supports at most 7 expanding stages")
+    if block_frames is None:
+        block_frames = (INT_CHAIN_BLOCK_FRAMES if n <= 1024
+                        else INT_CHAIN_BLOCK_FRAMES // 2)
+
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.int32).reshape(flat, n)
+    im = xp.im.astype(jnp.int32).reshape(flat, n)
+    bf = block_frames
+    f_pad = (-flat) % bf
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    wmax = cfar_cfg.max_ref_window
+    log2w = jnp.round(jnp.log2(jnp.maximum(jnp.minimum(
+        rt.ref_window_size, wmax), 1).astype(jnp.float32))).astype(jnp.int32)
+    scalars = jnp.stack([
+        log2w,
+        jnp.clip(rt.guard_window_size, 0,
+                 cfar_cfg.max_guard_window).astype(jnp.int32),
+        rt.div_sum.astype(jnp.int32),
+        rt.cfar_mode.astype(jnp.int32),
+        rt.log_or_linear.astype(jnp.int32),
+        rt.peak_grouping.astype(jnp.int32),
+        jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32),
+        jnp.round(rt.threshold_scaler).astype(jnp.int32),
+    ])
+
+    stages, _ = stage_twiddles(n)
+    tw = np.stack([np.stack([wr, wi]) for wr, wi in stages])  # [p, 2, n]
+
+    km = fft_cfg.keep_msb_or_lsb
+    kernel = functools.partial(
+        _int_chain_kernel, n=n,
+        expand_logic=None if el is None else tuple(el),
+        keep_msb=None if km is None else tuple(km),
+        lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
+        lead2_bits=_bits_for(2 * cfar_cfg.max_guard_window
+                             + cfar_cfg.max_ref_window + 1))
+
+    extra = {}
+    if n > 1024:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+    thr, pk = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f_tot // bf,),
+            in_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tw.shape, lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bf, n + PAD), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
+            jax.ShapeDtypeStruct((f_tot, n), jnp.uint8),
+        ],
+        interpret=interpret,
+        **extra,
+    )(scalars, re, im, jnp.asarray(tw))
+
+    thr = thr[:flat].reshape(batch_shape + (n,))
+    pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
+    return CfarOutput(threshold=thr, peaks=pk)
+
+
+def int_chain_fusable(cfg) -> bool:
+    """Whether a bit-true elaboration can route through the integer chain
+    kernel (the ``fused_tail_kind`` analog for the integer datapath): PARTIAL
+    edges, plain outputs, natural output order, power-of-two frame >= 256,
+    kernel-sized windows, <= 7 expanding stages. GOSCA elaborations still
+    qualify — the runtime GOS/CASH registers dispatch to the XLA integer path
+    inside ``fused_chain_int_op``."""
+    from ..configs import CfarVariant, EdgePolicy
+
+    cfar = cfg.cfar
+    n = cfg.fft.max_size
+    el = cfg.fft.expand_logic
+    return (
+        cfar.use_pallas
+        and not (cfar.send_cut or cfar.emit_noise)
+        and cfar.edge_policy is EdgePolicy.PARTIAL
+        # use_bit_reverse=True == natural-order output, the order the kernel's
+        # bit-transposition epilogue produces (same sense as _fusable_fft)
+        and cfg.fft.use_bit_reverse
+        and n % 128 == 0 and n & (n - 1) == 0 and n >= 256
+        and cfar.max_ref_window <= 1 << MAX_LOG2_W
+        and cfar.max_ref_window + cfar.max_guard_window + 1 <= PAD
+        and (el is None or sum(1 for e in el if e) <= 7)
+        # pure-GOS elaborations have no CA datapath for the kernel to carry
+        and cfar.variant in (CfarVariant.CA, CfarVariant.GOSCA)
+    )
+
+
+def fused_chain_int_op(
+    x,
+    rt: RuntimeConfig,
+    cfg,
+    interpret: bool = False,
+) -> CfarOutput:
+    """The bit-true chain stage honoring the FULL runtime register surface on
+    one executable: the integer kernel carries full-size CA-family calls with
+    in-kernel magnitudes; runtime registers outside its datapath — LUT-log2
+    magnitude (mode 3), a shrunken FFT-size register, the GOS algorithm or
+    CASH mode of a GOSCA elaboration — dispatch to the exact XLA integer
+    pipeline under ``lax.cond`` on the traced registers (the
+    ``fused_chain_gos_op`` pattern). Both branches are the SAME bit-true
+    arithmetic; tests assert bit-equality across the register boundary."""
+    from ..configs import CfarVariant
+    from ..cplx import as_pair
+    from ..ops.bit_true import cfar_int, fft_int_op, mag_int_op
+
+    xp = as_pair(x)
+    fft_cfg, cfar_cfg = cfg.fft, cfg.cfar
+
+    def xla_branch(xi):
+        spec = fft_int_op(xi, rt.log2_fft_size, fft_cfg)
+        return cfar_int(mag_int_op(spec, rt.mag_mode, cfg.mag), rt, cfar_cfg)
+
+    def kernel_branch(xi):
+        return fused_chain_int(xi, rt, fft_cfg, cfar_cfg, interpret=interpret)
+
+    if cfar_cfg.variant is CfarVariant.GOS:
+        # a pure-GOS elaboration has no CA datapath at all (cfar_int ignores
+        # the algorithm register there) — the kernel's CA stats never apply
+        return xla_branch(xp)
+    ca_like = jnp.asarray(True)
+    if cfar_cfg.variant is CfarVariant.GOSCA:
+        ca_like = rt.cfar_algorithm == 0
+    if cfar_cfg.include_cash:
+        ca_like = ca_like & (rt.cfar_mode != 3)
+    use_kernel = ca_like & (rt.mag_mode < 3)   # 3+ clips to the LUT-log menu
+    if fft_cfg.runtime_size:
+        use_kernel = use_kernel & (rt.log2_fft_size >= fft_cfg.log2_max)
+    return jax.lax.cond(use_kernel, kernel_branch, xla_branch, xp)

@@ -78,6 +78,37 @@ def cfar_stage(cfg: ChainConfig) -> Stage:
     return Stage("cfar", lambda x, rt: cfar_op(x, rt, cfg.cfar), terminal=True)
 
 
+def _int_fused_stage(cfg: ChainConfig) -> Optional[Stage]:
+    """ONE-stage bit-true FFT+mag+CFAR (the at-speed integer datapath,
+    ``kernels/int_chain_pallas.py``) when the elaboration fits the integer
+    kernel; None otherwise. Shared by every preset whose core is the
+    FFT->MAG->CFAR subchain so bit-true routing is identical everywhere."""
+    if not _bit_true(cfg):
+        return None
+    from .kernels.int_chain_pallas import fused_chain_int_op, int_chain_fusable
+
+    if not int_chain_fusable(cfg):
+        return None
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    return Stage(
+        "fft_mag_cfar_int_fused",
+        lambda x, rt: fused_chain_int_op(x, rt, cfg, interpret=interpret),
+        terminal=True,
+    )
+
+
+def core_stages(cfg: ChainConfig) -> list[Stage]:
+    """The FFT->MAG->CFAR core as a stage list: the fused integer stage for
+    fusable bit-true elaborations, else the FFT stage + (possibly fused)
+    mag+CFAR tail."""
+    st = _int_fused_stage(cfg)
+    if st is not None:
+        return [st]
+    return [fft_stage(cfg), *tail_stages(cfg)]
+
+
 def tail_stages(cfg: ChainConfig) -> list[Stage]:
     """The logmag+CFAR tail: a single fused Pallas kernel when elaborated with
     ``use_pallas`` (CA-only configs use the box-sum kernel; GOS/GOSCA configs
@@ -218,6 +249,14 @@ def fft_mag_cfar_chain(cfg: Optional[ChainConfig] = None) -> Chain:
     cfg = cfg or ChainConfig()
     from .kernels.cfar_pallas import fused_tail_kind
 
+    int_st = _int_fused_stage(cfg)
+    if int_st is not None:
+        # the at-speed integer datapath (VERDICT r3 item 4): full-size
+        # CA-family calls run the bit-true Pallas kernel; registers outside
+        # its datapath (LUT-log2, GOS/CASH, shrunken FFT size) dispatch to
+        # the exact XLA integer pipeline under lax.cond
+        return Chain(cfg, [int_st])
+
     kind = fused_tail_kind(cfg)
     if kind is not None and _fusable_fft(cfg):
         import jax
@@ -278,7 +317,7 @@ def rsp_chain_vanilla(
         )
     return Chain(
         cfg,
-        [plfg_nco_stage(cfg, program), fft_stage(cfg), *tail_stages(cfg)],
+        [plfg_nco_stage(cfg, program), *core_stages(cfg)],
     )
 
 
@@ -309,7 +348,7 @@ def chain_with_mem(cfg: Optional[ChainConfig] = None, rom: Optional[np.ndarray] 
         return C(jnp.asarray(rom_re) * gate, jnp.asarray(rom_im) * gate)
 
     mem = Stage("mem_rom", mem_fn)
-    return Chain(cfg, [mem, fft_stage(cfg), *tail_stages(cfg)])
+    return Chain(cfg, [mem, *core_stages(cfg)])
 
 
 def rx_fft_mag_cfar_tx_chain(cfg: Optional[ChainConfig] = None) -> Chain:

@@ -161,7 +161,12 @@ def test_bit_true_packed_output_words_exact(rng):
                                      bit_true=True),
     )
     chain = rx_fft_mag_cfar_tx_chain(cfg)
-    assert "fft_int" in chain.stage_names and "cfar_int" in chain.stage_names
+    # since r4 the bit-true core routes through the fused integer Pallas
+    # kernel (kernels/int_chain_pallas.py); the stage-composition form remains
+    # for non-fusable elaborations
+    assert ("fft_mag_cfar_int_fused" in chain.stage_names
+            or ("fft_int" in chain.stage_names
+                and "cfar_int" in chain.stage_names))
     rt = RuntimeConfig.make(fft_size=n, ref_window_size=32, guard_window_size=4,
                             threshold_scaler=3.5, div_sum=5)
     words_in = np.asarray(packing.pack_iq(
@@ -432,7 +437,12 @@ def test_bit_true_gosca_packed_wire_words_exact(rng):
                                      bit_true=True),
     )
     chain = rx_fft_mag_cfar_tx_chain(cfg)
-    assert "fft_int" in chain.stage_names and "cfar_int" in chain.stage_names
+    # since r4 the bit-true core routes through the fused integer Pallas
+    # kernel (kernels/int_chain_pallas.py); the stage-composition form remains
+    # for non-fusable elaborations
+    assert ("fft_mag_cfar_int_fused" in chain.stage_names
+            or ("fft_int" in chain.stage_names
+                and "cfar_int" in chain.stage_names))
     jf = chain.jit()
     words_in = np.asarray(packing.pack_iq(
         jnp.asarray(re + 1j * im, jnp.complex64)))
