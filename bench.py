@@ -31,6 +31,55 @@ import time
 import numpy as np
 
 BASELINE_MSPS = 250.0  # SDF chain @ 250 MHz, 1 sample/cycle (proxy)
+DRIFT_BAND_PCT = 30    # relay session drift band (profile_r3f/g): deltas
+                       # inside ±30% are NOT signal; see docs/KERNELS.md
+
+
+def _prev_bench():
+    """Metric -> record map parsed from the newest BENCH_r*.json tail, so
+    every ladder line can annotate its delta vs the previous round (VERDICT
+    r3 item 5: a real regression must be distinguishable from session
+    drift)."""
+    import glob
+    import re
+
+    out = {}
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                          "BENCH_r*.json")))
+    if not files:
+        return out
+    try:
+        with open(files[-1]) as f:
+            rec = json.load(f)
+        for line in rec.get("tail", "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in d:
+                    out[d["metric"]] = d
+        if isinstance(rec.get("parsed"), dict) and "metric" in rec["parsed"]:
+            out[rec["parsed"]["metric"]] = rec["parsed"]
+    except Exception:  # noqa: BLE001 — annotations must never cost the bench
+        return {}
+    return out
+
+
+def _drift(verdict, prev):
+    """Attach prev-round numbers + drift annotation to a ladder record."""
+    p = prev.get(verdict.get("metric"))
+    if not p:
+        return
+    if "ms_per_call" in verdict and "ms_per_call" in p:
+        verdict["prev_ms"] = p["ms_per_call"]
+        verdict["drift_pct"] = round(
+            100.0 * (verdict["ms_per_call"] - p["ms_per_call"])
+            / max(p["ms_per_call"], 1e-9), 1)
+        verdict["drift_band_pct"] = DRIFT_BAND_PCT
+        verdict["beyond_drift_band"] = (abs(verdict["drift_pct"])
+                                        > DRIFT_BAND_PCT)
 
 
 def measure_per_call(f, x, rt, k_lo=6, k_hi=30):
@@ -45,10 +94,14 @@ def measure_per_call(f, x, rt, k_lo=6, k_hi=30):
     import jax
     import jax.numpy as jnp
 
+    def _scalar(out):
+        # CfarOutput or a plain array output (the wire chain emits words)
+        a = out.threshold if hasattr(out, "threshold") else out
+        return a[(0,) * a.ndim].astype(jnp.float32)
+
     mix = jax.jit(lambda out, base: dataclasses.replace(
-        base, threshold_scaler=base.threshold_scaler
-        + 1e-30 * out.threshold[(0,) * out.threshold.ndim]))
-    digest = jax.jit(lambda out: out.threshold[(0,) * out.threshold.ndim])
+        base, threshold_scaler=base.threshold_scaler + 1e-30 * _scalar(out)))
+    digest = jax.jit(lambda out: _scalar(out))
 
     def run(k):
         rt_i = rt
@@ -64,6 +117,92 @@ def measure_per_call(f, x, rt, k_lo=6, k_hi=30):
     t_lo = min(run(k_lo) for _ in range(3))
     t_hi = min(run(k_hi) for _ in range(3))
     return max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+
+
+def stream_line(wire, rt, n, prev, budget_s=1500):
+    """Config-5 single-chip steady state (VERDICT r3 item 8): drive the full
+    serving stack — CRC byte stream -> C++ frame scanner -> StreamingPipeline
+    -> wire-format kernel — for N CPIs on the real chip and report CPIs/s,
+    samples/s and the serving-overhead factor vs the raw kernel rate."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    verdict = {"metric": f"streaming_wire_16x256x{n}"}
+
+    def _work():
+        try:
+            from rsp_chains_tpu.io import framing
+            from rsp_chains_tpu.io.native import scan_frames
+            from rsp_chains_tpu.io.stream import StreamingPipeline
+
+            ch, p = 16, 256
+            rng = np.random.RandomState(5)
+            re = rng.randint(-20000, 20000, (ch * p, n)).astype(np.int32)
+            im = rng.randint(-20000, 20000, (ch * p, n)).astype(np.int32)
+            w_np = ((re.astype(np.uint16).astype(np.uint32) << 16)
+                    | im.astype(np.uint16).astype(np.uint32))
+            stream_bytes = b"".join(
+                framing.encode_frame(w_np[i], i) for i in range(ch * p))
+
+            results = []
+            pipe = StreamingPipeline(
+                wire, rt, depth=4,
+                on_result=lambda s, o, m: results.append(o))
+            n_cpi = 12
+            t_scan = 0.0
+            t0 = time.perf_counter()
+            with pipe:
+                for k in range(n_cpi):
+                    # RX hot path: recover the CPI's words from the CRC byte
+                    # stream with the C++ scanner (io/native/packing.cpp)
+                    ts = time.perf_counter()
+                    scanned = scan_frames(stream_bytes, n,
+                                          max_frames=ch * p)
+                    if scanned is None:
+                        raise RuntimeError("native scanner unavailable")
+                    metas, _, _ = scanned
+                    assert len(metas) == ch * p
+                    rows = np.frombuffer(
+                        stream_bytes, np.uint32).reshape(ch * p, -1)
+                    # payloads are contiguous equal-length frames: one view
+                    words = rows[:, (metas[0][0] // 4):(metas[0][0] // 4)
+                                 + n].reshape(ch, p, n)
+                    t_scan += time.perf_counter() - ts
+                    pipe.submit(k, words)
+                deadline = time.time() + budget_s - 60
+                while (pipe.stats.frames_out + pipe.stats.frames_failed
+                       < n_cpi and time.time() < deadline):
+                    time.sleep(0.05)
+            # force end-to-end completion with one scalar fetch
+            last = results[-1]
+            _ = float(jnp.asarray(last)[(0,) * jnp.asarray(last).ndim]
+                      .astype(jnp.float32))
+            dt_total = time.perf_counter() - t0
+            done = int(pipe.stats.frames_out)
+            verdict["cpis"] = done
+            verdict["failed"] = int(pipe.stats.frames_failed)
+            verdict["cpis_per_s"] = round(done / dt_total, 2)
+            verdict["msamples_per_s"] = round(
+                done * ch * p * n / dt_total / 1e6, 1)
+            verdict["scan_ms_per_cpi"] = round(t_scan / n_cpi * 1e3, 2)
+            verdict["ms_per_cpi"] = round(dt_total / max(done, 1) * 1e3, 2)
+            verdict["validated"] = done == n_cpi and verdict["failed"] == 0
+            _drift_rec = prev.get(verdict["metric"])
+            if _drift_rec and "ms_per_cpi" in _drift_rec:
+                verdict["prev_ms"] = _drift_rec["ms_per_cpi"]
+        except Exception as e:  # noqa: BLE001
+            verdict["err"] = f"{type(e).__name__}: {e}"[:300]
+
+    th = threading.Thread(target=_work, daemon=True)
+    th.start()
+    th.join(timeout=budget_s)
+    if th.is_alive():
+        verdict["err"] = "timeout"
+    print(json.dumps(verdict), file=sys.stderr)
+    sys.stderr.flush()
+    return not th.is_alive()
 
 
 def main():
@@ -181,26 +320,24 @@ def main():
               f"dpk={verdict['dpk']}", file=sys.stderr)
         return None
 
-    # shipped formulation first — fold interleave since r3 (first Mosaic
-    # compile through the remote helper can take tens of minutes cold —
-    # persistent-cached afterwards; benchmarks/warm_cache.py pre-warms)
+    # shipped formulation first — fold interleave since r3, lean CA tail
+    # since r4 (first Mosaic compile through the remote helper can take tens
+    # of minutes cold — persistent-cached afterwards; benchmarks/warm_cache.py
+    # pre-warms)
     dt_pal = try_candidate("pallas-fused-chain", build(use_pallas=True), 3300)
     if dt_pal is not None and dt_pal < dt:
         dt, path = dt_pal, "pallas-fused-chain"
-    # mxu-permutation alternate (the r2 shipped formulation; 1.271 vs fold's
-    # 0.961 ms in the r3 ladder) — a fallback in case the fold path regresses;
-    # a shorter budget: losing it keeps the result above
+    # classic-tail alternate (the r3 shipped formulation) — a fallback in
+    # case the lean tail regresses; a shorter budget: losing it keeps the
+    # result above
     cfar_cfg1 = CfarConfig(max_ref_window=64, variant=CfarVariant.CA,
                            include_cash=False, max_fft_size=n,
                            use_pallas=True)
-    # pinned to 128-frame tiles: the [N, N] permutation operand plus the
-    # (r3-default) 256-frame tiles overflow scoped VMEM and crash the compiler
-    f_mxu = jax.jit(lambda a, r: fused_chain_ca(
-        a, r, FftConfig(max_size=n), cfar_cfg1, perm_impl="mxu",
-        block_frames=128))
-    dt_mxu = try_candidate("pallas-fused-chain-mxu", f_mxu, 2400)
-    if dt_mxu is not None and dt_mxu < dt:
-        dt, path = dt_mxu, "pallas-fused-chain-mxu"
+    f_classic = jax.jit(lambda a, r: fused_chain_ca(
+        a, r, FftConfig(max_size=n), cfar_cfg1, tail_impl="classic"))
+    dt_classic = try_candidate("pallas-fused-chain-classic", f_classic, 2400)
+    if dt_classic is not None and dt_classic < dt:
+        dt, path = dt_classic, "pallas-fused-chain-classic"
 
     msps = samples / dt / 1e6
     print(f"fft+mag+cfar [{path}]: {dt*1e3:.4f} ms / {samples} samples",
@@ -210,8 +347,16 @@ def main():
     # each (digest-validated + watchdogged like the headline; a regression in
     # any shipped kernel shows in the driver's round-end BENCH tail). The
     # stdout contract stays ONE line: the headline JSON, printed last. ----
+    prev = _prev_bench()
+
     def ladder_line(name, f_new, f_ref, xx, rr, n_samples, budget_s,
-                    extra=None):
+                    extra=None, exact=False, digest_fn=None, measure_args=None):
+        """``exact``: bit-true lines require dthr == 0 and zero flips.
+        ``digest_fn(a, r) -> (dthr, flips)`` overrides the default CfarOutput
+        digest (the wire line compares packed-word fields). ``measure_args``:
+        (x, rt) measured instead of the validated pair (the GOS line validates
+        at 8 channels — the XLA window stack is ~4 GB at 64 — but measures the
+        full 64-channel CPI, VERDICT r3 item 5)."""
         verdict = {"metric": name}
 
         def _work():
@@ -219,23 +364,32 @@ def main():
                 def digests(a, r):
                     o1 = f_ref(a, r)
                     o2 = f_new(a, r)
-                    scale = jnp.maximum(jnp.max(jnp.abs(o1.threshold)), 1e-30)
-                    return (jnp.max(jnp.abs(o1.threshold - o2.threshold))
-                            / scale,
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(o1.threshold.astype(jnp.float32))),
+                        1e-30)
+                    return (jnp.max(jnp.abs(
+                        o1.threshold.astype(jnp.float32)
+                        - o2.threshold.astype(jnp.float32))) / scale,
                             jnp.sum(o1.peaks.astype(jnp.int32)
                                     - o2.peaks.astype(jnp.int32) != 0))
 
-                dthr, dpk = jax.jit(digests)(xx, rr)
+                dthr, dpk = jax.jit(digest_fn or digests)(xx, rr)
                 verdict["dthr"] = float(f"{float(dthr):.3e}")
                 verdict["peak_flips"] = int(dpk)
-                dtl = measure_per_call(f_new, xx, rr)
+                mx, mr = measure_args or (xx, rr)
+                dtl = measure_per_call(f_new, mx, mr)
                 verdict["ms_per_call"] = round(dtl * 1e3, 4)
                 verdict["msamples_per_s"] = round(n_samples / dtl / 1e6, 1)
                 if extra:
                     verdict.update(extra(dtl))
-                verdict["validated"] = (verdict["dthr"] < 1e-4
-                                        and verdict["peak_flips"]
-                                        <= 1e-5 * n_samples)
+                if exact:
+                    verdict["validated"] = (verdict["dthr"] == 0.0
+                                            and verdict["peak_flips"] == 0)
+                else:
+                    verdict["validated"] = (verdict["dthr"] < 1e-4
+                                            and verdict["peak_flips"]
+                                            <= 1e-5 * n_samples)
+                _drift(verdict, prev)
             except Exception as e:  # noqa: BLE001
                 verdict["err"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -325,19 +479,120 @@ def main():
             return cfar_op(logmag(s, r.mag_mode), r, gos_cfg)
 
         # validate at 8 channels (the XLA GOS window stack is ~4 GB at 64)
+        # but MEASURE the full 64-channel headline CPI (VERDICT r3 item 5)
         x8 = C(x.re[:8], x.im[:8])
         if ok:
-            ladder_line("gos_chain_fused_8x256x1024", f_gos, jax.jit(xla_gos),
-                        x8, rt_gos, 8 * 256 * n, 2400)
+            ok = ladder_line(
+                "gos_chain_fused_64x256x1024", f_gos, jax.jit(xla_gos),
+                x8, rt_gos, samples, 2400, measure_args=(x, rt_gos),
+                extra=lambda dtl: {"validated_at_channels": 8})
+
+        # wire-format whole chain (the RxFftMagCfarTxChain deployment data
+        # plane): packed uint32 words in/out in ONE kernel. Validated against
+        # the XLA path by comparing decoded word fields (the packed threshold
+        # is the int-truncated field — compare at 2-LSB granularity).
+        from rsp_chains_tpu import packing, rx_fft_mag_cfar_tx_chain
+
+        wire_cfg = ChainConfig(fft=FftConfig(max_size=n), cfar=cfar_cfg1)
+        wire = rx_fft_mag_cfar_tx_chain(wire_cfg).jit()
+        bw = int(np.log2(n))
+        xq = C(jnp.round(jnp.clip(x.re * 250, -32767, 32767)),
+               jnp.round(jnp.clip(x.im * 250, -32767, 32767)))
+        words = jax.jit(packing.pack_iq)(xq)
+
+        def wire_digest(wd, r):
+            out = f_xla(wd, r)                            # pair reference
+            got = wire(packing.pack_iq(wd), r)
+            thr_i = (got >> (bw + 1)).astype(jnp.float32)
+            pk = (got & 1).astype(jnp.int32)
+            scale = jnp.maximum(jnp.max(out.threshold), 1e-30)
+            dthr = jnp.max(jnp.abs(jnp.floor(jnp.clip(
+                out.threshold, 0.0, float((1 << (31 - bw)) - 1))) - thr_i))
+            return dthr / scale, jnp.sum(
+                pk - out.peaks.astype(jnp.int32) != 0)
+
+        if ok:
+            ok = ladder_line(
+                "wire_chain_fused_64x256x1024", wire,
+                None, xq, rt, samples, 2400,
+                digest_fn=wire_digest, measure_args=(words, rt))
+
+        # at-speed bit-true integer chain (VERDICT r3 item 4): the validation
+        # bar is EXACTNESS — dthr == 0, zero flips vs the XLA integer pipeline
+        from rsp_chains_tpu.configs import FixedPointConfig
+        from rsp_chains_tpu.ops.bit_true import cfar_int, fft_int_op, mag_int_op
+
+        int_cfg = ChainConfig(
+            fft=FftConfig(max_size=n), cfar=cfar_cfg1,
+            fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=0,
+                                         bit_true=True))
+        f_int = fft_mag_cfar_chain(int_cfg).jit()
+
+        def xla_int(a, r):
+            spec = fft_int_op(a, r.log2_fft_size, int_cfg.fft)
+            return cfar_int(mag_int_op(spec, r.mag_mode, int_cfg.mag), r,
+                            int_cfg.cfar)
+
+        xi16 = C(jnp.round(jnp.clip(x.re * 250, -32767, 32767))
+                 .astype(jnp.int32),
+                 jnp.round(jnp.clip(x.im * 250, -32767, 32767))
+                 .astype(jnp.int32))
+        if ok:
+            ok = ladder_line("bit_true_chain_64x256x1024", f_int,
+                             jax.jit(xla_int), xi16, rt, samples, 2400,
+                             exact=True)
+
+        # fused 2-D (range x Doppler) map detector vs the composed route
+        # (map kernel -> XLA magnitude -> XLA 2-D CFAR) — the r3 structural
+        # win, now a guarded ladder line (VERDICT r3 item 5)
+        from rsp_chains_tpu.kernels.rd_pallas import (
+            fused_rd_2d_chain, fused_rd_chain,
+        )
+        from rsp_chains_tpu.ops.cfar_2d import (
+            Cfar2dConfig, Cfar2dRuntime, cfar_2d_op,
+        )
+        from rsp_chains_tpu.ops.logmag import logmag
+
+        cfg2d = Cfar2dConfig(max_ref_range=16, max_guard_range=4,
+                             max_ref_doppler=8, max_guard_doppler=2)
+        rt2d = Cfar2dRuntime.make(ref_range=8, guard_range=2, ref_doppler=4,
+                                  guard_doppler=1, threshold_scaler=6.0,
+                                  active_range=n)
+        taps_np3 = np.asarray(taps)
+        f_2d = jax.jit(lambda a, r: fused_rd_2d_chain(
+            a, r, rt2d, taps_np3, cfg3, cfg2d))
+
+        def composed_2d(a, r):
+            m = fused_rd_chain(a, r, taps_np3, cfg3, emit="map")
+            return cfar_2d_op(logmag(m, r.mag_mode), rt2d, cfg2d)
+
+        if ok:
+            ok = ladder_line(
+                "rd_2d_fused_16x256x1024", f_2d, jax.jit(composed_2d),
+                x3, rt, 16 * 256 * n, 2400,
+                extra=lambda dtl: {"rd_maps_per_s": round(16 / dtl, 1)})
+
+        # streaming steady state (VERDICT r3 item 8): the serving stack —
+        # C++ frame scanner + StreamingPipeline + wire kernel — for N CPIs;
+        # reports CPIs/s and the serving-overhead factor vs the raw kernel
+        if ok:
+            stream_line(wire, rt, n, prev)
     except Exception as e:  # noqa: BLE001 — the ladder must never cost the headline
         print(f"ladder error: {type(e).__name__}: {e}"[:300], file=sys.stderr)
 
-    print(json.dumps({
+    headline = {
         "metric": "fft_mag_cfar_chain_throughput",
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
-    }))
+    }
+    ph = prev.get("fft_mag_cfar_chain_throughput")
+    if ph and "value" in ph:
+        headline["prev_value"] = ph["value"]
+        headline["drift_pct"] = round(
+            100.0 * (msps - ph["value"]) / max(ph["value"], 1e-9), 1)
+        headline["drift_band_pct"] = DRIFT_BAND_PCT
+    print(json.dumps(headline))
     sys.stdout.flush()
     sys.stderr.flush()
     # hard-exit: a watchdogged thread may be stuck in a relay fetch, and its

@@ -163,6 +163,44 @@ def main():
                                                     cfg2d)),
          iq(2, 256, n), rt, rt2d)
 
+    # 8. r4 kernels at the EXACT bench shapes (grid size is compiled in):
+    # lean-tail headline + classic fallback, wire chain at the 64-ch ladder
+    # shape and the 16-ch streaming shape, the bit-true integer chain, the
+    # fused 2-D detector at 16 ch, and the GOS chain at 8 ch (validation leg)
+    warm("headline_64ch_classic_tail",
+         jax.jit(lambda a, r: fused_chain_ca(a, r, FftConfig(max_size=n), ca,
+                                             tail_impl="classic")),
+         iq(64, 256, n), rt)
+    w64 = jnp.asarray(rng.randint(0, 1 << 32, (64, 256, n), dtype=np.int64)
+                      .astype(np.uint32))
+    warm("wire_chain_64ch", wire, w64, rt)
+    warm("wire_chain_16ch_streaming", wire, w64[:16], rt)
+    from rsp_chains_tpu.configs import FixedPointConfig
+
+    int_cfg = ChainConfig(
+        fft=FftConfig(max_size=n), cfar=ca,
+        fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=0,
+                                     bit_true=True))
+    f_int = rsp.fft_mag_cfar_chain(int_cfg).jit()
+    xi = C(jnp.asarray(rng.randint(-30000, 30000, (64, 256, n)), jnp.int32),
+           jnp.asarray(rng.randint(-30000, 30000, (64, 256, n)), jnp.int32))
+    warm("bit_true_chain_64ch", f_int, xi, rt)
+    warm("rd_2d_fused_16ch",
+         jax.jit(lambda a, r, r2: fused_rd_2d_chain(a, r, r2,
+                                                    np.asarray(taps), cfg3,
+                                                    cfg2d)),
+         iq(16, 256, n), rt, rt2d)
+    warm("rd_map_16ch",
+         jax.jit(lambda a, r: fused_rd_chain(a, r, np.asarray(taps), cfg3,
+                                             emit="map")),
+         iq(16, 256, n), rt)
+    warm("rd_fused_16ch", rd, iq(16, 256, n), rt)
+    warm("gos_chain_kernel_8ch",
+         jax.jit(lambda a, r: fused_chain_gos(a, r, FftConfig(max_size=n),
+                                              gos_cfg)),
+         iq(8, 256, n), rt_gos)
+    warm("pc_fused_4096_bench", pc, iq(4, 256, n2), rt2)
+
     print(f"total: {time.perf_counter()-t_all:.1f}s", file=sys.stderr)
     import os
 

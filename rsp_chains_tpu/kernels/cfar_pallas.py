@@ -1191,7 +1191,7 @@ def _gos_kernel3(
     stat_scr,                        # scratch [6, F, T]
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
-    merge_impl: str = "bitonic",
+    merge_impl: str = "bitonic", ablate: str = "",
 ):
     mag_mode = scal_ref[7]
     t_idx = pl.program_id(1)
@@ -1207,17 +1207,25 @@ def _gos_kernel3(
     _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
               stat_scr, ts, n=n, tile=tile, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
-              merge_impl=merge_impl)
+              merge_impl=merge_impl, ablate=ablate)
 
 
 def _gos_tail(
     scal_ref, fscal_ref, thr_ref, pk_ref,
     row_scr, ca_scr, nb_scr, stat_scr, ts, *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
-    merge_impl: str = "bitonic",
+    merge_impl: str = "bitonic", ablate: str = "",
 ):
     """The v3 GOS/CASH datapath for one range tile starting at lane ``ts``,
-    reading the rows ``_gos_rows_init`` left in scratch."""
+    reading the rows ``_gos_rows_init`` left in scratch.
+
+    ``ablate`` (profiling-only; results are WRONG, never exposed through the
+    chain API — the VERDICT r3 item-1 floor-proof instrumentation, mirroring
+    the CA kernel's §1 ablation family): 'merge' skips the sliding-merge
+    compare-exchanges (build rolls + rank selects remain), 'shift' skips the
+    per-level shifted-copy rolls, 'rank' skips the two rank-select trees,
+    'sort' skips the whole sorted-window section, 'tail' skips the
+    threshold/peak epilogue (stats land in stat_scr only)."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
     mode = scal_ref[3]
@@ -1240,6 +1248,8 @@ def _gos_tail(
     use_gos = algorithm == 1
     cash_active = (mode == 3) if with_cash else False
     sort_needed = use_gos & jnp.logical_not(mode == 3) if with_cash else use_gos
+    if ablate == "sort":
+        sort_needed = jnp.asarray(False)
 
     slab_w = tile + 2 * M
     # slab lane j holds global cell ts − M + j; all window math below runs in
@@ -1262,9 +1272,14 @@ def _gos_tail(
                 rows = [base]
                 for lev in range(L):
                     m = 1 << lev
-                    shifted = [pltpu.roll(r, slab_w - m, axis=1)
-                               for r in rows]          # [p] = r[p + m]
-                    if merge_impl == "oe":
+                    if ablate == "shift":
+                        shifted = list(rows)
+                    else:
+                        shifted = [pltpu.roll(r, slab_w - m, axis=1)
+                                   for r in rows]      # [p] = r[p + m]
+                    if ablate == "merge":
+                        rows = rows + shifted          # no compare-exchanges
+                    elif merge_impl == "oe":
                         # Batcher odd-even merge: ~20% fewer comparators
                         rows = _oe_merge_lists(rows, shifted)
                     else:
@@ -1277,8 +1292,12 @@ def _gos_tail(
                 nv = jnp.maximum(nv, 0)
                 for rank, slot, lag_side in ((rank_lagg, 2, True),
                                              (rank_lead, 3, False)):
-                    idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
-                    val = jnp.where(nv > 0, _rank_select_tree(rows, idx), 0.0)
+                    if ablate == "rank":
+                        val = rows[0]
+                    else:
+                        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
+                        val = jnp.where(nv > 0, _rank_select_tree(rows, idx),
+                                        0.0)
                     if lag_side:   # cell i's lag window starts at i − g − w
                         row_v = _roll_right(val, guard + wl)
                     else:          # lead window starts at i + g + 1
@@ -1333,6 +1352,11 @@ def _gos_tail(
             stat_scr[4] = _roll_right(est, guard + w)[:, M : M + tile]
             stat_scr[5] = _roll_left(est, guard + 1)[:, M : M + tile]
 
+    if ablate == "tail":
+        thr_ref[:, :] = stat_scr[2] + stat_scr[3]
+        pk_ref[:, :] = jnp.zeros(pk_ref.shape, pk_ref.dtype)
+        return
+
     s_lag = jnp.where(use_gos, stat_scr[2], ca_scr[0, :, pl.ds(M + ts, tile)])
     s_lead = jnp.where(use_gos, stat_scr[3], ca_scr[1, :, pl.ds(M + ts, tile)])
     noise = jnp.where(
@@ -1369,6 +1393,7 @@ def fused_mag_gos_cfar(
     block_frames: int | None = None,
     range_tile: int | None = None,
     merge_impl: str = "oe",
+    ablate: str = "",
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO/CASH) with the window sort resident in VMEM.
@@ -1445,7 +1470,7 @@ def fused_mag_gos_cfar(
         kernel = functools.partial(_gos_kernel3, n=n, tile=tile, wmax=wmax,
                                    max_log2_w=MAX_LOG2_W,
                                    with_cash=cfg.include_cash,
-                                   merge_impl=merge_impl)
+                                   merge_impl=merge_impl, ablate=ablate)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
             pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),

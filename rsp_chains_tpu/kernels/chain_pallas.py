@@ -1159,7 +1159,7 @@ def _chain_gos_kernel(
     row_scr, ca_scr, nb_scr, stat_scr,   # the v3 GOS scratches
     *,
     n: int, n1: int, dot_impl: str, wmax: int, max_log2_w: int,
-    with_cash: bool, merge_impl: str = "bitonic",
+    with_cash: bool, merge_impl: str = "bitonic", ablate: str = "",
 ):
     """Whole FFT + magnitude + GOS/GOSCA/CASH chain in ONE kernel: the
     spectrum never touches HBM (VERDICT r2 item 1 — GOS elaborations used to
@@ -1170,20 +1170,23 @@ def _chain_gos_kernel(
     from .cfar_pallas import _gos_rows_init, _gos_tail
 
     mag_mode = scal_ref[7]
-    c_re, c_im = _fft_block_order(xr_ref[:, :], xi_ref[:, :], w_ref, n1,
-                                  dot_impl)
-    # magnitude in block order (elementwise — commutes with the interleave),
-    # then the log2(n1)-step fold permutation to natural order
-    mag_b = _magnitude(c_re, c_im, mag_mode)
-    steps = _fold_perm_steps(n, n1)
-    mag = (_apply_bit_perm(mag_b, pm_ref[:, :], n, n1, steps=steps)
-           if steps else mag_b)
+    if ablate == "fft":
+        mag = xr_ref[:, :]       # profiling-only: raw I row as the magnitude
+    else:
+        c_re, c_im = _fft_block_order(xr_ref[:, :], xi_ref[:, :], w_ref, n1,
+                                      dot_impl)
+        # magnitude in block order (elementwise — commutes with the
+        # interleave), then the log2(n1)-step fold permutation to natural
+        mag_b = _magnitude(c_re, c_im, mag_mode)
+        steps = _fold_perm_steps(n, n1)
+        mag = (_apply_bit_perm(mag_b, pm_ref[:, :], n, n1, steps=steps)
+               if steps else mag_b)
     _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr,
                    n=n, max_log2_w=max_log2_w)
     _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
               stat_scr, pl.multiple_of(0, 128), n=n, tile=n, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
-              merge_impl=merge_impl)
+              merge_impl=merge_impl, ablate=ablate)
 
 
 GOS_CHAIN_BLOCK_FRAMES = 32   # r3 on-chip A/B (benchmarks/profile_r3d): 32
@@ -1203,6 +1206,7 @@ def fused_chain_gos(
     block_frames: int = GOS_CHAIN_BLOCK_FRAMES,
     dot_impl: str = "bf16x2",
     merge_impl: str = "oe",
+    ablate: str = "",
 ) -> CfarOutput:
     """Single-kernel FFT + mag + GOS/GOSCA(+CASH) chain at the full elaborated
     FFT size, N ∈ {256, 512, 1024}: one HBM read of the IQ pair, one write of
@@ -1259,7 +1263,7 @@ def fused_chain_gos(
     kernel = functools.partial(
         _chain_gos_kernel, n=n, n1=n1, dot_impl=dot_impl, wmax=wmax,
         max_log2_w=MAX_LOG2_W, with_cash=cfar_cfg.include_cash,
-        merge_impl=merge_impl)
+        merge_impl=merge_impl, ablate=ablate)
     M = GOS3_MARGIN
     extra = {}
     if (n1 >= 8 and bf >= 16) or bf >= 32:
