@@ -490,6 +490,7 @@ def test_cfar_2d_os_range_sharded_equals_unsharded(rng):
                                   np.asarray(out_u.peaks))
 
 
+@pytest.mark.slow
 def test_cli_rd_2d_os_preset(tmp_path, rng):
     """--set2d algorithm=1 elaborates the OS maxima, shrinks the default
     window to fit, and detects on the synthetic fixture."""

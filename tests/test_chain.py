@@ -4,6 +4,7 @@ hard asserts the reference lacks (SURVEY §4).
 The canonical vector: 1024 samples, three complex tones at f = 1/8, 1/4, 1/2 +
 noise (FftMagCfarChainTester.scala:53) => detections at bins 128, 256, 512."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -192,6 +193,7 @@ def test_pulse_compression_chain_detects_delayed_chirp():
     assert out.peaks.shape == (4096,)
 
 
+@pytest.mark.slow
 def test_profiler_trace_smoke(tmp_path):
     """utils.trace captures a jax.profiler trace directory (SURVEY §5.1)."""
     from rsp_chains_tpu.utils import trace

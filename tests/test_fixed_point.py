@@ -335,6 +335,7 @@ def test_int_mag_modes_match_golden_exactly(rng):
         np.testing.assert_array_equal(got, want, err_msg=f"mag mode {mode}")
 
 
+@pytest.mark.slow
 def test_int_gosca_cfar_register_sweep_matches_golden(rng):
     """Integer GOSCA+CASH CFAR == index-wise golden across the runtime
     register grid the reference tester drives (algorithm CA/GOS, modes
@@ -387,6 +388,7 @@ def test_int_gosca_cfar_register_sweep_matches_golden(rng):
                                           want_pk, err_msg=str(kw))
 
 
+@pytest.mark.slow
 def test_int_gosca_runtime_fft_size_register(rng):
     """The runtime cfar fftSize register masks the active frame in the
     integer GOSCA path exactly like the golden's n_active."""

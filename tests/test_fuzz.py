@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rsp_chains_tpu.configs import (
     CfarConfig, CfarVariant, MagMode, RuntimeConfig,
 )

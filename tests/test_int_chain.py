@@ -55,6 +55,7 @@ def test_isqrt_square_compare_equals_division_form():
                                   np.asarray(_isqrt32_k(v)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mag_mode", [0, 1, 2])
 @pytest.mark.parametrize("mode", [0, 1, 2])
 def test_int_chain_kernel_bit_exact(mag_mode, mode, rng):
@@ -81,6 +82,7 @@ def test_int_chain_kernel_log_domain_and_grouping(ll, pg, rng):
     (None, (1, 1, 0, 1, 1, 1, 1, 1)),              # keepLSB wraparound stage
     ((0, 1, 0, 0, 0, 0, 0, 0), (1, 0, 1, 1, 1, 1, 1, 1)),  # mixed
 ])
+@pytest.mark.slow
 def test_int_chain_kernel_expand_and_keep_lsb(el, km, rng):
     """Expanding stages route the 8-bit split-product twiddle path; keepLSB
     stages wrap — both must stay bit-exact at near-full-scale input."""

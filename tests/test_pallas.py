@@ -183,6 +183,7 @@ def _compare_gos(spec, rt, atol=5e-2, version=2):
 
 @pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
                                   CfarMode.SMALLEST_OF])
+@pytest.mark.slow
 @pytest.mark.parametrize("rank", [0, 7])
 @pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_matches_xla(mode, rank, version, rng):
@@ -194,6 +195,7 @@ def test_gos_kernel_matches_xla(mode, rank, version, rng):
     _compare_gos(spec, rt, version=version)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_runtime_algorithm_switch(version, rng):
     spec = _spec(rng, shape=(2, 256))
@@ -204,6 +206,7 @@ def test_gos_kernel_runtime_algorithm_switch(version, rng):
         _compare_gos(spec, rt, version=version)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_frame_shrink_and_grouping(version, rng):
     spec = _spec(rng, shape=(2, 512))
@@ -242,6 +245,7 @@ GCFG_CASH = CfarConfig(max_ref_window=16, max_guard_window=4,
                        variant=CfarVariant.GOSCA, include_cash=True)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sw", [3, 4])
 @pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_cash_mode(sw, version, rng):
@@ -280,6 +284,7 @@ def test_gos_kernel_cash_sub_window_exceeds_ref_window(version, rng):
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
 
+@pytest.mark.slow
 def test_gos_kernel_v3_halo_extended_frame_length(rng):
     """The sharded tail calls with halo-extended lengths (e.g. 1280 =
     1024 + 2*PAD) that are NOT multiples of 1024 — the v3 tile picker must
@@ -299,6 +304,7 @@ def test_gos_kernel_v3_halo_extended_frame_length(rng):
                                np.asarray(want.threshold), rtol=1e-4, atol=5e-2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", [2, 3])
 def test_gos_kernel_cash_runtime_mode_switch(version, rng):
     """All four modes through the CASH-elaborated kernel (runtime switch)."""
@@ -373,6 +379,7 @@ def test_fused_chain_fold_interleave_matches_xla(n, rng):
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
 
+@pytest.mark.slow
 def test_fused_chain_fold_bit_identical_to_roll(rng):
     """'fold' performs the same f32 dot products as 'roll' (identical rows
     against identical column vectors — only their PLACEMENT differs) followed
@@ -447,6 +454,7 @@ def test_fused_chain_packed_fold_bit_identical(rng):
 
 @pytest.mark.parametrize("mode", [CfarMode.CELL_AVERAGING, CfarMode.GREATEST_OF,
                                   CfarMode.SMALLEST_OF])
+@pytest.mark.slow
 @pytest.mark.parametrize("ll,pg", [(1, 0), (0, 1), (1, 1)])
 def test_fused_chain_lean_tail_bit_identical(mode, ll, pg, rng):
     """The r4 'lean' CA tail folds the power-of-two divider, the CA 1/2, and
@@ -523,6 +531,7 @@ def test_fused_chain_stack_hi_lo_bit_identical(rng):
         np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("boxsum", ["mxu", "mxu2"])
 def test_fused_chain_band_boxsum_modes_and_edges(boxsum, rng):
     """The MXU band-matmul CFAR path across runtime modes, guard=0, active
@@ -746,6 +755,7 @@ def test_fused_chain_gos_cash_mode(rng):
     np.testing.assert_array_equal(np.asarray(got.peaks), np.asarray(want.peaks))
 
 
+@pytest.mark.slow
 def test_fused_chain_gos_op_runtime_dispatch(rng):
     """fused_chain_gos_op: ONE executable dispatches CA register -> CA chain
     kernel, GOS/CASH -> GOS chain kernel, small runtime size -> XLA FFT +
@@ -780,6 +790,7 @@ def test_fused_chain_gos_op_runtime_dispatch(rng):
     assert jf._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_fused_chain_gos_preset_single_stage(rng):
     """A GOSCA elaboration with a fusable FFT builds the whole chain as ONE
     stage (the r2 verdict's 'done' bar) and still detects the three tones."""
@@ -802,6 +813,7 @@ def test_fused_chain_gos_preset_single_stage(rng):
     assert {32, 64, 128} <= set(peaks.tolist())
 
 
+@pytest.mark.slow
 def test_gos_oe_merge_bit_identical_to_bitonic(rng):
     """Batcher odd-even merge ladder == bitonic merge ladder bit-for-bit
     (both are exact f32 min/max networks computing the same sorted windows)."""

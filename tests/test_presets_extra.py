@@ -98,6 +98,7 @@ def test_integrated_search_gain_over_single_pulse():
     assert np.asarray(out.peaks)[100]
 
 
+@pytest.mark.slow
 def test_integrated_search_binary_m_of_n():
     cfg = _cfg()
     cpi = chirp_with_targets(P, N, TAPS, [(80, 1.0, 0.0)], noise_db=-30)
@@ -129,6 +130,7 @@ def test_integrated_search_coherent_mode_runs():
     assert np.asarray(out.peaks)[60]
 
 
+@pytest.mark.slow
 def test_compact_detections_through_cli_run_top_k(capsys):
     """The --top-k serving egress path end to end through the CLI."""
     from rsp_chains_tpu import cli
@@ -152,6 +154,7 @@ def test_cli_register_value_parsing():
     assert int(rt.ref_window_size) == 16
 
 
+@pytest.mark.slow
 def test_cli_plot_covers_every_preset(tmp_path, monkeypatch):
     """``plot`` must produce a figure for the presets that used to crash the
     generic 1-D branch: wire-format (packed words out), real-ADC (real frames

@@ -50,6 +50,7 @@ def mesh8():
     dict(cfar_mode=CfarMode.CASH, sub_window_size=8),
     dict(fft_size=512),  # runtime frame shrink across shard boundaries
 ])
+@pytest.mark.slow
 def test_range_sharded_mag_cfar_equals_unsharded(mesh8, rtkw):
     cfg = _cfg()
     rt = _rt(**rtkw)
@@ -129,6 +130,7 @@ def test_sharded_rd_pipeline_runs_and_matches(mesh8):
     np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
@@ -196,6 +198,7 @@ def test_range_sharded_fused_ca_tail_equals_unsharded(mesh8, rtkw):
     np.testing.assert_array_equal(np.asarray(out_s.peaks), np.asarray(out_u.peaks))
 
 
+@pytest.mark.slow
 def test_range_sharded_fused_gos_tail_equals_unsharded(mesh8):
     """GOS elaboration: the sharded tail routes through the VMEM-sort kernel
     (small window elaboration — interpret mode dominates suite time)."""
