@@ -349,15 +349,12 @@ def _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
     col = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
 
     scr[:, :PAD] = jnp.zeros((f, PAD), jnp.float32)
-
-    @pl.when(full)
-    def _():
-        scr[:, PAD : PAD + n] = mag
-
-    @pl.when(jnp.logical_not(full))
-    def _():
-        active = (col >= active_lo) & (col < active_hi)
-        scr[:, PAD : PAD + n] = jnp.where(active, mag, 0.0)
+    # the magnitude store stays UNGATED (masked always): gating it under
+    # pl.when(full) alongside the gated emit below crashes the Mosaic
+    # backend (r4 probe: compile-helper subprocess abort at any grid >= 2;
+    # either conditional alone compiles — see docs/KERNELS.md §1b)
+    active = (col >= active_lo) & (col < active_hi)
+    scr[:, PAD : PAD + n] = jnp.where(active, mag, 0.0)
 
     # gated dyadic box build + lag/lead rolls: identical to _ca_cfar_into
     for k in range(max_log2w):
@@ -401,7 +398,6 @@ def _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
 
     def _emit(masked: bool):
         if masked:
-            active = (col >= active_lo) & (col < active_hi)
             m = jnp.where(active, mag, 0.0)
             thr_m = jnp.where(active, thr, 0.0)
             pk = (m > thr_m) & active
