@@ -310,7 +310,8 @@ def _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
 def _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
                        lag_bits: int, lead2_bits: int,
                        max_log2w: int = MAX_LOG2_W,
-                       words_ref=None, bin_width: int = 0):
+                       words_ref=None, bin_width: int = 0,
+                       words_ablate_pack: bool = False):
     """The r4 'lean' CA/GO/SO tail: same box-sum/roll machinery as
     ``_ca_cfar_into`` but with the ~6 threshold/peak elementwise passes
     (VERDICT r3 weak-2: ~20% of the CA body) collapsed:
@@ -425,11 +426,14 @@ def _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr, n: int,
         else:
             # {threshold | bin | peak} word — identical packing to the
             # classic _chain_kernel_packed epilogue
-            thr_i = jnp.clip(thr_m, 0.0,
-                             float((1 << (31 - bin_width)) - 1)).astype(
-                                 jnp.int32)
-            base = (thr_i << (bin_width + 1)) | ((col & ((1 << bin_width) - 1))
-                                                 << 1)
+            if words_ablate_pack:     # profiling-only: word assembly ablated
+                base = thr_m.astype(jnp.int32)
+            else:
+                thr_i = jnp.clip(thr_m, 0.0,
+                                 float((1 << (31 - bin_width)) - 1)).astype(
+                                     jnp.int32)
+                base = (thr_i << (bin_width + 1)
+                        | (col & ((1 << bin_width) - 1)) << 1)
 
             @pl.when(peak_grouping == 0)
             def _():
@@ -1187,7 +1191,7 @@ def _gos_kernel3(
     stat_scr,                        # scratch [6, F, T]
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
-    merge_impl: str = "bitonic", ablate: str = "",
+    merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
 ):
     mag_mode = scal_ref[7]
     t_idx = pl.program_id(1)
@@ -1203,14 +1207,14 @@ def _gos_kernel3(
     _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
               stat_scr, ts, n=n, tile=tile, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
-              merge_impl=merge_impl, ablate=ablate)
+              merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl)
 
 
 def _gos_tail(
     scal_ref, fscal_ref, thr_ref, pk_ref,
     row_scr, ca_scr, nb_scr, stat_scr, ts, *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
-    merge_impl: str = "bitonic", ablate: str = "",
+    merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
 ):
     """The v3 GOS/CASH datapath for one range tile starting at lane ``ts``,
     reading the rows ``_gos_rows_init`` left in scratch.
@@ -1218,10 +1222,11 @@ def _gos_tail(
     ``ablate`` (profiling-only; results are WRONG, never exposed through the
     chain API — the VERDICT r3 item-1 floor-proof instrumentation, mirroring
     the CA kernel's §1 ablation family): 'merge' skips the sliding-merge
-    compare-exchanges (build rolls + rank selects remain), 'shift' skips the
-    per-level shifted-copy rolls, 'rank' skips the two rank-select trees,
-    'sort' skips the whole sorted-window section, 'tail' skips the
-    threshold/peak epilogue (stats land in stat_scr only)."""
+    compare-exchanges (build rolls + rank selects remain), 'rank' replaces
+    the two rank-select trees with a consume-all add reduction (selects
+    ablated, the ladder NOT dead-code-eliminable), 'sort' skips the whole
+    sorted-window section, 'tail' skips the threshold/peak epilogue (stats
+    land in stat_scr only)."""
     log2w = scal_ref[0]
     guard = scal_ref[1]
     mode = scal_ref[3]
@@ -1268,11 +1273,8 @@ def _gos_tail(
                 rows = [base]
                 for lev in range(L):
                     m = 1 << lev
-                    if ablate == "shift":
-                        shifted = list(rows)
-                    else:
-                        shifted = [pltpu.roll(r, slab_w - m, axis=1)
-                                   for r in rows]      # [p] = r[p + m]
+                    shifted = [pltpu.roll(r, slab_w - m, axis=1)
+                               for r in rows]          # [p] = r[p + m]
                     if ablate == "merge":
                         rows = rows + shifted          # no compare-exchanges
                     elif merge_impl == "oe":
@@ -1289,7 +1291,14 @@ def _gos_tail(
                 for rank, slot, lag_side in ((rank_lagg, 2, True),
                                              (rank_lead, 3, False)):
                     if ablate == "rank":
+                        # consume EVERY row with a cheap reduction so the
+                        # merge ladder cannot be dead-code-eliminated (the
+                        # r4a 'rank' ablation leaked: rows[0] alone let the
+                        # compiler delete the whole sort; wl-1 adds replace
+                        # the 2(wl-1) selects being ablated)
                         val = rows[0]
+                        for r in rows[1:]:
+                            val = val + r
                     else:
                         idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
                         val = jnp.where(nv > 0, _rank_select_tree(rows, idx),
@@ -1353,28 +1362,87 @@ def _gos_tail(
         pk_ref[:, :] = jnp.zeros(pk_ref.shape, pk_ref.dtype)
         return
 
+    if tail_impl == "classic":
+        s_lag = jnp.where(use_gos, stat_scr[2],
+                          ca_scr[0, :, pl.ds(M + ts, tile)])
+        s_lead = jnp.where(use_gos, stat_scr[3],
+                           ca_scr[1, :, pl.ds(M + ts, tile)])
+        noise = jnp.where(
+            mode == 1, jnp.maximum(s_lag, s_lead),
+            jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
+                      0.5 * (s_lag + s_lead)))
+        if with_cash:
+            noise = jnp.where(mode == 3,
+                              jnp.maximum(stat_scr[4], stat_scr[5]), noise)
+        thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+        active_t = (ii_t >= active_lo) & (ii_t < active_hi)
+        thr = jnp.where(active_t, thr, 0.0)
+        mag_t = row_scr[:, pl.ds(M + ts, tile)]
+        peaks = (mag_t > thr) & active_t
+
+        left = nb_scr[0, :, pl.ds(M + ts, tile)]
+        right = nb_scr[1, :, pl.ds(M + ts, tile)]
+        grouped = peaks & (mag_t >= left) & (mag_t >= right)
+        pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
+                           peaks.astype(jnp.int32))
+
+        thr_ref[:, :] = thr
+        pk_ref[:, :] = pk_i32
+        return
+
+    # ---- lean epilogue (r4): the r4a ablation put the ungated epilogue at
+    # ~1.3 ms of the 5.3 ms GOS chain — mode select and peak grouping now run
+    # as pl.when branches (one executes), with the linear-mode scaler and the
+    # CA 1/2 folded into one multiply-add coefficient. Exactness mirrors the
+    # CA lean tail's argument (power-of-two folds commute with rounding;
+    # x*1.0 and x+0.0 are exact), asserted bit-identical in tests. ----
     s_lag = jnp.where(use_gos, stat_scr[2], ca_scr[0, :, pl.ds(M + ts, tile)])
     s_lead = jnp.where(use_gos, stat_scr[3], ca_scr[1, :, pl.ds(M + ts, tile)])
-    noise = jnp.where(
-        mode == 1, jnp.maximum(s_lag, s_lead),
-        jnp.where(mode == 2, jnp.minimum(s_lag, s_lead),
-                  0.5 * (s_lag + s_lead)))
-    if with_cash:
-        noise = jnp.where(mode == 3, jnp.maximum(stat_scr[4], stat_scr[5]), noise)
-    thr = jnp.where(log_or_linear == 1, noise * scaler, noise + scaler)
+    is_lin = log_or_linear == 1
+    c_pair = jnp.where(is_lin, scaler, jnp.float32(1.0))
+    a_term = jnp.where(is_lin, jnp.float32(0.0), scaler)
     active_t = (ii_t >= active_lo) & (ii_t < active_hi)
-    thr = jnp.where(active_t, thr, 0.0)
+
+    ca_cond = (mode != 1) & (mode != 2)
+    if with_cash:
+        ca_cond = ca_cond & (mode != 3)
+
+    @pl.when(ca_cond)                          # CA mean
+    def _():
+        thr_ref[:, :] = jnp.where(
+            active_t, (s_lag + s_lead) * (0.5 * c_pair) + a_term, 0.0)
+
+    @pl.when(mode == 1)                        # GO
+    def _():
+        thr_ref[:, :] = jnp.where(
+            active_t, jnp.maximum(s_lag, s_lead) * c_pair + a_term, 0.0)
+
+    @pl.when(mode == 2)                        # SO
+    def _():
+        thr_ref[:, :] = jnp.where(
+            active_t, jnp.minimum(s_lag, s_lead) * c_pair + a_term, 0.0)
+
+    if with_cash:
+        @pl.when(mode == 3)                    # CASH
+        def _():
+            thr_ref[:, :] = jnp.where(
+                active_t,
+                jnp.maximum(stat_scr[4], stat_scr[5]) * c_pair + a_term, 0.0)
+
+    thr = thr_ref[:, :]
     mag_t = row_scr[:, pl.ds(M + ts, tile)]
-    peaks = (mag_t > thr) & active_t
+    pk = (mag_t > thr) & active_t
 
-    left = nb_scr[0, :, pl.ds(M + ts, tile)]
-    right = nb_scr[1, :, pl.ds(M + ts, tile)]
-    grouped = peaks & (mag_t >= left) & (mag_t >= right)
-    pk_i32 = jnp.where(peak_grouping == 1, grouped.astype(jnp.int32),
-                       peaks.astype(jnp.int32))
+    @pl.when(peak_grouping == 0)
+    def _():
+        pk_ref[:, :] = pk.astype(jnp.int32)
 
-    thr_ref[:, :] = thr
-    pk_ref[:, :] = pk_i32
+    @pl.when(peak_grouping == 1)
+    def _():
+        left = nb_scr[0, :, pl.ds(M + ts, tile)]
+        right = nb_scr[1, :, pl.ds(M + ts, tile)]
+        pk_ref[:, :] = (pk & (mag_t >= left)
+                        & (mag_t >= right)).astype(jnp.int32)
 
 
 def fused_mag_gos_cfar(
@@ -1390,6 +1458,7 @@ def fused_mag_gos_cfar(
     range_tile: int | None = None,
     merge_impl: str = "oe",
     ablate: str = "",
+    tail_impl: str = "lean",
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO/CASH) with the window sort resident in VMEM.
@@ -1466,7 +1535,8 @@ def fused_mag_gos_cfar(
         kernel = functools.partial(_gos_kernel3, n=n, tile=tile, wmax=wmax,
                                    max_log2_w=MAX_LOG2_W,
                                    with_cash=cfg.include_cash,
-                                   merge_impl=merge_impl, ablate=ablate)
+                                   merge_impl=merge_impl, ablate=ablate,
+                                   tail_impl=tail_impl)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
             pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),

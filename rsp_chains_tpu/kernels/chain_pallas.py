@@ -546,7 +546,8 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
                 perm_impl: str = "roll", gated_refs=None, lead2_bits: int = 8,
                 boxsum_impl: str = "vpu", stack_hi_lo: bool = False,
                 h_ref=None, tail_impl: str = "lean",
-                words_ref=None, bin_width: int = 0):
+                words_ref=None, bin_width: int = 0,
+                words_ablate_pack: bool = False):
     """FFT + magnitude + CA-CFAR on a [F, N] IQ value pair; returns
     (threshold f32, peaks u8).
 
@@ -674,7 +675,8 @@ def _chain_core(xr, xi, tw_ref, w_ref, pm_ref, scal_ref, fscal_ref,
             _ca_cfar_into_lean(mag, scal_ref, fscal_ref, thr_ref, pk_ref,
                                scr_ref, n, lag_bits=lag_bits,
                                lead2_bits=lead2_bits,
-                               words_ref=words_ref, bin_width=bin_width)
+                               words_ref=words_ref, bin_width=bin_width,
+                               words_ablate_pack=words_ablate_pack)
         else:
             assert words_ref is None, "packed-word emission needs tail 'lean'"
             _ca_cfar_into(mag, scal_ref, fscal_ref, thr_ref, pk_ref, scr_ref,
@@ -746,17 +748,26 @@ def _chain_kernel_packed(
     n: int, n1: int, bin_width: int, dot_impl: str = "f32",
     fold_twiddle: bool = False, lag_bits: int = 7, lead_bits: int = 7,
     lead2_bits: int = 8, perm_impl: str = "roll", gated_cfar: bool = True,
-    tail_impl: str = "lean",
+    tail_impl: str = "lean", ablate: str = "",
 ):
     """Wire-format variant: packed IQ beat words in, packed CFAR words out —
     the RxFftMagCfarTxChain data plane as ONE kernel. Halves the input HBM
     read and shrinks the output write 5x vs the float pair form. The 'lean'
     tail (default since r4) emits the ``{thr | bin | peak}`` words straight
     from the peak pass — no thr/pk scratch round-trips, no standalone pack
-    passes (VERDICT r3 item 3)."""
+    passes (VERDICT r3 item 3).
+
+    ``ablate`` (profiling-only, results WRONG): 'unpack' skips the sign-
+    extension shifts (keeps the int->float converts the FFT needs), 'pack'
+    emits the peak flags alone instead of the assembled word — the two
+    measure the wire format's structural VPU cost over the pair form."""
     w32 = xw_ref[:, :]
-    xr = (w32 >> 16).astype(jnp.float32)           # arithmetic shift: sign ok
-    xi = ((w32 << 16) >> 16).astype(jnp.float32)   # sign-extend low half
+    if ablate == "unpack":
+        xr = w32.astype(jnp.float32)
+        xi = xr
+    else:
+        xr = (w32 >> 16).astype(jnp.float32)         # arithmetic shift: sign
+        xi = ((w32 << 16) >> 16).astype(jnp.float32)  # sign-extend low half
     if tail_impl == "lean":
         thr_scr, scr_ref = rest
         _chain_core(xr, xi, tw_ref, w_ref, pm_ref,
@@ -766,7 +777,8 @@ def _chain_kernel_packed(
                     lead2_bits=lead2_bits,
                     perm_impl=perm_impl,
                     gated_refs=(thr_scr, None, scr_ref),
-                    tail_impl="lean", words_ref=out_ref, bin_width=bin_width)
+                    tail_impl="lean", words_ref=out_ref, bin_width=bin_width,
+                    words_ablate_pack=ablate == "pack")
         return
     thr_scr, pk_scr, scr_ref = rest
     gated_refs = (thr_scr, pk_scr, scr_ref) if gated_cfar else None
@@ -1034,6 +1046,7 @@ def fused_chain_ca_packed(
     perm_impl: str = "fold",
     gated_cfar: bool = True,
     tail_impl: str = "lean",
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Wire-format whole-chain kernel: packed uint32 IQ beat words [..., N] in,
     packed ``{threshold | bin | peak}`` words out — the full
@@ -1082,7 +1095,7 @@ def fused_chain_ca_packed(
         _chain_kernel_packed, n=n, n1=n1,
         bin_width=int(np.log2(n)), dot_impl=dot_impl,
         fold_twiddle=fold_twiddle, perm_impl=perm_impl,
-        gated_cfar=gated_cfar, tail_impl=tail_impl,
+        gated_cfar=gated_cfar, tail_impl=tail_impl, ablate=ablate,
         lag_bits=_bits_for(cfar_cfg.max_guard_window + 1),
         lead_bits=_bits_for(cfar_cfg.max_guard_window
                             + cfar_cfg.max_ref_window),
@@ -1160,6 +1173,7 @@ def _chain_gos_kernel(
     *,
     n: int, n1: int, dot_impl: str, wmax: int, max_log2_w: int,
     with_cash: bool, merge_impl: str = "bitonic", ablate: str = "",
+    tail_impl: str = "lean",
 ):
     """Whole FFT + magnitude + GOS/GOSCA/CASH chain in ONE kernel: the
     spectrum never touches HBM (VERDICT r2 item 1 — GOS elaborations used to
@@ -1186,7 +1200,7 @@ def _chain_gos_kernel(
     _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
               stat_scr, pl.multiple_of(0, 128), n=n, tile=n, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
-              merge_impl=merge_impl, ablate=ablate)
+              merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl)
 
 
 GOS_CHAIN_BLOCK_FRAMES = 32   # r3 on-chip A/B (benchmarks/profile_r3d): 32
@@ -1207,6 +1221,7 @@ def fused_chain_gos(
     dot_impl: str = "bf16x2",
     merge_impl: str = "oe",
     ablate: str = "",
+    tail_impl: str = "lean",
 ) -> CfarOutput:
     """Single-kernel FFT + mag + GOS/GOSCA(+CASH) chain at the full elaborated
     FFT size, N ∈ {256, 512, 1024}: one HBM read of the IQ pair, one write of
@@ -1263,7 +1278,7 @@ def fused_chain_gos(
     kernel = functools.partial(
         _chain_gos_kernel, n=n, n1=n1, dot_impl=dot_impl, wmax=wmax,
         max_log2_w=MAX_LOG2_W, with_cash=cfar_cfg.include_cash,
-        merge_impl=merge_impl, ablate=ablate)
+        merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl)
     M = GOS3_MARGIN
     extra = {}
     if (n1 >= 8 and bf >= 16) or bf >= 32:

@@ -483,6 +483,36 @@ def test_fused_chain_lean_tail_bit_identical(mode, ll, pg, rng):
         np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
 
 
+@pytest.mark.parametrize("alg,mode,ll,pg", [
+    (1, 0, 1, 0), (1, 1, 0, 1), (1, 2, 1, 1), (0, 0, 1, 0), (1, 3, 1, 0),
+])
+def test_gos_lean_epilogue_bit_identical(alg, mode, ll, pg, rng):
+    """The r4 lean GOS epilogue (pl.when mode select + folded linear scaler +
+    gated grouping) must match the classic value-ladder epilogue bit-for-bit
+    across the algorithm/mode/log/grouping register surface (incl. runtime
+    frame shrink)."""
+    from rsp_chains_tpu.kernels.cfar_pallas import fused_mag_gos_cfar
+
+    gcfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                      variant=CfarVariant.GOSCA, include_cash=True,
+                      max_fft_size=256)
+    spec = jnp.asarray(_spec(rng))
+    for fft_size in (256, 128):
+        rt = RuntimeConfig.make(fft_size=256, cfar_fft_size=fft_size,
+                                cfar_mode=mode, ref_window_size=8,
+                                guard_window_size=2, threshold_scaler=3.0,
+                                log_or_linear=ll, peak_grouping=pg,
+                                cfar_algorithm=alg, index_lagg=4, index_lead=4,
+                                sub_window_size=2)
+        a = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True,
+                               tail_impl="classic")
+        b = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True,
+                               tail_impl="lean")
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
 @pytest.mark.parametrize("pg", [0, 1])
 def test_fused_chain_packed_lean_bit_identical(pg, rng):
     """The wire-format kernel's lean tail emits {thr | bin | peak} words
