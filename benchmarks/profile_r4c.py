@@ -71,17 +71,23 @@ def main():
         def d(a, r):
             o1 = gos(tail_impl="classic")(a, r)
             o2 = gos()(a, r)
+            o3 = gos(roll_impl="batch")(a, r)
             return (jnp.max(jnp.abs(o1.threshold - o2.threshold)),
-                    jnp.sum(o1.peaks != o2.peaks))
-        dt, df = jax.jit(d)(x, rt_gos)
+                    jnp.sum(o1.peaks != o2.peaks),
+                    jnp.max(jnp.abs(o2.threshold - o3.threshold)),
+                    jnp.sum(o2.peaks != o3.peaks))
+        dt, df, dbt, dbf = jax.jit(d)(x, rt_gos)
         print(f"gos lean-vs-classic on-chip: max|dthr|={float(dt)} "
-              f"flips={int(df)} (must be 0/0)", file=sys.stderr, flush=True)
+              f"flips={int(df)} (must be 0/0); batch-roll vs lean: "
+              f"max|dthr|={float(dbt)} flips={int(dbf)} (must be 0/0)",
+              file=sys.stderr, flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"gos lean digest FAILED: {e}"[:300], file=sys.stderr, flush=True)
 
     fam = {
         "gos_lean": (gos(), x, rt_gos),
         "gos_classic_tail": (gos(tail_impl="classic"), x, rt_gos),
+        "gos_batch_roll": (gos(roll_impl="batch"), x, rt_gos),
         "gos_ablate_merge": (gos(ablate="merge"), x, rt_gos),
         "gos_ablate_rank": (gos(ablate="rank"), x, rt_gos),
         "gos_ablate_sort": (gos(ablate="sort"), x, rt_gos),

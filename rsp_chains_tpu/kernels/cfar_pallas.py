@@ -1192,6 +1192,7 @@ def _gos_kernel3(
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
     merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
+    roll_impl: str = "per_row",
 ):
     mag_mode = scal_ref[7]
     t_idx = pl.program_id(1)
@@ -1207,7 +1208,8 @@ def _gos_kernel3(
     _gos_tail(scal_ref, fscal_ref, thr_ref, pk_ref, row_scr, ca_scr, nb_scr,
               stat_scr, ts, n=n, tile=tile, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
-              merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl)
+              merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl,
+              roll_impl=roll_impl)
 
 
 def _gos_tail(
@@ -1215,6 +1217,7 @@ def _gos_tail(
     row_scr, ca_scr, nb_scr, stat_scr, ts, *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
     merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
+    roll_impl: str = "per_row",
 ):
     """The v3 GOS/CASH datapath for one range tile starting at lane ``ts``,
     reading the rows ``_gos_rows_init`` left in scratch.
@@ -1273,8 +1276,20 @@ def _gos_tail(
                 rows = [base]
                 for lev in range(L):
                     m = 1 << lev
-                    shifted = [pltpu.roll(r, slab_w - m, axis=1)
-                               for r in rows]          # [p] = r[p + m]
+                    if roll_impl == "batch" and len(rows) > 1:
+                        # one roll of the sublane-stacked level instead of
+                        # 2^lev per-row rolls: every row at a level shifts by
+                        # the SAME amount, so if the roll cost has a per-op
+                        # component the batch amortizes it (r4 A/B; the
+                        # concat/split copies are the price)
+                        fr = rows[0].shape[0]
+                        rolled = pltpu.roll(jnp.concatenate(rows, axis=0),
+                                            slab_w - m, axis=1)
+                        shifted = [rolled[i * fr:(i + 1) * fr]
+                                   for i in range(len(rows))]
+                    else:
+                        shifted = [pltpu.roll(r, slab_w - m, axis=1)
+                                   for r in rows]      # [p] = r[p + m]
                     if ablate == "merge":
                         rows = rows + shifted          # no compare-exchanges
                     elif merge_impl == "oe":
@@ -1459,6 +1474,7 @@ def fused_mag_gos_cfar(
     merge_impl: str = "oe",
     ablate: str = "",
     tail_impl: str = "lean",
+    roll_impl: str = "per_row",
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO/CASH) with the window sort resident in VMEM.
@@ -1536,7 +1552,7 @@ def fused_mag_gos_cfar(
                                    max_log2_w=MAX_LOG2_W,
                                    with_cash=cfg.include_cash,
                                    merge_impl=merge_impl, ablate=ablate,
-                                   tail_impl=tail_impl)
+                                   tail_impl=tail_impl, roll_impl=roll_impl)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
             pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),

@@ -48,8 +48,9 @@ class Cfar2dConfig:
     ``include_os`` compiles in the ordered-statistic body (2-D analog of the
     1-D GOS rank select, ``ops/cfar.py``): the runtime ``algorithm`` register
     then muxes CA/OS on one executable. OS materializes one rolled copy of the
-    map per elaborated annulus offset, so it is gated on small maxima — the
-    stack cap below bounds memory at ~256x the map."""
+    map per elaborated annulus offset for ONE map at a time (``lax.map`` over
+    the batch — see the body), so peak memory is the stack cap below (~256x)
+    times a single [P, N] map regardless of channel count."""
 
     max_ref_range: int = 16
     max_guard_range: int = 4
@@ -226,27 +227,45 @@ def cfar_2d_op(
         # the CUT inside the runtime inner rectangle. A raw register write of
         # algorithm=1 on an include_os=False elaboration is inert (no OS body
         # compiled in): the mux below only exists under include_os.
-        vals, oks = [], []
-        for dd in range(-max_ad, max_ad + 1):
-            m_d = jnp.roll(mp, -dd, axis=-2)
-            v_d = jnp.roll(vp, -dd, axis=-2)
-            for dr in range(-max_ar, max_ar + 1):
-                if dd == 0 and dr == 0:
-                    continue
-                member = ((abs(dd) <= a_d) & (abs(dr) <= a_r)
-                          & ~((abs(dd) <= g_d) & (abs(dr) <= g_r)))
-                vals.append(jnp.roll(m_d, -dr, axis=-1)[sl])
-                oks.append(member & (jnp.roll(v_d, -dr, axis=-1)[sl] > 0.5))
-        stack_v = jnp.stack(vals, axis=-3)
-        stack_ok = jnp.stack(oks, axis=-3)
-        sv = jnp.sort(jnp.where(stack_ok, stack_v, jnp.float32(jnp.inf)),
-                      axis=-3)
-        nv = jnp.sum(stack_ok, axis=-3).astype(jnp.int32)
-        idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0, sv.shape[-3] - 1)
-        ks = jnp.arange(sv.shape[-3], dtype=jnp.int32).reshape(-1, 1, 1)
-        os_noise = jnp.sum(jnp.where(ks == idx[..., None, :, :], sv, 0.0),
-                           axis=-3)
-        os_noise = jnp.where(nv > 0, os_noise, 0.0)
+        #
+        # Memory bounding (r4): the stack goes on axis 0 of a single [P, N]
+        # map and the batch runs under lax.map — the earlier axis=-3 batched
+        # stack made XLA materialize [B, 1, P, N] concat operands whose
+        # size-1 dim tiled to (8,128) sublanes, a 128x padding blowup that
+        # OOMed HBM at 16 channels (2 GB per temp; benchmarks/profile_r4b).
+        # Per-map cost is stack*P*N floats (<=256 maps' worth by the
+        # elaboration cap), independent of batch.
+        pd2, pr2 = sl[-2], sl[-1]
+
+        def _os_one(args):
+            mp1, vp1 = args                      # padded [Pp, Np] map + mask
+            vals, oks = [], []
+            for dd in range(-max_ad, max_ad + 1):
+                m_d = jnp.roll(mp1, -dd, axis=-2)
+                v_d = jnp.roll(vp1, -dd, axis=-2)
+                for dr in range(-max_ar, max_ar + 1):
+                    if dd == 0 and dr == 0:
+                        continue
+                    member = ((abs(dd) <= a_d) & (abs(dr) <= a_r)
+                              & ~((abs(dd) <= g_d) & (abs(dr) <= g_r)))
+                    vals.append(jnp.roll(m_d, -dr, axis=-1)[pd2, pr2])
+                    oks.append(member
+                               & (jnp.roll(v_d, -dr, axis=-1)[pd2, pr2] > 0.5))
+            stack_v = jnp.stack(vals, axis=0)
+            stack_ok = jnp.stack(oks, axis=0)
+            sv = jnp.sort(jnp.where(stack_ok, stack_v, jnp.float32(jnp.inf)),
+                          axis=0)
+            nv = jnp.sum(stack_ok, axis=0).astype(jnp.int32)
+            idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0,
+                           sv.shape[0] - 1)
+            ks = jnp.arange(sv.shape[0], dtype=jnp.int32).reshape(-1, 1, 1)
+            one = jnp.sum(jnp.where(ks == idx[None], sv, 0.0), axis=0)
+            return jnp.where(nv > 0, one, 0.0)
+
+        lead = mp.shape[:-2]
+        mp_f = mp.reshape((-1,) + mp.shape[-2:])
+        vp_f = vp.reshape((-1,) + vp.shape[-2:])
+        os_noise = jax.lax.map(_os_one, (mp_f, vp_f)).reshape(lead + (p, n))
         noise = jnp.where(rt2.algorithm == 1, os_noise, noise)
 
     thr = jnp.where(rt2.log_or_linear == 1,

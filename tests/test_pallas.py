@@ -513,6 +513,30 @@ def test_gos_lean_epilogue_bit_identical(alg, mode, ll, pg, rng):
         np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
 
 
+def test_gos_batch_roll_bit_identical(rng):
+    """roll_impl='batch' (one roll of the sublane-stacked level) must be
+    bit-identical to the per-row rolls across window sizes."""
+    from rsp_chains_tpu.kernels.cfar_pallas import fused_mag_gos_cfar
+
+    gcfg = CfarConfig(max_ref_window=16, max_guard_window=4,
+                      variant=CfarVariant.GOSCA, include_cash=True,
+                      max_fft_size=256)
+    spec = jnp.asarray(_spec(rng))
+    for wsz in (16, 8):
+        rt = RuntimeConfig.make(fft_size=256, cfar_mode=0,
+                                ref_window_size=wsz, guard_window_size=2,
+                                threshold_scaler=3.0, log_or_linear=1,
+                                peak_grouping=1, cfar_algorithm=1,
+                                index_lagg=wsz // 2, index_lead=wsz // 2,
+                                sub_window_size=2)
+        a = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True)
+        b = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True,
+                               roll_impl="batch")
+        np.testing.assert_array_equal(np.asarray(a.threshold),
+                                      np.asarray(b.threshold))
+        np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
 @pytest.mark.parametrize("pg", [0, 1])
 def test_fused_chain_packed_lean_bit_identical(pg, rng):
     """The wire-format kernel's lean tail emits {thr | bin | peak} words
