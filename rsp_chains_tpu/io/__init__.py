@@ -11,3 +11,4 @@ from .framing import (
     encode_iq_frame,
 )
 from .stream import CpiMetrics, StreamingPipeline, StreamStats
+from .uart import DspBlockUart, UartParams, UartRegs
