@@ -1128,6 +1128,73 @@ def _oe_merge_lists(a, b):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _oe_merge_schedule(m: int):
+    """Static compare-exchange schedule of the Batcher odd-even merge of two
+    sorted m-lists, grouped into data-parallel stages by dataflow depth
+    (every CE in a stage consumes values produced strictly earlier). Returns
+    ``(stages, out_ids)``: stages = list of lists of (in_lo, in_hi, out_lo,
+    out_hi) value ids; inputs are ids 0..2m-1 (a then b); ``out_ids`` is the
+    merged ascending order. Pure build-time Python — the network is identical
+    to ``_oe_merge_lists``, only the execution grouping differs."""
+    counter = [2 * m]
+    depth = {i: 0 for i in range(2 * m)}
+    ces = []
+
+    def ce(x, y):
+        d = max(depth[x], depth[y]) + 1
+        lo, hi = counter[0], counter[0] + 1
+        counter[0] += 2
+        depth[lo] = depth[hi] = d
+        ces.append((x, y, lo, hi, d))
+        return lo, hi
+
+    def merge(a, b):
+        if len(a) == 1:
+            return list(ce(a[0], b[0]))
+        even = merge(a[0::2], b[0::2])
+        odd = merge(a[1::2], b[1::2])
+        out = [None] * (2 * len(a))
+        out[0], out[-1] = even[0], odd[-1]
+        for i in range(len(a) - 1):
+            lo, hi = ce(odd[i], even[i + 1])
+            out[2 * i + 1], out[2 * i + 2] = lo, hi
+        return out
+
+    out_ids = merge(list(range(m)), list(range(m, 2 * m)))
+    staged = {}
+    for x, y, lo, hi, d in ces:
+        staged.setdefault(d, []).append((x, y, lo, hi))
+    return tuple(tuple(staged[d]) for d in sorted(staged)), tuple(out_ids)
+
+
+def _oe_merge_lists_batched(a, b):
+    """``_oe_merge_lists`` with each dataflow stage executed as ONE batched
+    min + ONE batched max over the sublane-stacked CE operands (the r4
+    per-op-overhead hypothesis, same as the batched ladder rolls): the
+    network and results are identical comparator-for-comparator; only the
+    op granularity changes. The concat/split copies are the price."""
+    m = len(a)
+    assert len(b) == m and (m & (m - 1)) == 0
+    stages, out_ids = _oe_merge_schedule(m)
+    vals = dict(enumerate(list(a) + list(b)))
+    f = a[0].shape[0]
+    for ces in stages:
+        if len(ces) == 1:
+            x, y, lo, hi = ces[0]
+            vals[lo] = jnp.minimum(vals[x], vals[y])
+            vals[hi] = jnp.maximum(vals[x], vals[y])
+            continue
+        left = jnp.concatenate([vals[x] for x, _, _, _ in ces], axis=0)
+        right = jnp.concatenate([vals[y] for _, y, _, _ in ces], axis=0)
+        los = jnp.minimum(left, right)
+        his = jnp.maximum(left, right)
+        for i, (x, y, lo, hi) in enumerate(ces):
+            vals[lo] = los[i * f:(i + 1) * f]
+            vals[hi] = his[i * f:(i + 1) * f]
+    return [vals[i] for i in out_ids]
+
+
 def _rank_select_tree(rows, idx):
     """Value at per-lane rank ``idx`` from ascending-sorted ``rows`` via a
     binary selection tree (2^L − 1 selects, no adds)."""
@@ -1292,6 +1359,8 @@ def _gos_tail(
                                    for r in rows]      # [p] = r[p + m]
                     if ablate == "merge":
                         rows = rows + shifted          # no compare-exchanges
+                    elif merge_impl == "oe_batch":
+                        rows = _oe_merge_lists_batched(rows, shifted)
                     elif merge_impl == "oe":
                         # Batcher odd-even merge: ~20% fewer comparators
                         rows = _oe_merge_lists(rows, shifted)

@@ -513,9 +513,14 @@ def test_gos_lean_epilogue_bit_identical(alg, mode, ll, pg, rng):
         np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
 
 
-def test_gos_batch_roll_bit_identical(rng):
-    """roll_impl='batch' (one roll of the sublane-stacked level) must be
-    bit-identical to the per-row rolls across window sizes."""
+@pytest.mark.parametrize("variant", [dict(roll_impl="batch"),
+                                     dict(merge_impl="oe_batch"),
+                                     dict(roll_impl="batch",
+                                          merge_impl="oe_batch")])
+def test_gos_batched_formulations_bit_identical(variant, rng):
+    """roll_impl='batch' (one roll of the sublane-stacked level) and
+    merge_impl='oe_batch' (each merge stage as one batched min + max) must be
+    bit-identical to the per-row formulations across window sizes."""
     from rsp_chains_tpu.kernels.cfar_pallas import fused_mag_gos_cfar
 
     gcfg = CfarConfig(max_ref_window=16, max_guard_window=4,
@@ -530,11 +535,30 @@ def test_gos_batch_roll_bit_identical(rng):
                                 index_lagg=wsz // 2, index_lead=wsz // 2,
                                 sub_window_size=2)
         a = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True)
-        b = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True,
-                               roll_impl="batch")
+        b = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True, **variant)
         np.testing.assert_array_equal(np.asarray(a.threshold),
                                       np.asarray(b.threshold))
         np.testing.assert_array_equal(np.asarray(a.peaks), np.asarray(b.peaks))
+
+
+def test_oe_merge_schedule_matches_list_merge(rng):
+    """The staged batched merge network must be comparator-for-comparator the
+    same network: merged output of random sorted lists equals numpy sort."""
+    from rsp_chains_tpu.kernels.cfar_pallas import (
+        _oe_merge_lists, _oe_merge_lists_batched,
+    )
+
+    for m in (1, 2, 4, 8, 16):
+        a = np.sort(rng.randn(m, 4, 8).astype(np.float32), axis=0)
+        b = np.sort(rng.randn(m, 4, 8).astype(np.float32), axis=0)
+        al = [jnp.asarray(a[i]) for i in range(m)]
+        bl = [jnp.asarray(b[i]) for i in range(m)]
+        got = np.stack([np.asarray(r)
+                        for r in _oe_merge_lists_batched(al, bl)])
+        ref = np.stack([np.asarray(r) for r in _oe_merge_lists(al, bl)])
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(
+            got, np.sort(np.concatenate([a, b]), axis=0))
 
 
 @pytest.mark.parametrize("pg", [0, 1])
