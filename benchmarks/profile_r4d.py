@@ -109,8 +109,8 @@ def main():
         "gos_classic_tail": (gos(tail_impl="classic"), x, rt_gos),
         "gos_batch_roll": (gos(roll_impl="batch"), x, rt_gos),
         "gos_oe_batch": (gos(merge_impl="oe_batch"), x, rt_gos),
-        "gos_batch_both": (gos(roll_impl="batch", merge_impl="oe_batch"),
-                           x, rt_gos),
+        "gos_batch_all": (gos(roll_impl="batch", merge_impl="oe_batch",
+                              select_impl="batch"), x, rt_gos),
         "gos_ablate_merge": (gos(ablate="merge"), x, rt_gos),
         "gos_ablate_rank": (gos(ablate="rank"), x, rt_gos),
         "gos_ablate_sort": (gos(ablate="sort"), x, rt_gos),

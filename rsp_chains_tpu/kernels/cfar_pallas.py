@@ -1207,6 +1207,28 @@ def _rank_select_tree(rows, idx):
     return sel[0]
 
 
+def _rank_select_tree_batched(rows, idx):
+    """``_rank_select_tree`` with each tree level as ONE batched select over
+    the sublane-stacked halves (same r4 per-op-overhead family as
+    ``_oe_merge_lists_batched``); the predicate is the same [f, W] vector for
+    every row at a level, so it tiles by concatenation. Bit-identical."""
+    sel = list(rows)
+    bits = len(rows).bit_length() - 1
+    f = rows[0].shape[0]
+    for bit in reversed(range(bits)):
+        half = 1 << bit
+        take_hi = ((idx >> bit) & 1) == 1
+        if half == 1:
+            sel = [jnp.where(take_hi, sel[1], sel[0])]
+            continue
+        lo = jnp.concatenate(sel[:half], axis=0)
+        hi = jnp.concatenate(sel[half:2 * half], axis=0)
+        takes = jnp.concatenate([take_hi] * half, axis=0)
+        out = jnp.where(takes, hi, lo)
+        sel = [out[i * f:(i + 1) * f] for i in range(half)]
+    return sel[0]
+
+
 def _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr, *,
                    n: int, max_log2_w: int):
     """Per-frame-block full-row work of the v3 GOS kernel, from a NATURAL-order
@@ -1259,7 +1281,7 @@ def _gos_kernel3(
     *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
     merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
-    roll_impl: str = "per_row",
+    roll_impl: str = "per_row", select_impl: str = "tree",
 ):
     mag_mode = scal_ref[7]
     t_idx = pl.program_id(1)
@@ -1276,7 +1298,7 @@ def _gos_kernel3(
               stat_scr, ts, n=n, tile=tile, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
               merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl,
-              roll_impl=roll_impl)
+              roll_impl=roll_impl, select_impl=select_impl)
 
 
 def _gos_tail(
@@ -1284,7 +1306,7 @@ def _gos_tail(
     row_scr, ca_scr, nb_scr, stat_scr, ts, *,
     n: int, tile: int, wmax: int, max_log2_w: int, with_cash: bool,
     merge_impl: str = "bitonic", ablate: str = "", tail_impl: str = "lean",
-    roll_impl: str = "per_row",
+    roll_impl: str = "per_row", select_impl: str = "tree",
 ):
     """The v3 GOS/CASH datapath for one range tile starting at lane ``ts``,
     reading the rows ``_gos_rows_init`` left in scratch.
@@ -1385,8 +1407,10 @@ def _gos_tail(
                             val = val + r
                     else:
                         idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
-                        val = jnp.where(nv > 0, _rank_select_tree(rows, idx),
-                                        0.0)
+                        tree = (_rank_select_tree_batched
+                                if select_impl == "batch"
+                                else _rank_select_tree)
+                        val = jnp.where(nv > 0, tree(rows, idx), 0.0)
                     if lag_side:   # cell i's lag window starts at i − g − w
                         row_v = _roll_right(val, guard + wl)
                     else:          # lead window starts at i + g + 1
@@ -1544,6 +1568,7 @@ def fused_mag_gos_cfar(
     ablate: str = "",
     tail_impl: str = "lean",
     roll_impl: str = "per_row",
+    select_impl: str = "tree",
 ) -> CfarOutput:
     """Fused logmag + GOSCA CFAR (CA + order statistics, runtime-switchable,
     modes CA/GO/SO/CASH) with the window sort resident in VMEM.
@@ -1621,7 +1646,8 @@ def fused_mag_gos_cfar(
                                    max_log2_w=MAX_LOG2_W,
                                    with_cash=cfg.include_cash,
                                    merge_impl=merge_impl, ablate=ablate,
-                                   tail_impl=tail_impl, roll_impl=roll_impl)
+                                   tail_impl=tail_impl, roll_impl=roll_impl,
+                                   select_impl=select_impl)
         scratch = [
             pltpu.VMEM((bf, n + 2 * GOS3_MARGIN), jnp.float32),
             pltpu.VMEM((2, bf, n + 2 * GOS3_MARGIN), jnp.float32),

@@ -1174,6 +1174,7 @@ def _chain_gos_kernel(
     n: int, n1: int, dot_impl: str, wmax: int, max_log2_w: int,
     with_cash: bool, merge_impl: str = "bitonic", ablate: str = "",
     tail_impl: str = "lean", roll_impl: str = "per_row",
+    select_impl: str = "tree",
 ):
     """Whole FFT + magnitude + GOS/GOSCA/CASH chain in ONE kernel: the
     spectrum never touches HBM (VERDICT r2 item 1 — GOS elaborations used to
@@ -1201,7 +1202,7 @@ def _chain_gos_kernel(
               stat_scr, pl.multiple_of(0, 128), n=n, tile=n, wmax=wmax,
               max_log2_w=max_log2_w, with_cash=with_cash,
               merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl,
-              roll_impl=roll_impl)
+              roll_impl=roll_impl, select_impl=select_impl)
 
 
 GOS_CHAIN_BLOCK_FRAMES = 32   # r3 on-chip A/B (benchmarks/profile_r3d): 32
@@ -1224,6 +1225,7 @@ def fused_chain_gos(
     ablate: str = "",
     tail_impl: str = "lean",
     roll_impl: str = "per_row",
+    select_impl: str = "tree",
 ) -> CfarOutput:
     """Single-kernel FFT + mag + GOS/GOSCA(+CASH) chain at the full elaborated
     FFT size, N ∈ {256, 512, 1024}: one HBM read of the IQ pair, one write of
@@ -1281,7 +1283,7 @@ def fused_chain_gos(
         _chain_gos_kernel, n=n, n1=n1, dot_impl=dot_impl, wmax=wmax,
         max_log2_w=MAX_LOG2_W, with_cash=cfar_cfg.include_cash,
         merge_impl=merge_impl, ablate=ablate, tail_impl=tail_impl,
-        roll_impl=roll_impl)
+        roll_impl=roll_impl, select_impl=select_impl)
     M = GOS3_MARGIN
     extra = {}
     if (n1 >= 8 and bf >= 16) or bf >= 32:

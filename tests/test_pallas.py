@@ -515,8 +515,10 @@ def test_gos_lean_epilogue_bit_identical(alg, mode, ll, pg, rng):
 
 @pytest.mark.parametrize("variant", [dict(roll_impl="batch"),
                                      dict(merge_impl="oe_batch"),
+                                     dict(select_impl="batch"),
                                      dict(roll_impl="batch",
-                                          merge_impl="oe_batch")])
+                                          merge_impl="oe_batch",
+                                          select_impl="batch")])
 def test_gos_batched_formulations_bit_identical(variant, rng):
     """roll_impl='batch' (one roll of the sublane-stacked level) and
     merge_impl='oe_batch' (each merge stage as one batched min + max) must be
