@@ -229,36 +229,48 @@ def cfar_2d_op(
         # compiled in): the mux below only exists under include_os.
         #
         # Memory bounding (r4): the stack goes on axis 0 of a single [P, N]
-        # map and the batch runs under lax.map — the earlier axis=-3 batched
-        # stack made XLA materialize [B, 1, P, N] concat operands whose
-        # size-1 dim tiled to (8,128) sublanes, a 128x padding blowup that
-        # OOMed HBM at 16 channels (2 GB per temp; benchmarks/profile_r4b).
-        # Per-map cost is stack*P*N floats (<=256 maps' worth by the
-        # elaboration cap), independent of batch.
+        # map and the batch runs under lax.map; the stack buffer is filled by
+        # a fori_loop over offsets (traced dd/dr, dynamic rolls) rather than
+        # jnp.stack of S separate arrays. Two earlier formulations OOMed HBM
+        # on-chip (benchmarks/profile_r4b): an axis=-3 batched stack made XLA
+        # materialize [B, 1, P, N] concat operands, and even the per-map
+        # jnp.stack version had XLA propagate the sort's stack-minor layout
+        # into the S concat operands — every [1, P, N] operand padded its
+        # size-1 dim to 128 lanes (128x, 128 MB per remat copy). The
+        # fori_loop keeps ONE [S, P, N] buffer live (stack*P*N floats,
+        # <=256 maps' worth by the elaboration cap), independent of batch.
         pd2, pr2 = sl[-2], sl[-1]
+        n_r = 2 * max_ar + 1
+        n_off = (2 * max_ad + 1) * n_r
+        center = max_ad * n_r + max_ar                 # the (0, 0) offset
+        n_stk = n_off - 1
 
         def _os_one(args):
             mp1, vp1 = args                      # padded [Pp, Np] map + mask
-            vals, oks = [], []
-            for dd in range(-max_ad, max_ad + 1):
-                m_d = jnp.roll(mp1, -dd, axis=-2)
-                v_d = jnp.roll(vp1, -dd, axis=-2)
-                for dr in range(-max_ar, max_ar + 1):
-                    if dd == 0 and dr == 0:
-                        continue
-                    member = ((abs(dd) <= a_d) & (abs(dr) <= a_r)
-                              & ~((abs(dd) <= g_d) & (abs(dr) <= g_r)))
-                    vals.append(jnp.roll(m_d, -dr, axis=-1)[pd2, pr2])
-                    oks.append(member
-                               & (jnp.roll(v_d, -dr, axis=-1)[pd2, pr2] > 0.5))
-            stack_v = jnp.stack(vals, axis=0)
-            stack_ok = jnp.stack(oks, axis=0)
-            sv = jnp.sort(jnp.where(stack_ok, stack_v, jnp.float32(jnp.inf)),
-                          axis=0)
-            nv = jnp.sum(stack_ok, axis=0).astype(jnp.int32)
-            idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0,
-                           sv.shape[0] - 1)
-            ks = jnp.arange(sv.shape[0], dtype=jnp.int32).reshape(-1, 1, 1)
+
+            def body(s, carry):
+                buf, nv = carry
+                o = jnp.where(s >= center, s + 1, s)   # skip (0,0) statically
+                dd = o // n_r - max_ad
+                dr = o % n_r - max_ar
+                member = ((jnp.abs(dd) <= a_d) & (jnp.abs(dr) <= a_r)
+                          & ~((jnp.abs(dd) <= g_d) & (jnp.abs(dr) <= g_r)))
+                v = jnp.roll(jnp.roll(mp1, -dd, axis=-2),
+                             -dr, axis=-1)[pd2, pr2]
+                ok = member & (jnp.roll(jnp.roll(vp1, -dd, axis=-2),
+                                        -dr, axis=-1)[pd2, pr2] > 0.5)
+                row = jnp.where(ok, v, jnp.float32(jnp.inf))
+                return (jax.lax.dynamic_update_slice(buf, row[None],
+                                                     (s, 0, 0)),
+                        nv + ok.astype(jnp.int32))
+
+            buf, nv = jax.lax.fori_loop(
+                0, n_stk, body,
+                (jnp.full((n_stk, p, n), jnp.inf, jnp.float32),
+                 jnp.zeros((p, n), jnp.int32)))
+            sv = jnp.sort(buf, axis=0)
+            idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0, n_stk - 1)
+            ks = jnp.arange(n_stk, dtype=jnp.int32).reshape(-1, 1, 1)
             one = jnp.sum(jnp.where(ks == idx[None], sv, 0.0), axis=0)
             return jnp.where(nv > 0, one, 0.0)
 
