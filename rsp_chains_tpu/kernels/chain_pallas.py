@@ -1221,16 +1221,22 @@ def fused_chain_gos(
     *,
     block_frames: int = GOS_CHAIN_BLOCK_FRAMES,
     dot_impl: str = "bf16x2",
-    merge_impl: str = "oe",
+    merge_impl: str = "oe_batch",
     ablate: str = "",
     tail_impl: str = "lean",
-    roll_impl: str = "per_row",
-    select_impl: str = "tree",
+    roll_impl: str = "batch",
+    select_impl: str = "batch",
 ) -> CfarOutput:
     """Single-kernel FFT + mag + GOS/GOSCA(+CASH) chain at the full elaborated
     FFT size, N ∈ {256, 512, 1024}: one HBM read of the IQ pair, one write of
     threshold + peaks — the GOS analog of ``fused_chain_ca``. Runtime
-    registers (the full 13-scalar GOS file) stay traced."""
+    registers (the full 13-scalar GOS file) stay traced.
+
+    Default formulation = the fastest interleaved-session pick (r4d,
+    benchmarks/results_r4.json): batched level rolls + batched odd-even merge
+    stages + batched rank-select trees, 4.43 vs 4.99 ms for the per-row/tree
+    form at 64x256x1024 — every variant bit-identical (tests/test_pallas.py
+    ``test_gos_batched_formulations_bit_identical``)."""
     from ..cplx import as_pair
     from .cfar_pallas import GOS3_MARGIN, MAX_LOG2_W, PAD
 
