@@ -505,10 +505,15 @@ def main():
             got = wire(packing.pack_iq(wd), r)
             thr_i = (got >> (bw + 1)).astype(jnp.float32)
             pk = (got & 1).astype(jnp.int32)
-            scale = jnp.maximum(jnp.max(out.threshold), 1e-30)
-            dthr = jnp.max(jnp.abs(jnp.floor(jnp.clip(
+            # the packed threshold field is the int-truncated value, so the
+            # bf16x2-FFT vs XLA float difference (~1e-6 rel) can flip a floor
+            # boundary: compare at 2-LSB granularity (a logic bug shows as
+            # O(threshold) LSBs, e.g. the observed dthr 0.021 was exactly
+            # 1 LSB / max-threshold 47)
+            dthr_lsb = jnp.max(jnp.abs(jnp.floor(jnp.clip(
                 out.threshold, 0.0, float((1 << (31 - bw)) - 1))) - thr_i))
-            return dthr / scale, jnp.sum(
+            # any excess beyond 2 LSBs lands at >=1e-3, over the 1e-4 bar
+            return jnp.maximum(dthr_lsb - 2.0, 0.0) * 1e-3, jnp.sum(
                 pk - out.peaks.astype(jnp.int32) != 0)
 
         if ok:
