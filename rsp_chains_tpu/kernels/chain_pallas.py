@@ -861,7 +861,7 @@ def fused_chain_ca(
     boxsum_impl: str = "vpu",
     stack_hi_lo: bool = True,
     h_block=None,
-    tail_impl: str = "lean",
+    tail_impl: str | None = None,
 ) -> CfarOutput:
     """Whole-chain kernel at the full elaborated FFT size: ``x`` [..., N] IQ
     pair/complex, N = fft_cfg.max_size ∈ {256, 512, 1024} (headline shapes)
@@ -902,6 +902,12 @@ def fused_chain_ca(
     n1 = n // 128
     assert n == fft_cfg.max_size and n1 in (2, 4, 8, 16, 32), n
     assert cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1 <= 128
+    if tail_impl is None:
+        # shape-aware default (r4e/r4f interleaved A/B): the lean tail wins
+        # at the headline N<=1024 (0.870 vs 0.958 ms, r4d) but LOSES at the
+        # 4096-lane pulse-compression frames (classic ~0.42 ms — the r3
+        # shipped rate — vs lean 0.73-0.87 in the same sessions)
+        tail_impl = "lean" if n1 <= 8 else "classic"
     if block_frames is None:
         block_frames = (CHAIN_BLOCK_FRAMES_SMALL_N if n1 <= 8
                         else CHAIN_BLOCK_FRAMES)
