@@ -73,6 +73,10 @@ def main():
             a, r, taps, cfg3, **_kw))
 
     def pc(**kw):
+        # pin the lean default explicitly: fused_chain_ca's shape-aware
+        # default later became classic at n1 > 8, which would silently turn
+        # this script's pc_lean family into classic-vs-classic (ADVICE r4)
+        kw.setdefault("tail_impl", "lean")
         return jax.jit(lambda a, r, _kw=kw: fused_chain_ca(
             a, r, fft2, ca2, h_block=hb2, **_kw))
 

@@ -68,8 +68,10 @@ def main():
             a, r, fft_cfg, ca_cfg)), x, rt),
         "rd_lean": (jax.jit(lambda a, r: fused_rd_chain(
             a, r, taps, cfg3)), x16, rt),
+        # tail pinned: fused_chain_ca's default later became shape-aware
+        # (classic at n1 > 8), which would make this label lie (ADVICE r4)
         "pc_lean": (jax.jit(lambda a, r: fused_chain_ca(
-            a, r, fft2, ca2, h_block=hb2)), x2, rt2),
+            a, r, fft2, ca2, h_block=hb2, tail_impl="lean")), x2, rt2),
     }
     for name, (f, xx, rr) in fam.items():
         jax.block_until_ready(f(xx, rr))

@@ -38,6 +38,17 @@ class StreamStats:
     frames_failed: int = 0
     total_samples: int = 0
     total_time_s: float = 0.0
+    # per-phase serving-cost attribution (VERDICT r4 item 3): cumulative
+    # seconds spent in each pipeline phase. ``place``/``dispatch`` are
+    # issue-side (async work launches there, so they under-report transfer);
+    # ``block`` on the drain thread absorbs whatever had not completed —
+    # the sum of the phases bounds the serialized serving cost per CPI.
+    t_queue_wait: float = 0.0   # worker idle, waiting for submit
+    t_place: float = 0.0        # host -> device operand build (device_put)
+    t_dispatch: float = 0.0     # jitted chain async dispatch
+    t_block: float = 0.0        # drain block_until_ready (residual compute
+    #                             + transfer not overlapped by issue)
+    t_result: float = 0.0       # metrics + on_result callback
 
     def __post_init__(self):
         # counters are mutated from the submit caller, the worker, and the
@@ -57,6 +68,15 @@ class StreamStats:
     @property
     def samples_per_s(self) -> float:
         return self.total_samples / self.total_time_s if self.total_time_s else 0.0
+
+    def phase_ms_per_cpi(self) -> dict:
+        """Per-CPI phase table in ms (over completed CPIs) — the serving-cost
+        attribution the bench's streaming line records."""
+        n = max(self.frames_out, 1)
+        with self._lock:
+            return {k: round(getattr(self, k) / n * 1e3, 2)
+                    for k in ("t_queue_wait", "t_place", "t_dispatch",
+                              "t_block", "t_result")}
 
 
 class StreamingPipeline:
@@ -89,9 +109,17 @@ class StreamingPipeline:
         on_watermark: Optional[Callable[[str], None]] = None,
         drop_on_full: bool = False,
         on_error: Optional[Callable[[int, Exception], None]] = None,
+        detections_every: int = 1,
     ):
         self._fn = fn
         self._rt = rt
+        # detection-count fetch cadence: 1 = per-CPI scalar fetch (exact
+        # CpiMetrics.detections), K>1 = accumulate on device, fetch the
+        # running total every K CPIs (detections=-1 in between), 0 = only on
+        # ``flush_detections()``. Serving deployments should not pay a relay
+        # round-trip per CPI for a metric (VERDICT r4 item 3).
+        self._detections_every = detections_every
+        self.detections_total = 0
         self._rt_lock = threading.Lock()
         self._on_result = on_result
         self._on_watermark = on_watermark
@@ -194,16 +222,22 @@ class StreamingPipeline:
 
     def _run_loop(self, jax, t_start):
         while not self._stop.is_set() or not self._q.empty():
+            t_w = time.perf_counter()
             try:
                 seq, cpi, t_in = self._q.get(timeout=0.05)
             except queue.Empty:
                 continue
+            self.stats.bump(t_queue_wait=time.perf_counter() - t_w)
             self._update_watermark()
             with self._rt_lock:
                 rt = self._rt
             try:
+                t_p = time.perf_counter()
                 x = self._place(jax, cpi)
+                t_d = time.perf_counter()
                 out = self._fn(x, rt)      # async dispatch
+                t_e = time.perf_counter()
+                self.stats.bump(t_place=t_d - t_p, t_dispatch=t_e - t_d)
             except Exception as e:         # noqa: BLE001 — elastic: skip the CPI
                 self.stats.bump(frames_failed=1)
                 if self._on_error:
@@ -246,7 +280,9 @@ class StreamingPipeline:
             except queue.Empty:
                 continue
             try:
+                t_b = time.perf_counter()
                 out = jax.block_until_ready(out)
+                self.stats.bump(t_block=time.perf_counter() - t_b)
             except Exception as e:         # noqa: BLE001 — deferred device error
                 self.stats.bump(frames_failed=1)
                 if self._on_error:
@@ -255,6 +291,7 @@ class StreamingPipeline:
             lat = time.perf_counter() - t_in
             self.stats.bump(frames_out=1, total_samples=n_samples)
             if self._on_result:
+                t_r = time.perf_counter()
                 if hasattr(out, "peaks"):
                     # reduce ON DEVICE and fetch one scalar: full-array
                     # device->host fetches hang/fail on the relay runtime
@@ -263,13 +300,32 @@ class StreamingPipeline:
                     # (not fully addressable) arrays, which eager ops reject —
                     # the jitted SPMD reduction is the sanctioned path and
                     # yields the GLOBAL detection count on every process.
+                    # The scalar FETCH is deferred (VERDICT r4 item 3): the
+                    # count accumulates on device and crosses the relay only
+                    # every ``detections_every``-th CPI; in between,
+                    # ``CpiMetrics.detections = -1`` ("not fetched yet") and
+                    # ``detections_total`` carries the running device total.
                     import jax as _jax
                     import jax.numpy as jnp
 
                     if not hasattr(self, "_det_fn"):
                         self._det_fn = _jax.jit(
                             lambda p: jnp.sum(p.astype(jnp.int32)))
-                    det = int(self._det_fn(out.peaks))
+                        self._det_add = _jax.jit(
+                            lambda acc, p: acc + jnp.sum(p.astype(jnp.int32)))
+                        self._det_acc = jnp.zeros((), jnp.int32)
+                        self._det_n = 0
+                    self._det_acc = self._det_add(self._det_acc, out.peaks)
+                    self._det_n += 1
+                    k = self._detections_every
+                    if k == 1:
+                        det = int(self._det_fn(out.peaks))
+                        self.detections_total = int(self._det_acc)
+                    elif k > 1 and self._det_n % k == 0:
+                        det = -1
+                        self.detections_total = int(self._det_acc)
+                    else:
+                        det = -1   # deferred: no relay fetch this CPI
                 else:
                     det = 0
                 self._on_result(
@@ -278,3 +334,11 @@ class StreamingPipeline:
                                latency_s=lat,
                                samples_per_s=n_samples / max(lat, 1e-9)),
                 )
+                self.stats.bump(t_result=time.perf_counter() - t_r)
+
+    def flush_detections(self) -> int:
+        """Force-fetch the accumulated on-device detection count (one scalar
+        over the relay); updates and returns ``detections_total``."""
+        if hasattr(self, "_det_acc"):
+            self.detections_total = int(self._det_acc)
+        return self.detections_total
