@@ -672,6 +672,27 @@ def main():
         # reports CPIs/s and the serving-overhead factor vs the raw kernel
         if ok:
             stream_line(wire, rt, n, prev)
+
+        # pod-level streaming on the 8-device virtual CPU mesh (VERDICT r4
+        # item 8) — a separate process: the axon plugin owns this process's
+        # platform, and the CPU mesh must not touch the chip
+        try:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "pod_stream_bench.py")],
+                capture_output=True, text=True, timeout=600)
+            out_line = (r.stdout or "").strip().splitlines()
+            if r.returncode == 0 and out_line:
+                print(out_line[-1], file=sys.stderr)
+            else:
+                print(f"pod_stream_bench rc={r.returncode}: "
+                      f"{(r.stderr or '')[-200:]}", file=sys.stderr)
+            sys.stderr.flush()
+        except Exception as e:  # noqa: BLE001
+            print(f"pod_stream_bench error: {e}"[:200], file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — the ladder must never cost the headline
         print(f"ladder error: {type(e).__name__}: {e}"[:300], file=sys.stderr)
 

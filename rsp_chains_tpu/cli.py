@@ -47,6 +47,16 @@ class _Rd2dChain:
             k, _, v = ov.partition("=")
             kw[k] = _reg_value(v)
         if kw.get("algorithm") == 1:
+            import sys
+
+            # the OS body runs the XLA stacked-sort route, which costs two
+            # orders of magnitude more than the fused CA detector (measured
+            # ~100x per CPI on-chip — docs/KERNELS.md §2c); an algorithm
+            # register write must not silently cost the user that cliff
+            print("warning: --set2d algorithm=1 selects the ordered-statistic "
+                  "detector, which runs the XLA stacked-sort route "
+                  "(~100x slower per CPI than the fused CA detector; "
+                  "docs/KERNELS.md §2c)", file=sys.stderr)
             # OS registers need an include_os elaboration, whose annulus
             # stack is capped — elaborate the small OS maxima and shrink the
             # default window to fit (explicit overrides still validate)

@@ -1253,21 +1253,34 @@ def _gos_rows_init(mag, scal_ref, row_scr, ca_scr, nb_scr, *,
     row_scr[:, :] = jnp.zeros((f, n + 2 * M), jnp.float32)
     row_scr[:, M : M + n] = mag
 
-    row = row_scr[:, :]
-    sel = row
-    box = row
-    for k in range(max_log2_w):
-        box = box + pltpu.roll(box, 1 << k, axis=1)
-        sel = jnp.where(log2w == k + 1, box, sel)
-    inv_div = jnp.exp2(-div.astype(jnp.float32))
-    ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
-    ca_scr[1] = _roll_left(sel, guard + w) * inv_div
+    # CA lag/lead rows are consumed only when the runtime algorithm register
+    # selects CA (the tail's jnp.where discards ca_scr lanewise under GOS),
+    # so the box ladder is register-gated (r5): a GOS-registered call skips
+    # max_log2_w add+roll passes + two shift/scale passes. Bit-identical —
+    # the branch runs exactly when its scratch is read.
+    @pl.when(scal_ref[8] != 1)
+    def _ca_rows():
+        row = row_scr[:, :]
+        sel = row
+        box = row
+        for k in range(max_log2_w):
+            box = box + pltpu.roll(box, 1 << k, axis=1)
+            sel = jnp.where(log2w == k + 1, box, sel)
+        inv_div = jnp.exp2(-div.astype(jnp.float32))
+        ca_scr[0] = _roll_right(sel, guard + 1) * inv_div
+        ca_scr[1] = _roll_left(sel, guard + w) * inv_div
 
-    jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
-    mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
-                     row, -jnp.inf)
-    nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
-    nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
+    # the peak-grouping neighbor rows are likewise dead unless the grouping
+    # register is set (both tails read them only under peak_grouping == 1
+    # or behind a jnp.where on it)
+    @pl.when(scal_ref[5] == 1)
+    def _nb_rows():
+        row = row_scr[:, :]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) - M
+        mrow = jnp.where((jcol >= active_lo) & (jcol < active_hi),
+                         row, -jnp.inf)
+        nb_scr[0] = pltpu.roll(mrow, 1, axis=1)
+        nb_scr[1] = pltpu.roll(mrow, mrow.shape[1] - 1, axis=1)
 
 
 def _gos_kernel3(
@@ -1394,28 +1407,45 @@ def _gos_tail(
                 nv = (jnp.clip(jg + wl, active_lo, active_hi)
                       - jnp.clip(jg, active_lo, active_hi))
                 nv = jnp.maximum(nv, 0)
-                for rank, slot, lag_side in ((rank_lagg, 2, True),
-                                             (rank_lead, 3, False)):
-                    if ablate == "rank":
-                        # consume EVERY row with a cheap reduction so the
-                        # merge ladder cannot be dead-code-eliminated (the
-                        # r4a 'rank' ablation leaked: rows[0] alone let the
-                        # compiler delete the whole sort; wl-1 adds replace
-                        # the 2(wl-1) selects being ablated)
-                        val = rows[0]
-                        for r in rows[1:]:
-                            val = val + r
-                    else:
-                        idx = jnp.clip(jnp.minimum(rank, nv - 1), 0, wl - 1)
-                        tree = (_rank_select_tree_batched
-                                if select_impl == "batch"
-                                else _rank_select_tree)
-                        val = jnp.where(nv > 0, tree(rows, idx), 0.0)
-                    if lag_side:   # cell i's lag window starts at i − g − w
-                        row_v = _roll_right(val, guard + wl)
-                    else:          # lead window starts at i + g + 1
-                        row_v = _roll_left(val, guard + 1)
-                    stat_scr[slot] = row_v[:, M : M + tile]
+                if ablate == "rank":
+                    # consume EVERY row with a cheap reduction so the
+                    # merge ladder cannot be dead-code-eliminated (the
+                    # r4a 'rank' ablation leaked: rows[0] alone let the
+                    # compiler delete the whole sort; wl-1 adds replace
+                    # the 2(wl-1) selects being ablated)
+                    val = rows[0]
+                    for r in rows[1:]:
+                        val = val + r
+                    stat_scr[2] = _roll_right(val, guard + wl)[:, M : M + tile]
+                    stat_scr[3] = _roll_left(val, guard + 1)[:, M : M + tile]
+                else:
+                    tree = (_rank_select_tree_batched
+                            if select_impl == "batch"
+                            else _rank_select_tree)
+                    # lag window of cell i starts at i − g − w
+                    idx_g = jnp.clip(jnp.minimum(rank_lagg, nv - 1), 0, wl - 1)
+                    val_g = jnp.where(nv > 0, tree(rows, idx_g), 0.0)
+                    stat_scr[2] = _roll_right(val_g, guard + wl)[:, M : M + tile]
+
+                    # shared-select amortization (r5, VERDICT item 2): when
+                    # the two rank registers agree — the shipped register
+                    # file (`RspChainVanillaTester.scala:137-141` writes one
+                    # rank per side; the canonical test file uses the same
+                    # value) — ONE selection tree serves both windows and
+                    # only the side roll differs. Register-gated: unequal
+                    # ranks pay the second tree, equal ranks skip it.
+                    @pl.when(rank_lead == rank_lagg)
+                    def _lead_shared(val_g=val_g):
+                        stat_scr[3] = _roll_left(val_g, guard + 1)[
+                            :, M : M + tile]
+
+                    @pl.when(rank_lead != rank_lagg)
+                    def _lead_tree(rows=rows, nv=nv, wl=wl):
+                        idx_l = jnp.clip(jnp.minimum(rank_lead, nv - 1),
+                                         0, wl - 1)
+                        val_l = jnp.where(nv > 0, tree(rows, idx_l), 0.0)
+                        stat_scr[3] = _roll_left(val_l, guard + 1)[
+                            :, M : M + tile]
 
     if with_cash:
         @pl.when(cash_active)

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Generate the README/STATUS performance tables from measurement artifacts.
+
+Single source of truth (VERDICT r4 item 7): every published number is read
+from the newest ``BENCH_r*.json`` (the driver's round-end artifact) plus the
+round's interleaved-session records (``benchmarks/results_r*.json``); the
+tables are spliced between ``<!-- GENERATED:PERF -->`` markers. A hand-edited
+number inside the markers cannot survive a regeneration, and ``--check``
+fails if the committed tables differ from what the artifacts produce.
+
+Usage:
+  python tools/gen_perf_docs.py            # rewrite README.md / STATUS.md
+  python tools/gen_perf_docs.py --check    # exit 1 if tables are stale
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- GENERATED:PERF (tools/gen_perf_docs.py — do not hand-edit) -->"
+END = "<!-- /GENERATED:PERF -->"
+
+
+def load_bench():
+    """Newest BENCH_r*.json -> {metric: record} from its stderr tail +
+    parsed headline."""
+    files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not files:
+        return {}, None
+    with open(files[-1]) as f:
+        rec = json.load(f)
+    out = {}
+    for line in rec.get("tail", "").splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in d:
+                out[d["metric"]] = d
+    if isinstance(rec.get("parsed"), dict) and "metric" in rec["parsed"]:
+        out[rec["parsed"]["metric"]] = rec["parsed"]
+    return out, os.path.basename(files[-1])
+
+
+def load_results(name):
+    path = os.path.join(ROOT, "benchmarks", name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def fmt(v, nd=2):
+    return "—" if v is None else f"{v:.{nd}f}"
+
+
+def build_table():
+    bench, bench_name = load_bench()
+    r5a = load_results("results_r5a.json") or {}
+    r5b = load_results("results_r5b.json") or {}
+    r5c = load_results("results_r5c.json") or {}
+    med_a = r5a.get("median_ms", {})
+    med_b = r5b.get("median_ms", {})
+
+    rows = []
+
+    def bench_row(label, metric, per_cpi_key=None, per_cpi_label=None):
+        d = bench.get(metric)
+        if not d:
+            return
+        ms = d.get("ms_per_call")
+        msps = d.get("msamples_per_s")
+        note = []
+        if per_cpi_key and d.get(per_cpi_key) is not None:
+            note.append(f"{d[per_cpi_key]:.3f} ms/{per_cpi_label}")
+        if d.get("validated"):
+            note.append("validated on-chip")
+        if d.get("validated_at_channels"):
+            note.append(f"digest at {d['validated_at_channels']} ch")
+        if d.get("session_floor_ms") is not None:
+            note.append(f"session floor {d['session_floor_ms']:.2f} ms")
+        rows.append((label, metric, fmt(ms, 3), fmt(msps, 0),
+                     "; ".join(note), bench_name))
+
+    bench_row("CA whole chain (one kernel)", "fft_mag_cfar_chain_throughput")
+    # the headline record carries value (Msamples/s), not ms
+    if rows and bench.get("fft_mag_cfar_chain_throughput"):
+        d = bench["fft_mag_cfar_chain_throughput"]
+        label, metric, _, _, note, src = rows[-1]
+        ms = 64 * 256 * 1024 / d["value"] / 1e3 if d.get("value") else None
+        rows[-1] = (label, metric, fmt(ms, 3), fmt(d.get("value"), 0),
+                    f"vs 250 Msps reference line rate: {d.get('vs_baseline')}x",
+                    src)
+    bench_row("Range-Doppler fused chain", "rd_chain_fused_64x256x1024",
+              "ms_per_16ch_cpi", "16-ch CPI")
+    bench_row("Pulse compression (collapsed)",
+              "pulse_compression_fused_16x256x4096", "ms_per_4ch_cpi",
+              "4-ch CPI")
+    bench_row("GOS/GOSCA+CASH whole chain", "gos_chain_fused_64x256x1024")
+    bench_row("Wire-format chain (packed words)",
+              "wire_chain_fused_64x256x1024")
+    bench_row("Bit-true integer chain (exact)", "bit_true_chain_64x256x1024")
+    bench_row("Fused 2-D map detector", "rd_2d_fused_64x256x1024",
+              "ms_per_16ch_cpi", "16-ch CPI")
+
+    # streaming line
+    for metric, d in bench.items():
+        if metric.startswith("streaming_wire") and "cpis_per_s" in d:
+            note = (f"{d.get('cpis_per_s')} CPIs/s"
+                    + (f"; transport {d['device_put_ms_per_cpi']:.0f} ms/CPI"
+                       f" ({d.get('device_put_mb_s', 0):.0f} MB/s relay)"
+                       if d.get("device_put_ms_per_cpi") else ""))
+            rows.append(("Streaming serving stack", metric,
+                         fmt(d.get("ms_per_cpi"), 1),
+                         fmt(d.get("msamples_per_s"), 1), note, bench_name))
+
+    # session records not in the driver ladder
+    if "rd_2d_os" in r5c:
+        d = r5c["rd_2d_os"]
+        rows.append(("2-D OS detector (XLA sort route)", "rd_2d_os",
+                     fmt(d.get("ms_per_call"), 1), "—",
+                     "static-unroll r5; digest-validated",
+                     "results_r5c.json"))
+    if "micro_radix2" in med_b:
+        rows.append(("GOS §2b A/B: radix select (2 ranks)", "micro_radix2",
+                     fmt(med_b["micro_radix2"], 2), "—",
+                     f"vs ladder micro {fmt(med_b.get('micro_ladder'), 2)} ms"
+                     " — the evaluated alternative, implemented and measured",
+                     "results_r5b.json"))
+
+    lines = [
+        BEGIN,
+        "",
+        "| line | metric | ms/call | Msamples/s | notes | artifact |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, metric, ms, msps, note, src in rows:
+        lines.append(f"| {label} | `{metric}` | {ms} | {msps} | {note} |"
+                     f" `{src}` |")
+    if med_a:
+        lines.append("")
+        lines.append(
+            f"Session context (results_r5a.json): slope-method overhead "
+            f"floor {med_a.get('floor', 0):.2f} ms/iter — lines whose "
+            f"compute sits below the floor report the floor, which is why "
+            f"rd/pc/2-D measure at 64/16-channel batches (see "
+            f"docs/KERNELS.md, cross-cutting lessons).")
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def splice(path, block):
+    with open(path) as f:
+        text = f.read()
+    pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.S)
+    if not pat.search(text):
+        raise SystemExit(f"{path}: no GENERATED:PERF markers")
+    return pat.sub(lambda _m: block, text), text
+
+
+def main():
+    check = "--check" in sys.argv
+    block = build_table()
+    stale = []
+    for fn in ("README.md", "STATUS.md"):
+        path = os.path.join(ROOT, fn)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            if BEGIN not in f.read():
+                continue
+        new, old = splice(path, block)
+        if new != old:
+            stale.append(fn)
+            if not check:
+                with open(path, "w") as f:
+                    f.write(new)
+    if check and stale:
+        print(f"stale generated tables in: {', '.join(stale)}")
+        return 1
+    print(f"{'checked' if check else 'wrote'}: tables "
+          f"{'fresh' if not stale else 'regenerated in ' + ', '.join(stale)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
