@@ -102,6 +102,57 @@ def test_streaming_pipeline_end_to_end():
     assert metrics.samples == 256 and metrics.detections >= 3
 
 
+def test_streaming_deferred_detections_and_phase_table():
+    """r5 serving-cost features (VERDICT r4 item 3): detections_every=K
+    accumulates the count on device (per-CPI metrics carry -1, no relay
+    fetch), the running total lands every K CPIs and on flush_detections();
+    the phase table attributes serving cost per CPI."""
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5)
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    mets = []
+    pipe = StreamingPipeline(chain.jit(), rt, detections_every=3,
+                             on_result=lambda s, o, m: mets.append(m))
+    ref = StreamingPipeline(chain.jit(), rt,
+                            on_result=lambda s, o, m: mets.append(None))
+    import time
+
+    with pipe:
+        for s in range(6):
+            pipe.submit(s, iq[None])
+        t0 = time.time()
+        while pipe.stats.frames_out < 6 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    assert pipe.stats.frames_out == 6
+    per_cpi = [m.detections for m in mets if m is not None]
+    assert per_cpi == [-1] * 6          # deferred: no per-CPI scalar fetch
+    # exact per-CPI count from the default pipeline for the expected total
+    del mets[:]
+    with ref:
+        ref.submit(0, iq[None])
+        t0 = time.time()
+        while ref.stats.frames_out < 1 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    one = ref.detections_total
+    assert one >= 3
+    assert pipe.detections_total == 6 * one     # updated at the K boundary
+    assert pipe.flush_detections() == 6 * one
+    phases = pipe.stats.phase_ms_per_cpi()
+    assert set(phases) == {"t_queue_wait", "t_place", "t_dispatch",
+                           "t_block", "t_result"}
+    assert phases["t_dispatch"] > 0.0   # the chain dispatch was timed
+
+
 def test_streaming_reconfigure_between_cpis():
     from rsp_chains_tpu import (
         ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
