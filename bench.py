@@ -160,6 +160,40 @@ def stream_line(wire, rt, n, prev, budget_s=1500):
             verdict["device_put_mb_s"] = round(
                 probe.nbytes / 1e6 / (put_ms / 1e3), 1)
 
+            # device-fed serving line: the same StreamingPipeline fed a
+            # pre-staged device-resident CPI — the serving stack (queues,
+            # dispatch, drain, metrics) WITHOUT the relay transport. The
+            # reference's deployed top is likewise transport-bound (UART at
+            # 115200 baud ~ 14 KB/s against a 250 Msps core,
+            # RxFftCfarMagTxChain.scala:163-165); this line proves the stack
+            # itself runs at device rate, and the host-fed line below prices
+            # the transport.
+            dev_words = jax.device_put(probe)
+            jax.block_until_ready(dev_words)
+            ndev = 40
+            done_dev = []
+            pipe_d = StreamingPipeline(
+                wire, rt, depth=8,
+                on_result=lambda s, o, m: done_dev.append(s))
+            with pipe_d:
+                pipe_d.submit(-1, dev_words)    # warm the dispatch path
+                while pipe_d.stats.frames_out < 1:
+                    time.sleep(0.005)
+                td = time.perf_counter()
+                for k in range(ndev):
+                    pipe_d.submit(k, dev_words)
+                while (pipe_d.stats.frames_out + pipe_d.stats.frames_failed
+                       < ndev + 1 and time.perf_counter() - td < 120):
+                    time.sleep(0.005)
+                dt_dev = time.perf_counter() - td
+            if pipe_d.stats.frames_out >= ndev + 1:
+                verdict["devicefed_ms_per_cpi"] = round(
+                    dt_dev / ndev * 1e3, 2)
+                verdict["devicefed_msamples_per_s"] = round(
+                    ndev * ch * p * n / dt_dev / 1e6, 1)
+                verdict["devicefed_phase_ms"] = (
+                    pipe_d.stats.phase_ms_per_cpi())
+
             results = []
             pipe = StreamingPipeline(
                 wire, rt, depth=4,
