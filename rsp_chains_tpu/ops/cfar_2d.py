@@ -248,36 +248,36 @@ def cfar_2d_op(
         def _os_one(args):
             mp1, vp1 = args                      # padded [Pp, Np] map + mask
 
-            # statically unrolled offset loop (ADVICE r4): the earlier
-            # fori_loop carried TRACED dd/dr, so every jnp.roll lowered to
-            # dynamic-slice/gather; with constant offsets the rolls are
-            # static lane/sublane shifts, and the per-dd Doppler roll hoists
-            # out of the inner range loop. Still ONE [S, P, N] buffer filled
-            # by dynamic_update_slice (constant s) — the jnp.stack forms
-            # re-created the 128x size-1-dim layout padding OOM
-            # (docs/KERNELS.md cross-cutting lessons).
-            buf = jnp.full((n_stk, p, n), jnp.inf, jnp.float32)
-            nv = jnp.zeros((p, n), jnp.int32)
-            s = 0
-            for dd in range(-max_ad, max_ad + 1):
-                md = jnp.roll(mp1, -dd, axis=-2)
-                vd = jnp.roll(vp1, -dd, axis=-2)
-                in_d = jnp.abs(dd) <= a_d
-                in_gd = jnp.abs(dd) <= g_d
-                for dr in range(-max_ar, max_ar + 1):
-                    if dd == 0 and dr == 0:
-                        continue               # the CUT is never training
-                    member = (in_d & (jnp.abs(dr) <= a_r)
-                              & ~(in_gd & (jnp.abs(dr) <= g_r)))
-                    v = jnp.roll(md, -dr, axis=-1)[pd2, pr2]
-                    ok = member & (jnp.roll(vd, -dr, axis=-1)[pd2, pr2]
-                                   > 0.5)
-                    row = jnp.where(ok, v, jnp.float32(jnp.inf))
-                    buf = jax.lax.dynamic_update_slice(buf, row[None],
-                                                       (s, 0, 0))
-                    nv = nv + ok.astype(jnp.int32)
-                    s += 1
-            assert s == n_stk
+            # fori_loop with TRACED dd/dr (dynamic-slice rolls), by
+            # MEASUREMENT: the ADVICE-r4 static-unroll alternative (constant
+            # offsets -> static rolls, per-dd roll hoisted, constant-index
+            # dynamic_update_slice) was implemented and A/B'd on-chip with
+            # exactly matching digests — and measured 3345 ms/CPI vs this
+            # form's 348 (r5c): unrolled, the 230-step DUS chain loses the
+            # loop's in-place buffer update, so every step copies the
+            # [S, P, N] buffer (~230 MB) — ~50 GB of HBM traffic that dwarfs
+            # whatever the traced rolls cost. The route's real floor is the
+            # stacked sort below; see docs/KERNELS.md §2c.
+            def body(s, carry):
+                buf, nv = carry
+                o = jnp.where(s >= center, s + 1, s)   # skip (0,0) statically
+                dd = o // n_r - max_ad
+                dr = o % n_r - max_ar
+                member = ((jnp.abs(dd) <= a_d) & (jnp.abs(dr) <= a_r)
+                          & ~((jnp.abs(dd) <= g_d) & (jnp.abs(dr) <= g_r)))
+                v = jnp.roll(jnp.roll(mp1, -dd, axis=-2),
+                             -dr, axis=-1)[pd2, pr2]
+                ok = member & (jnp.roll(jnp.roll(vp1, -dd, axis=-2),
+                                        -dr, axis=-1)[pd2, pr2] > 0.5)
+                row = jnp.where(ok, v, jnp.float32(jnp.inf))
+                return (jax.lax.dynamic_update_slice(buf, row[None],
+                                                     (s, 0, 0)),
+                        nv + ok.astype(jnp.int32))
+
+            buf, nv = jax.lax.fori_loop(
+                0, n_stk, body,
+                (jnp.full((n_stk, p, n), jnp.inf, jnp.float32),
+                 jnp.zeros((p, n), jnp.int32)))
             sv = jnp.sort(buf, axis=0)
             idx = jnp.clip(jnp.minimum(rt2.os_rank, nv - 1), 0, n_stk - 1)
             ks = jnp.arange(n_stk, dtype=jnp.int32).reshape(-1, 1, 1)
