@@ -78,6 +78,15 @@ class StreamStats:
                     for k in ("t_queue_wait", "t_place", "t_dispatch",
                               "t_block", "t_result")}
 
+    def phase_totals(self) -> dict:
+        """Raw cumulative phase seconds — lets a caller snapshot before a
+        measurement window and diff after, excluding warm-up CPIs from the
+        per-CPI attribution."""
+        with self._lock:
+            return {k: getattr(self, k)
+                    for k in ("t_queue_wait", "t_place", "t_dispatch",
+                              "t_block", "t_result")}
+
 
 class StreamingPipeline:
     """Continuous multi-CPI execution of a jitted chain.
@@ -110,9 +119,21 @@ class StreamingPipeline:
         drop_on_full: bool = False,
         on_error: Optional[Callable[[int, Exception], None]] = None,
         detections_every: int = 1,
+        block_every: int = 1,
     ):
         self._fn = fn
         self._rt = rt
+        # drain sync cadence: 1 = block_until_ready per CPI (exact per-CPI
+        # latency + error attribution). K>1 = block only every K-th result
+        # and whenever the drain is caught up — sound on a single device
+        # stream (executions complete in dispatch order, so the K-th done
+        # implies the K-1 before it are done); per-CPI latency then measures
+        # drain-pop time and a deferred device error surfaces at the next
+        # blocked CPI. On this relay runtime a block_until_ready costs a
+        # ~25 ms control round-trip, which at K=1 caps serving at ~40 CPIs/s
+        # regardless of kernel speed (measured r5c).
+        self._block_every = max(block_every, 1)
+        self._drained_n = 0
         # detection-count fetch cadence: 1 = per-CPI scalar fetch (exact
         # CpiMetrics.detections), K>1 = accumulate on device, fetch the
         # running total every K CPIs (detections=-1 in between), 0 = only on
@@ -280,9 +301,18 @@ class StreamingPipeline:
             except queue.Empty:
                 continue
             try:
-                t_b = time.perf_counter()
-                out = jax.block_until_ready(out)
-                self.stats.bump(t_block=time.perf_counter() - t_b)
+                self._drained_n += 1
+                blocked = (self._block_every == 1
+                           or self._drained_n % self._block_every == 0)
+                if blocked:
+                    t_b = time.perf_counter()
+                    out = jax.block_until_ready(out)
+                    self.stats.bump(t_block=time.perf_counter() - t_b)
+                    # single device stream: this completion implies every
+                    # earlier dispatch completed — the owed block is paid
+                    self._pending_block = None
+                else:
+                    self._pending_block = out   # completion owed at stop
             except Exception as e:         # noqa: BLE001 — deferred device error
                 self.stats.bump(frames_failed=1)
                 if self._on_error:
@@ -335,6 +365,19 @@ class StreamingPipeline:
                                samples_per_s=n_samples / max(lat, 1e-9)),
                 )
                 self.stats.bump(t_result=time.perf_counter() - t_r)
+        # block_every > 1 leaves the tail CPIs' completion owed: pay it so
+        # stop() means "all submitted work finished on device"
+        pend = getattr(self, "_pending_block", None)
+        if pend is not None:
+            try:
+                t_b = time.perf_counter()
+                jax.block_until_ready(pend)
+                self.stats.bump(t_block=time.perf_counter() - t_b)
+            except Exception as e:  # noqa: BLE001 — deferred device error
+                self.stats.bump(frames_failed=1)
+                if self._on_error:
+                    self._on_error(-1, e)
+            self._pending_block = None
 
     def flush_detections(self) -> int:
         """Force-fetch the accumulated on-device detection count (one scalar

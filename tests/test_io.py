@@ -153,6 +153,41 @@ def test_streaming_deferred_detections_and_phase_table():
     assert phases["t_dispatch"] > 0.0   # the chain dispatch was timed
 
 
+def test_streaming_block_every_drains_all_results():
+    """block_every=K amortizes the drain's block_until_ready over K CPIs
+    (sound on a single device stream); every result must still be delivered
+    and the owed tail completion paid at stop."""
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5)
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    got = {}
+    pipe = StreamingPipeline(chain.jit(), rt, block_every=4,
+                             on_result=lambda s, o, m: got.__setitem__(s, o))
+    import time
+
+    with pipe:
+        for s in range(7):                 # 7 % 4 != 0: a tail block is owed
+            pipe.submit(s, iq[None])
+        t0 = time.time()
+        while pipe.stats.frames_out < 7 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    assert pipe.stats.frames_out == 7 and pipe.stats.frames_failed == 0
+    assert sorted(got) == list(range(7))
+    # results are real and correct regardless of block cadence
+    peaks = np.flatnonzero(np.asarray(got[6].peaks)[0])
+    assert {32, 64, 128} <= set(peaks.tolist())
+
+
 def test_streaming_reconfigure_between_cpis():
     from rsp_chains_tpu import (
         ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
