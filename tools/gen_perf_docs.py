@@ -126,7 +126,9 @@ def build_table():
         d = r5c["rd_2d_os"]
         rows.append(("2-D OS detector (XLA sort route)", "rd_2d_os",
                      fmt(d.get("ms_per_call"), 1), "—",
-                     "static-unroll r5; digest-validated",
+                     "digest-validated; route floor — the r5 unroll A/B "
+                     f"measured {fmt(d.get('static_unroll_ms'), 0)} ms "
+                     "(KERNELS §2c)",
                      "results_r5c.json"))
     if "micro_radix2" in med_b:
         rows.append(("GOS §2b A/B: radix select (2 ranks)", "micro_radix2",
