@@ -478,17 +478,24 @@ def main():
                 _drift(verdict, prev)
                 if verdict.get("beyond_drift_band"):
                     # self-acting drift guard (VERDICT r4 item 5): a beyond-
-                    # band reading re-measures ONCE in-session; both readings
-                    # are recorded and the band verdict is recomputed on the
-                    # better one (relay sessions have transient degraded
-                    # windows — docs/KERNELS.md; a reading that does not
-                    # reproduce is session noise, one that does is a red flag
-                    # the driver cannot miss)
+                    # band reading re-measures TWICE in-session; all three
+                    # readings are recorded and the band verdict is recomputed
+                    # on their MEDIAN (relay sessions have transient degraded
+                    # windows in BOTH directions — docs/KERNELS.md; a reading
+                    # that does not reproduce is session noise, one that does
+                    # is a red flag the driver cannot miss)
                     dtl2 = measure_per_call(f_new, mx, mr)
-                    verdict["remeasured_ms"] = round(dtl2 * 1e3, 4)
-                    best = min(dtl * 1e3, dtl2 * 1e3)
+                    dtl3 = measure_per_call(f_new, mx, mr)
+                    verdict["remeasured_ms"] = [round(dtl2 * 1e3, 4),
+                                                round(dtl3 * 1e3, 4)]
+                    med = float(np.median([dtl, dtl2, dtl3])) * 1e3
+                    verdict["ms_per_call"] = round(med, 4)
+                    verdict["msamples_per_s"] = round(
+                        n_samples / (med / 1e3) / 1e6, 1)
+                    if extra:
+                        verdict.update(extra(med / 1e3))
                     verdict["drift_pct"] = round(
-                        100.0 * (best - verdict["prev_ms"])
+                        100.0 * (med - verdict["prev_ms"])
                         / max(verdict["prev_ms"], 1e-9), 1)
                     verdict["beyond_drift_band"] = (
                         abs(verdict["drift_pct"]) > DRIFT_BAND_PCT)
@@ -771,13 +778,19 @@ def main():
         headline["drift_band_pct"] = DRIFT_BAND_PCT
         if abs(headline["drift_pct"]) > DRIFT_BAND_PCT and path in winners:
             # self-acting drift guard, headline edition (VERDICT r4 item 5):
-            # a beyond-band winner re-measures once; both readings are
-            # recorded and the SLOWER one is published (a spuriously fast
-            # slope must not inflate the headline — the same integrity rule
-            # as a spuriously slow ladder line, in the other direction)
+            # a beyond-band winner re-measures twice and the MEDIAN of the
+            # three readings is published with all readings recorded — a
+            # transiently degraded window must not deflate the headline (the
+            # r4 driver defect) and a spuriously fast slope must not inflate
+            # it (the r5c preview artifact); the median rejects one outlier
+            # in either direction
             dt2 = measure_per_call(winners[path], x, rt)
-            headline["remeasured_ms"] = round(dt2 * 1e3, 4)
-            msps2 = samples / max(dt, dt2) / 1e6
+            dt3 = measure_per_call(winners[path], x, rt)
+            headline["remeasured_ms"] = [round(dt2 * 1e3, 4),
+                                         round(dt3 * 1e3, 4)]
+            med = float(np.median([dt, dt2, dt3]))
+            headline["ms_per_call"] = round(med * 1e3, 4)
+            msps2 = samples / med / 1e6
             headline["value"] = round(msps2, 1)
             headline["vs_baseline"] = round(msps2 / BASELINE_MSPS, 2)
             headline["drift_pct"] = round(
