@@ -41,7 +41,6 @@ def _prev_bench():
     r3 item 5: a real regression must be distinguishable from session
     drift)."""
     import glob
-    import re
 
     out = {}
     files = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",

@@ -66,8 +66,14 @@ def build_table():
     r5a = load_results("results_r5a.json") or {}
     r5b = load_results("results_r5b.json") or {}
     r5c = load_results("results_r5c.json") or {}
+    r5e = load_results("results_r5e.json") or {}
     med_a = r5a.get("median_ms", {})
     med_b = r5b.get("median_ms", {})
+    # prefer the round's own full-ladder session over a stale prior-round
+    # BENCH file; when the driver's BENCH_r05 lands it is newer and wins
+    if r5e.get("lines") and (not bench_name or bench_name < "BENCH_r05.json"):
+        bench = {**bench, **r5e["lines"]}
+        bench_name = "results_r5e.json"
 
     rows = []
 
@@ -110,16 +116,32 @@ def build_table():
     bench_row("Fused 2-D map detector", "rd_2d_fused_64x256x1024",
               "ms_per_16ch_cpi", "16-ch CPI")
 
-    # streaming line
+    # streaming lines: host-fed (transport-priced) + device-fed (stack rate)
     for metric, d in bench.items():
         if metric.startswith("streaming_wire") and "cpis_per_s" in d:
             note = (f"{d.get('cpis_per_s')} CPIs/s"
                     + (f"; transport {d['device_put_ms_per_cpi']:.0f} ms/CPI"
-                       f" ({d.get('device_put_mb_s', 0):.0f} MB/s relay)"
+                       f" ({d.get('device_put_mb_s', 0):.0f} MB/s relay) — "
+                       "transport-bound like the reference's 115200-baud "
+                       "deployed UART"
                        if d.get("device_put_ms_per_cpi") else ""))
-            rows.append(("Streaming serving stack", metric,
+            rows.append(("Streaming serving stack (host-fed)", metric,
                          fmt(d.get("ms_per_cpi"), 1),
                          fmt(d.get("msamples_per_s"), 1), note, bench_name))
+            if d.get("devicefed_ms_per_cpi"):
+                rows.append((
+                    "Streaming serving stack (device-fed)", metric,
+                    fmt(d["devicefed_ms_per_cpi"], 1),
+                    fmt(d.get("devicefed_msamples_per_s"), 1),
+                    "same stack minus the relay transport (block_every=8)",
+                    bench_name))
+    for metric, d in bench.items():
+        if metric.startswith("pod_streaming") and "batches_per_s" in d:
+            rows.append((
+                "Pod streaming (8-dev virtual CPU mesh)", metric, "—",
+                fmt(d.get("msamples_per_s"), 1),
+                f"{d.get('cpi_maps_per_s')} CPI maps/s over {d.get('mesh')}"
+                " — CPU-only trend line", bench_name))
 
     # session records not in the driver ladder
     if "rd_2d_os" in r5c:
