@@ -529,12 +529,13 @@ def test_gos_batched_formulations_bit_identical(variant, rng):
                       variant=CfarVariant.GOSCA, include_cash=True,
                       max_fft_size=256)
     spec = jnp.asarray(_spec(rng))
-    for wsz in (16, 8):
+    for wsz, lead_off in ((16, 0), (8, 0), (8, -1)):   # incl. unequal ranks
         rt = RuntimeConfig.make(fft_size=256, cfar_mode=0,
                                 ref_window_size=wsz, guard_window_size=2,
                                 threshold_scaler=3.0, log_or_linear=1,
                                 peak_grouping=1, cfar_algorithm=1,
-                                index_lagg=wsz // 2, index_lead=wsz // 2,
+                                index_lagg=wsz // 2,
+                                index_lead=wsz // 2 + lead_off,
                                 sub_window_size=2)
         a = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True)
         b = fused_mag_gos_cfar(spec, rt, gcfg, interpret=True, **variant)
