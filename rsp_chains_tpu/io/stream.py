@@ -320,51 +320,13 @@ class StreamingPipeline:
                 continue
             lat = time.perf_counter() - t_in
             self.stats.bump(frames_out=1, total_samples=n_samples)
-            if self._on_result:
-                t_r = time.perf_counter()
-                if hasattr(out, "peaks"):
-                    # reduce ON DEVICE and fetch one scalar: full-array
-                    # device->host fetches hang/fail on the relay runtime
-                    # (CLAUDE.md) and this is the streaming hot path. Under
-                    # jit, not eager: the pod pipeline's outputs are global
-                    # (not fully addressable) arrays, which eager ops reject —
-                    # the jitted SPMD reduction is the sanctioned path and
-                    # yields the GLOBAL detection count on every process.
-                    # The scalar FETCH is deferred (VERDICT r4 item 3): the
-                    # count accumulates on device and crosses the relay only
-                    # every ``detections_every``-th CPI; in between,
-                    # ``CpiMetrics.detections = -1`` ("not fetched yet") and
-                    # ``detections_total`` carries the running device total.
-                    import jax as _jax
-                    import jax.numpy as jnp
-
-                    if not hasattr(self, "_det_fn"):
-                        self._det_fn = _jax.jit(
-                            lambda p: jnp.sum(p.astype(jnp.int32)))
-                        self._det_add = _jax.jit(
-                            lambda acc, p: acc + jnp.sum(p.astype(jnp.int32)))
-                        self._det_acc = jnp.zeros((), jnp.int32)
-                        self._det_n = 0
-                    self._det_acc = self._det_add(self._det_acc, out.peaks)
-                    self._det_n += 1
-                    k = self._detections_every
-                    if k == 1:
-                        det = int(self._det_fn(out.peaks))
-                        self.detections_total = int(self._det_acc)
-                    elif k > 1 and self._det_n % k == 0:
-                        det = -1
-                        self.detections_total = int(self._det_acc)
-                    else:
-                        det = -1   # deferred: no relay fetch this CPI
-                else:
-                    det = 0
-                self._on_result(
-                    seq, out,
-                    CpiMetrics(seq=seq, samples=n_samples, detections=det,
-                               latency_s=lat,
-                               samples_per_s=n_samples / max(lat, 1e-9)),
-                )
-                self.stats.bump(t_result=time.perf_counter() - t_r)
+            try:
+                self._deliver(seq, out, lat, n_samples)
+            except Exception as e:  # noqa: BLE001 — a metrics/callback error
+                # must never kill the drain thread (the r5 multihost hang:
+                # a mixed-device jit raised here and the stream froze)
+                if self._on_error:
+                    self._on_error(seq, e)
         # block_every > 1 leaves the tail CPIs' completion owed: pay it so
         # stop() means "all submitted work finished on device"
         pend = getattr(self, "_pending_block", None)
@@ -379,9 +341,66 @@ class StreamingPipeline:
                     self._on_error(-1, e)
             self._pending_block = None
 
+    def _deliver(self, seq, out, lat, n_samples):
+        """Metrics + on_result delivery for one drained CPI (split out of the
+        drain loop so its failures are contained per CPI)."""
+        if self._on_result is None:
+            return
+        t_r = time.perf_counter()
+        if hasattr(out, "peaks"):
+            # reduce ON DEVICE and fetch one scalar: full-array
+            # device->host fetches hang/fail on the relay runtime
+            # (CLAUDE.md) and this is the streaming hot path. Under
+            # jit, not eager: the pod pipeline's outputs are global
+            # (not fully addressable) arrays, which eager ops reject —
+            # the jitted SPMD reduction is the sanctioned path and
+            # yields the GLOBAL detection count on every process.
+            # The scalar FETCH is deferred (VERDICT r4 item 3): the
+            # count accumulates on device and crosses the relay only
+            # every ``detections_every``-th CPI; in between,
+            # ``CpiMetrics.detections = -1`` ("not fetched yet") and
+            # ``detections_total`` carries the running device total.
+            import jax as _jax
+            import jax.numpy as jnp
+
+            if not hasattr(self, "_det_fn"):
+                self._det_fn = _jax.jit(
+                    lambda p: jnp.sum(p.astype(jnp.int32)))
+                self._det_add = _jax.jit(lambda a, b: a + b)
+                # the accumulator must inherit the reduction's OWN
+                # sharding: on a pod pipeline ``peaks`` is a global
+                # multi-process array and an eagerly-created local
+                # zero would make `acc + sum(peaks)` a mixed-device
+                # jit that kills the drain thread (r5 full-matrix
+                # catch) — so seed it from the first reduction
+                self._det_acc = None
+                self._det_n = 0
+            part = self._det_fn(out.peaks)   # replicated, async
+            self._det_acc = (part if self._det_acc is None
+                             else self._det_add(self._det_acc, part))
+            self._det_n += 1
+            k = self._detections_every
+            if k == 1:
+                det = int(part)
+                self.detections_total = int(self._det_acc)
+            elif k > 1 and self._det_n % k == 0:
+                det = -1
+                self.detections_total = int(self._det_acc)
+            else:
+                det = -1   # deferred: no relay fetch this CPI
+        else:
+            det = 0
+        self._on_result(
+            seq, out,
+            CpiMetrics(seq=seq, samples=n_samples, detections=det,
+                       latency_s=lat,
+                       samples_per_s=n_samples / max(lat, 1e-9)),
+        )
+        self.stats.bump(t_result=time.perf_counter() - t_r)
+
     def flush_detections(self) -> int:
         """Force-fetch the accumulated on-device detection count (one scalar
         over the relay); updates and returns ``detections_total``."""
-        if hasattr(self, "_det_acc"):
+        if getattr(self, "_det_acc", None) is not None:
             self.detections_total = int(self._det_acc)
         return self.detections_total

@@ -188,6 +188,46 @@ def test_streaming_block_every_drains_all_results():
     assert {32, 64, 128} <= set(peaks.tolist())
 
 
+def test_streaming_on_result_exception_does_not_kill_drain():
+    """A raising on_result callback (or a metrics-path device error) is
+    contained per CPI: the stream keeps draining and reports the error via
+    on_error (the r5 multihost hang was a metrics-path exception silently
+    killing the drain thread)."""
+    from rsp_chains_tpu import (
+        ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,
+        fft_mag_cfar_chain,
+    )
+    from rsp_chains_tpu.golden import three_tone_signal
+
+    cfg = ChainConfig(fft=FftConfig(max_size=256),
+                      cfar=CfarConfig(max_ref_window=16, variant=CfarVariant.CA,
+                                      include_cash=False))
+    chain = fft_mag_cfar_chain(cfg)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5)
+    iq = three_tone_signal(256, shift_range_factor=12).astype(np.complex64)
+    seen, errs = [], []
+
+    def boom(seq, out, m):
+        seen.append(seq)
+        if seq == 1:
+            raise RuntimeError("consumer bug")
+
+    pipe = StreamingPipeline(chain.jit(), rt, on_result=boom,
+                             on_error=lambda s, e: errs.append((s, str(e))))
+    import time
+
+    with pipe:
+        for s in range(4):
+            pipe.submit(s, iq[None])
+        t0 = time.time()
+        while pipe.stats.frames_out < 4 and time.time() - t0 < 60:
+            time.sleep(0.01)
+    assert pipe.stats.frames_out == 4          # the drain survived seq 1
+    assert seen == [0, 1, 2, 3]
+    assert [s for s, _ in errs] == [1]
+
+
 def test_streaming_reconfigure_between_cpis():
     from rsp_chains_tpu import (
         ChainConfig, CfarConfig, CfarVariant, FftConfig, RuntimeConfig,

@@ -35,7 +35,10 @@ def test_two_process_pod_mesh_matches_unsharded(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            # the pod chain's XLA CPU compile alone can take 2-4 min when
+            # the machine is loaded (xdist + sibling suites) — 240 s
+            # flaked under contention in r5
+            out, err = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -147,7 +150,7 @@ def test_two_process_pod_streaming_with_checkpoint_restore(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
