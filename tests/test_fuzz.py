@@ -29,7 +29,10 @@ def test_cfar_random_register_files(trial):
     mode = int(rng.randint(0, 4))
     algorithm = int(rng.randint(0, 2))
     sw = max(2, min(int(rng.choice([2, 4])), w // 2))  # require() : sw < w
+    # independent per-side ranks: the r5 shared-select gate must stay exact
+    # both when the rank registers agree and when they differ
     rank = int(rng.randint(0, w))
+    rank_lead = int(rng.randint(0, w))
     scaler = float(rng.uniform(1.0, 8.0))
     div = int(np.log2(w))
     pg = int(rng.randint(0, 2))
@@ -39,14 +42,14 @@ def test_cfar_random_register_files(trial):
     rt = RuntimeConfig.make(
         fft_size=n, cfar_mode=mode, cfar_algorithm=algorithm,
         ref_window_size=w, guard_window_size=g, sub_window_size=sw,
-        index_lagg=rank, index_lead=rank, threshold_scaler=scaler,
+        index_lagg=rank, index_lead=rank_lead, threshold_scaler=scaler,
         div_sum=div, peak_grouping=pg,
     )
     out = cfar_op(jnp.asarray(mag), rt, cfg)
     thr_g, pk_g = cfar_golden(
         mag, ref_window=w, guard_window=g, threshold_scaler=scaler,
         mode=mode, algorithm=algorithm, div_sum=div, index_lagg=rank,
-        index_lead=rank, sub_window=sw, peak_grouping=pg,
+        index_lead=rank_lead, sub_window=sw, peak_grouping=pg,
     )
     np.testing.assert_allclose(np.asarray(out.threshold), thr_g,
                                rtol=1e-4, atol=1e-2,
@@ -83,6 +86,7 @@ def test_full_chain_random_register_files(trial):
     mode = int(rng.randint(0, 3))
     algo = int(rng.randint(0, 2))
     rank = int(rng.randint(0, w))
+    rank_lead = int(rng.randint(0, w))
     scaler = float(rng.uniform(2.0, 6.0))
 
     cfg = ChainConfig(
@@ -94,14 +98,14 @@ def test_full_chain_random_register_files(trial):
     rt = RuntimeConfig.make(
         fft_size=n, mag_mode=mag_mode, cfar_mode=mode, cfar_algorithm=algo,
         ref_window_size=w, guard_window_size=g, index_lagg=rank,
-        index_lead=rank, threshold_scaler=scaler, div_sum=int(np.log2(w)))
+        index_lead=rank_lead, threshold_scaler=scaler, div_sum=int(np.log2(w)))
     out = chain.jit()(as_pair(iq), rt)
 
     spec = fft_golden(iq, n=n)
     mag_g = MAG_GOLDENS[mag_mode](spec)
     thr_g, pk_g = cfar_golden(mag_g, ref_window=w, guard_window=g,
                               threshold_scaler=scaler, mode=mode, algorithm=algo,
-                              index_lagg=rank, index_lead=rank,
+                              index_lagg=rank, index_lead=rank_lead,
                               div_sum=int(np.log2(w)))
     np.testing.assert_allclose(np.asarray(out.threshold)[:n], thr_g,
                                rtol=1e-3, atol=1e-2,
