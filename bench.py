@@ -184,9 +184,12 @@ def stream_line(wire, rt, n, prev, budget_s=1500):
             jax.block_until_ready(dev_words)
             ndev = 40
             last_out = {}
+
+            def _keep_last(s, o, m):
+                last_out["o"], last_out["s"] = o, s
+
             pipe_d = StreamingPipeline(
-                wire, rt, depth=8, block_every=8,
-                on_result=lambda s, o, m: last_out.__setitem__("o", o))
+                wire, rt, depth=8, block_every=8, on_result=_keep_last)
             with pipe_d:
                 pipe_d.submit(-1, dev_words)    # warm the dispatch path
                 while pipe_d.stats.frames_out < 1:
@@ -195,18 +198,24 @@ def stream_line(wire, rt, n, prev, budget_s=1500):
                 td = time.perf_counter()
                 for k in range(ndev):
                     pipe_d.submit(k, dev_words)
-                while (pipe_d.stats.frames_out + pipe_d.stats.frames_failed
-                       < ndev + 1 and time.perf_counter() - td < 120):
+                # wait on the DELIVERED seq, not frames_out: the drain bumps
+                # frames_out before on_result runs, so polling frames_out
+                # could grab the previous (already blocked) output and miss
+                # the final CPI's execution in the timed window
+                while (last_out.get("s") != ndev - 1
+                       and pipe_d.stats.frames_failed == 0
+                       and time.perf_counter() - td < 120):
                     time.sleep(0.005)
+                completed = last_out.get("s") == ndev - 1
                 # the final CPIs may carry an owed (block_every) completion:
                 # block the LAST drained output inside the timed window so
                 # dt_dev covers every dispatched execution (single stream —
                 # the last completion implies all earlier ones)
-                if "o" in last_out:
+                if completed:
                     jax.block_until_ready(last_out["o"])
                 dt_dev = time.perf_counter() - td
                 ph1 = pipe_d.stats.phase_totals()
-            if pipe_d.stats.frames_out >= ndev + 1:
+            if completed:
                 verdict["devicefed_ms_per_cpi"] = round(
                     dt_dev / ndev * 1e3, 2)
                 verdict["devicefed_msamples_per_s"] = round(
@@ -748,7 +757,7 @@ def main():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "pod_stream_bench.py")],
-                capture_output=True, text=True, timeout=600)
+                capture_output=True, text=True, timeout=900)
             out_line = (r.stdout or "").strip().splitlines()
             if r.returncode == 0 and out_line:
                 print(out_line[-1], file=sys.stderr)

@@ -25,6 +25,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    raise SystemExit(
+        "archived: the oe3d formulation this script A/B'd was removed after "
+        "Mosaic failed to lower it (docs/KERNELS.md §2b; results_r5f.json is "
+        "the record) — re-running would silently measure the bitonic form "
+        "under the oe3d label")
     import jax
     import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
-# 
 import sys
 import time
 
@@ -47,8 +46,6 @@ class _Rd2dChain:
             k, _, v = ov.partition("=")
             kw[k] = _reg_value(v)
         if kw.get("algorithm") == 1:
-            import sys
-
             # the OS body runs the XLA stacked-sort route, which costs two
             # orders of magnitude more than the fused CA detector (measured
             # ~100x per CPI on-chip — docs/KERNELS.md §2c); an algorithm

@@ -135,10 +135,13 @@ class StreamingPipeline:
         self._block_every = max(block_every, 1)
         self._drained_n = 0
         # detection-count fetch cadence: 1 = per-CPI scalar fetch (exact
-        # CpiMetrics.detections), K>1 = accumulate on device, fetch the
-        # running total every K CPIs (detections=-1 in between), 0 = only on
+        # CpiMetrics.detections). K>1 = accumulate on device and refresh
+        # ``detections_total`` every K CPIs; CpiMetrics.detections is ALWAYS
+        # -1 in this mode (read the running total from ``detections_total``
+        # or ``flush_detections()``). 0 = accumulate, fetch only on
         # ``flush_detections()``. Serving deployments should not pay a relay
-        # round-trip per CPI for a metric (VERDICT r4 item 3).
+        # round-trip per CPI for a metric (VERDICT r4 item 3). Accumulation
+        # runs with or without an on_result consumer.
         self._detections_every = detections_every
         self.detections_total = 0
         self._rt_lock = threading.Lock()
@@ -343,9 +346,10 @@ class StreamingPipeline:
 
     def _deliver(self, seq, out, lat, n_samples):
         """Metrics + on_result delivery for one drained CPI (split out of the
-        drain loop so its failures are contained per CPI)."""
-        if self._on_result is None:
-            return
+        drain loop so its failures are contained per CPI). Detection
+        accumulation happens here even with no on_result consumer — a
+        callback-less serving deployment still gets ``detections_total`` /
+        ``flush_detections()``."""
         t_r = time.perf_counter()
         if hasattr(out, "peaks"):
             # reduce ON DEVICE and fetch one scalar: full-array
@@ -381,7 +385,9 @@ class StreamingPipeline:
             self._det_n += 1
             k = self._detections_every
             if k == 1:
-                det = int(part)
+                # the per-CPI exact count only feeds CpiMetrics — skip its
+                # fetch when nobody consumes metrics
+                det = int(part) if self._on_result is not None else -1
                 self.detections_total = int(self._det_acc)
             elif k > 1 and self._det_n % k == 0:
                 det = -1
@@ -390,6 +396,8 @@ class StreamingPipeline:
                 det = -1   # deferred: no relay fetch this CPI
         else:
             det = 0
+        if self._on_result is None:
+            return
         self._on_result(
             seq, out,
             CpiMetrics(seq=seq, samples=n_samples, detections=det,

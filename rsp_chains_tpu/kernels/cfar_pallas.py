@@ -1332,6 +1332,13 @@ def _gos_tail(
     ablated, the ladder NOT dead-code-eliminable), 'sort' skips the whole
     sorted-window section, 'tail' skips the threshold/peak epilogue (stats
     land in stat_scr only)."""
+    # fail loudly on an unknown formulation: an unrecognized string would
+    # silently fall through to the bitonic branch and publish numbers under
+    # the wrong label (the removed 'oe3d' A/B taught this — profile_r5f)
+    assert merge_impl in ("bitonic", "oe", "oe_batch"), merge_impl
+    assert select_impl in ("tree", "batch"), select_impl
+    assert roll_impl in ("per_row", "batch"), roll_impl
+
     log2w = scal_ref[0]
     guard = scal_ref[1]
     mode = scal_ref[3]

@@ -49,23 +49,26 @@ def main():
     )
 
     mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
+    # small elaboration (256-pt, w<=16): the pod path's correctness claim is
+    # shape-independent, and the 1024-pt XLA CPU compile alone took 2-4 min
+    # per restart on a loaded machine — the r5 full-matrix flake
     cfg = ChainConfig(
-        fft=FftConfig(max_size=1024),
-        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=8),
     )
     chain = fft_mag_cfar_chain(cfg)
-    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
-                            guard_window_size=4, threshold_scaler=3.5,
-                            div_sum=5)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5,
+                            div_sum=3)
     # host numpy register values are valid fully-replicated inputs on every
     # process; device-committed scalars would be process-local
     rt = jax.tree_util.tree_map(np.asarray, rt)
 
     iq = np.stack([
-        np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s + 10 * t)
+        np.stack([three_tone_signal(256, shift_range_factor=3, seed=s + 10 * t)
                   for s in range(2)])
         for t in range(2)
-    ]).astype(np.complex64)  # [T=2, C=2, N=1024] — same on both processes
+    ]).astype(np.complex64)  # [T=2, C=2, N=256] — same on both processes
     re = np.ascontiguousarray(iq.real.astype(np.float32))
     im = np.ascontiguousarray(iq.imag.astype(np.float32))
 
@@ -123,20 +126,20 @@ def main_stream(port, pid, outdir):
 
     mesh = make_pod_mesh(time_blocks=2, channels=2, range_shards=2)
     cfg = ChainConfig(
-        fft=FftConfig(max_size=1024),
-        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=8),
     )
     chain = fft_mag_cfar_chain(cfg)
-    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
-                            guard_window_size=4, threshold_scaler=3.5,
-                            div_sum=5)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5,
+                            div_sum=3)
     rt = jax.tree_util.tree_map(np.asarray, rt)
 
     n_cpis = 6
     cpis = []
     for seq in range(n_cpis):
         iq = np.stack([
-            np.stack([three_tone_signal(1024, shift_range_factor=12,
+            np.stack([three_tone_signal(256, shift_range_factor=3,
                                         seed=100 * seq + s + 10 * t)
                       for s in range(2)])
             for t in range(2)

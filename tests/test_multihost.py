@@ -20,6 +20,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.xdist_group("two_process_pod")
 def test_two_process_pod_mesh_matches_unsharded(tmp_path):
     port = _free_port()
     driver = os.path.join(os.path.dirname(__file__), "multihost_driver.py")
@@ -58,14 +59,14 @@ def test_two_process_pod_mesh_matches_unsharded(tmp_path):
     from rsp_chains_tpu.golden import three_tone_signal
 
     cfg = ChainConfig(
-        fft=FftConfig(max_size=1024),
-        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=8),
     )
-    rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
-                            guard_window_size=4, threshold_scaler=3.5,
-                            div_sum=5)
+    rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                            guard_window_size=2, threshold_scaler=3.5,
+                            div_sum=3)
     iq = np.stack([
-        np.stack([three_tone_signal(1024, shift_range_factor=12, seed=s + 10 * t)
+        np.stack([three_tone_signal(256, shift_range_factor=3, seed=s + 10 * t)
                   for s in range(2)])
         for t in range(2)
     ]).astype(np.complex64)
@@ -130,6 +131,7 @@ def test_pod_mesh_rejects_block_straddling_hosts(monkeypatch):
         make_pod_mesh(time_blocks=1, channels=8, range_shards=1)
 
 
+@pytest.mark.xdist_group("two_process_pod")
 def test_two_process_pod_streaming_with_checkpoint_restore(tmp_path):
     """BASELINE config 5 end to end: continuous multi-CPI streaming through
     PodStreamingPipeline on 2 jax.distributed processes — 6 CPIs processed,
@@ -166,8 +168,8 @@ def test_two_process_pod_streaming_with_checkpoint_restore(tmp_path):
     from rsp_chains_tpu.golden import three_tone_signal
 
     cfg = ChainConfig(
-        fft=FftConfig(max_size=1024),
-        cfar=CfarConfig(max_ref_window=64, max_guard_window=8),
+        fft=FftConfig(max_size=256),
+        cfar=CfarConfig(max_ref_window=16, max_guard_window=8),
     )
     jf = fft_mag_cfar_chain(cfg).jit()
 
@@ -176,11 +178,11 @@ def test_two_process_pod_streaming_with_checkpoint_restore(tmp_path):
     total_shards = 0
     for seq in range(n_cpis):
         scaler = 3.5 if seq < 3 else 5.0   # the mid-stream register write
-        rt = RuntimeConfig.make(fft_size=1024, ref_window_size=32,
-                                guard_window_size=4, threshold_scaler=scaler,
-                                div_sum=5)
+        rt = RuntimeConfig.make(fft_size=256, ref_window_size=8,
+                                guard_window_size=2, threshold_scaler=scaler,
+                                div_sum=3)
         iq = np.stack([
-            np.stack([three_tone_signal(1024, shift_range_factor=12,
+            np.stack([three_tone_signal(256, shift_range_factor=3,
                                         seed=100 * seq + s + 10 * t)
                       for s in range(2)])
             for t in range(2)

@@ -27,26 +27,14 @@ END = "<!-- /GENERATED:PERF -->"
 
 
 def load_bench():
-    """Newest BENCH_r*.json -> {metric: record} from its stderr tail +
-    parsed headline."""
+    """Newest BENCH_r*.json -> ({metric: record}, basename). The parsing is
+    bench.py's own ``_prev_bench`` (one source for the artifact format — the
+    tables must agree with the drift annotations bench computes)."""
+    sys.path.insert(0, ROOT)
+    from bench import _prev_bench
+
     files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not files:
-        return {}, None
-    with open(files[-1]) as f:
-        rec = json.load(f)
-    out = {}
-    for line in rec.get("tail", "").splitlines():
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "metric" in d:
-                out[d["metric"]] = d
-    if isinstance(rec.get("parsed"), dict) and "metric" in rec["parsed"]:
-        out[rec["parsed"]["metric"]] = rec["parsed"]
-    return out, os.path.basename(files[-1])
+    return _prev_bench(), (os.path.basename(files[-1]) if files else None)
 
 
 def load_results(name):
