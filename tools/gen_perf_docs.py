@@ -55,13 +55,22 @@ def build_table():
     r5b = load_results("results_r5b.json") or {}
     r5c = load_results("results_r5c.json") or {}
     r5e = load_results("results_r5e.json") or {}
+    r5g = load_results("results_r5g.json") or {}
     med_a = r5a.get("median_ms", {})
     med_b = r5b.get("median_ms", {})
+    # per-metric source names so every row cites the session it came from
+    src = {m: bench_name for m in bench}
     # prefer the round's own full-ladder session over a stale prior-round
     # BENCH file; when the driver's BENCH_r05 lands it is newer and wins
     if r5e.get("lines") and (not bench_name or bench_name < "BENCH_r05.json"):
         bench = {**bench, **r5e["lines"]}
-        bench_name = "results_r5e.json"
+        src.update({m: "results_r5e.json" for m in r5e["lines"]})
+        # the streaming/pod lines carry r5g's corrected instrumentation
+        # (device-fed completion gate, warm-excluded phase tables)
+        for m, d in (r5g.get("lines") or {}).items():
+            if m.startswith(("streaming_", "pod_")):
+                bench[m] = d
+                src[m] = "results_r5g.json"
 
     rows = []
 
@@ -81,17 +90,17 @@ def build_table():
         if d.get("session_floor_ms") is not None:
             note.append(f"session floor {d['session_floor_ms']:.2f} ms")
         rows.append((label, metric, fmt(ms, 3), fmt(msps, 0),
-                     "; ".join(note), bench_name))
+                     "; ".join(note), src.get(metric, bench_name)))
 
     bench_row("CA whole chain (one kernel)", "fft_mag_cfar_chain_throughput")
     # the headline record carries value (Msamples/s), not ms
     if rows and bench.get("fft_mag_cfar_chain_throughput"):
         d = bench["fft_mag_cfar_chain_throughput"]
-        label, metric, _, _, note, src = rows[-1]
+        label, metric, _, _, note, srcname = rows[-1]
         ms = 64 * 256 * 1024 / d["value"] / 1e3 if d.get("value") else None
         rows[-1] = (label, metric, fmt(ms, 3), fmt(d.get("value"), 0),
                     f"vs 250 Msps reference line rate: {d.get('vs_baseline')}x",
-                    src)
+                    srcname)
     bench_row("Range-Doppler fused chain", "rd_chain_fused_64x256x1024",
               "ms_per_16ch_cpi", "16-ch CPI")
     bench_row("Pulse compression (collapsed)",
@@ -115,21 +124,22 @@ def build_table():
                        if d.get("device_put_ms_per_cpi") else ""))
             rows.append(("Streaming serving stack (host-fed)", metric,
                          fmt(d.get("ms_per_cpi"), 1),
-                         fmt(d.get("msamples_per_s"), 1), note, bench_name))
+                         fmt(d.get("msamples_per_s"), 1), note,
+                         src.get(metric, bench_name)))
             if d.get("devicefed_ms_per_cpi"):
                 rows.append((
                     "Streaming serving stack (device-fed)", metric,
                     fmt(d["devicefed_ms_per_cpi"], 1),
                     fmt(d.get("devicefed_msamples_per_s"), 1),
                     "same stack minus the relay transport (block_every=8)",
-                    bench_name))
+                    src.get(metric, bench_name)))
     for metric, d in bench.items():
         if metric.startswith("pod_streaming") and "batches_per_s" in d:
             rows.append((
                 "Pod streaming (8-dev virtual CPU mesh)", metric, "—",
                 fmt(d.get("msamples_per_s"), 1),
                 f"{d.get('cpi_maps_per_s')} CPI maps/s over {d.get('mesh')}"
-                " — CPU-only trend line", bench_name))
+                " — CPU-only trend line", src.get(metric, bench_name)))
 
     # session records not in the driver ladder
     if "rd_2d_os" in r5c:
