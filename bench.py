@@ -709,6 +709,51 @@ def main():
                              jax.jit(xla_int), xi16, rt, samples, 2400,
                              exact=True)
 
+        # r5: the reference's SHIPPED configuration — integer GOSCA — with
+        # its order-statistic registers at speed (kernels/int_chain_pallas.
+        # _int_gos_kernel). Validation bar: EXACTNESS vs the XLA integer
+        # pipeline, whose GOS window stack is chunked 8 channels at a time
+        # under lax.map (the integer stack is ~4 GB at 64 channels)
+        int_gos_cfg = ChainConfig(
+            fft=FftConfig(max_size=n),
+            cfar=CfarConfig(max_ref_window=64, variant=CfarVariant.GOSCA,
+                            include_cash=True, max_fft_size=n),
+            fixed_point=FixedPointConfig(enabled=True, width=16, bin_point=0,
+                                         bit_true=True))
+        f_int_gos = fft_mag_cfar_chain(int_gos_cfg).jit()
+
+        def xla_int_gos(a, r):
+            spec = fft_int_op(a, r.log2_fft_size, int_gos_cfg.fft)
+            return cfar_int(mag_int_op(spec, r.mag_mode, int_gos_cfg.mag), r,
+                            int_gos_cfg.cfar)
+
+        def int_gos_digest(a, r):
+            import jax.lax as lax
+
+            o2 = f_int_gos(a, r)
+            cs = 8
+            xr = a.re.reshape(64 // cs, cs, 256, n)
+            xi = a.im.reshape(64 // cs, cs, 256, n)
+            t2 = o2.threshold.reshape(64 // cs, cs, 256, n)
+            p2 = o2.peaks.reshape(64 // cs, cs, 256, n)
+
+            def body(args):
+                cr, ci, ct, cp = args
+                o1 = xla_int_gos(C(cr, ci), r)
+                return (jnp.max(jnp.abs(o1.threshold - ct)),
+                        jnp.sum(o1.peaks.astype(jnp.int32)
+                                - cp.astype(jnp.int32) != 0))
+
+            ds, fls = lax.map(body, (xr, xi, t2, p2))
+            return jnp.max(ds).astype(jnp.float32), jnp.sum(fls)
+
+        if ok:
+            ok = ladder_line(
+                "bit_true_gos_chain_64x256x1024", f_int_gos, None,
+                xi16, rt_gos, samples, 2700, digest_fn=int_gos_digest,
+                exact=True,
+                extra=lambda dtl: {"validated_at_channels": 64})
+
         # fused 2-D (range x Doppler) map detector vs the composed route
         # (map kernel -> XLA magnitude -> XLA 2-D CFAR) — the r3 structural
         # win, now a guarded ladder line (VERDICT r3 item 5)

@@ -27,7 +27,14 @@ the GOSCA chain dispatches CA/GOS.
 The CFAR tail mirrors ``ops.bit_true.ca_cfar_int`` + ``_int_thr_peaks``
 operation-for-operation (truncating ``>> divSum`` shifters, the
 6-fractional-bit scaler product with RoundHalfUp, raw-magnitude neighbor
-compares) on the float kernel's gated circular-scratch machinery.
+compares) on the float kernel's gated circular-scratch machinery. The r5
+``_int_gos_kernel`` adds the ORDER-STATISTIC datapath of the reference's
+shipped integer GOSCA elaboration at speed: the float GOS kernel's
+sliding-merge ladder runs unchanged on int32 values (compare-exchanges are
+exact; the invalid-cell sentinel is ``_int_gos_side``'s int32 max), with the
+runtime algorithm register muxing CA/GOS in-kernel and CASH dispatching to
+the XLA integer path (its wrapped sub-window sums need a floor division the
+VPU lacks).
 
 Register semantics: ``RspChainVanillaTester.scala:96-146``; word format
 ``:164-172``.
@@ -121,30 +128,13 @@ def _isqrt32_k(x):
     return jnp.where(x <= 0, 0, s)
 
 
-def _int_chain_kernel(
-    scal_ref,                # [10] int32 register file (layout below)
-    xr_ref, xi_ref,          # [F, N] int32 IQ pair (16-bit values)
-    tw_ref,                  # [stages, 2, N] int32 1.15 twiddle rows
-    thr_ref, pk_ref,         # [F, N] int32 / uint8 outputs
-    scr_ref,                 # [F, N + PAD] int32 circular CFAR scratch
-    *,
-    n: int, expand_logic, keep_msb, lag_bits: int, lead2_bits: int,
-    max_log2w: int = MAX_LOG2_W,
-):
-    """scal layout: [0] log2w, [1] guard, [2] divSum, [3] mode,
-    [4] log_or_linear, [5] peak_grouping, [6] n_active, [7] mag_mode,
-    [8] scaler_q (round(scaler*64)), [9] scaler_add (round(scaler))."""
-    log2w = scal_ref[0]
-    guard = scal_ref[1]
-    div = scal_ref[2]
-    mode = scal_ref[3]
-    log_or_linear = scal_ref[4]
-    peak_grouping = scal_ref[5]
-    n_active = scal_ref[6]
+def _int_front(scal_ref, xr_ref, xi_ref, tw_ref, thr_ref, *,
+               n: int, expand_logic, keep_msb):
+    """Shared integer front half: radix-2 DIF FFT + bit-reversal + the
+    in-kernel magnitude menu, leaving the magnitude in ``thr_ref`` and
+    returning it as a value. Factored out of ``_int_chain_kernel`` so the
+    GOS tail kernel (r5) runs the IDENTICAL front arithmetic."""
     mag_mode = scal_ref[7]
-    scaler_q = scal_ref[8]
-    scaler_add = scal_ref[9]
-
     xr = xr_ref[:, :]
     xi = xi_ref[:, :]
     f = xr.shape[0]
@@ -211,7 +201,66 @@ def _int_chain_kernel(
     def _():
         thr_ref[:, :] = _isqrt32_k(sq)
 
-    mag = thr_ref[:, :]
+    return thr_ref[:, :]
+
+
+def _int_thr_peaks_tail(scal_ref, mag, noise, thr_ref, pk_ref, col, active):
+    """Shared integer threshold + detection tail (mirrors
+    ``ops.bit_true._int_thr_peaks``): 6-fractional-bit scaler, active-frame
+    masking, register-gated raw-magnitude peak grouping."""
+    log_or_linear = scal_ref[4]
+    peak_grouping = scal_ref[5]
+    n_active = scal_ref[6]
+    scaler_q = scal_ref[8]
+    scaler_add = scal_ref[9]
+    n = mag.shape[1]
+
+    thr = jnp.where(log_or_linear == 1,
+                    (noise * scaler_q + (1 << 5)) >> 6,   # rhu(noise*q, 6)
+                    noise + scaler_add)
+    thr = jnp.where(active, thr, 0)
+    thr_ref[:, :] = thr
+    pk = (mag > thr) & active
+
+    @pl.when(peak_grouping == 0)
+    def _():
+        pk_ref[:, :] = pk.astype(pk_ref.dtype)
+
+    @pl.when(peak_grouping == 1)
+    def _():
+        # raw-magnitude neighbors with frame-edge / active-edge sentinels,
+        # exactly _int_thr_peaks' concat semantics
+        big = jnp.int32(-(1 << 30))
+        left = jnp.where(col == 0, big, pltpu.roll(mag, 1, axis=1))
+        right = jnp.where(col + 1 < n_active,
+                          pltpu.roll(mag, n - 1, axis=1), big)
+        pk_ref[:, :] = (pk & (mag >= left)
+                        & (mag >= right)).astype(pk_ref.dtype)
+
+
+def _int_chain_kernel(
+    scal_ref,                # [10] int32 register file (layout below)
+    xr_ref, xi_ref,          # [F, N] int32 IQ pair (16-bit values)
+    tw_ref,                  # [stages, 2, N] int32 1.15 twiddle rows
+    thr_ref, pk_ref,         # [F, N] int32 / uint8 outputs
+    scr_ref,                 # [F, N + PAD] int32 circular CFAR scratch
+    *,
+    n: int, expand_logic, keep_msb, lag_bits: int, lead2_bits: int,
+    max_log2w: int = MAX_LOG2_W,
+):
+    """scal layout: [0] log2w, [1] guard, [2] divSum, [3] mode,
+    [4] log_or_linear, [5] peak_grouping, [6] n_active, [7] mag_mode,
+    [8] scaler_q (round(scaler*64)), [9] scaler_add (round(scaler))."""
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    n_active = scal_ref[6]
+
+    mag = _int_front(scal_ref, xr_ref, xi_ref, tw_ref, thr_ref,
+                     n=n, expand_logic=expand_logic, keep_msb=keep_msb)
+    f = mag.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (f, n), 1)
 
     # ---- integer CA/GO/SO CFAR (mirrors ca_cfar_int + _int_thr_peaks) ----
     active = col < n_active
@@ -244,27 +293,149 @@ def _int_chain_kernel(
         thr_ref[:, :] = jnp.minimum(s_lag, s_lead)
 
     noise = thr_ref[:, :]
-    thr = jnp.where(log_or_linear == 1,
-                    (noise * scaler_q + (1 << 5)) >> 6,   # rhu(noise*q, 6)
-                    noise + scaler_add)
-    thr = jnp.where(active, thr, 0)
-    thr_ref[:, :] = thr
-    pk = (mag > thr) & active
+    _int_thr_peaks_tail(scal_ref, mag, noise, thr_ref, pk_ref, col, active)
 
-    @pl.when(peak_grouping == 0)
-    def _():
-        pk_ref[:, :] = pk.astype(pk_ref.dtype)
 
-    @pl.when(peak_grouping == 1)
+INT_GOS_MARGIN = 128   # slab margin per side (the float GOS3_MARGIN)
+
+
+def _int_gos_kernel(
+    scal_ref,                # [13] int32 register file (layout below)
+    xr_ref, xi_ref,          # [F, N] int32 IQ pair
+    tw_ref,                  # [stages, 2, N] int32 1.15 twiddle rows
+    thr_ref, pk_ref,         # [F, N] int32 / uint8 outputs
+    slab_scr,                # [F, N + 2M] int32 zero-masked magnitude slab
+    stat_scr,                # [2, F, N] int32 lag/lead statistics
+    *,
+    n: int, expand_logic, keep_msb, wmax: int, max_log2_w: int,
+    merge_impl: str = "oe_batch", roll_impl: str = "batch",
+    select_impl: str = "batch",
+):
+    """Bit-true integer GOSCA chain kernel (r5): the shared integer front +
+    a runtime CA/GOS-muxed statistic tail whose GOS side is the float GOS
+    kernel's sliding-merge ladder on int32 VALUES (compare-exchanges are
+    exact on integers; invalid cells mask to int32 max exactly like
+    ``ops.bit_true._int_gos_side``'s sort sentinel). CASH (mode 3) is NOT
+    elaborated here — the op dispatch routes it to the XLA integer path
+    (its wrapped sub-window sums need a floor division the VPU lacks).
+
+    scal layout: [0] log2w, [1] guard, [2] divSum, [3] mode,
+    [4] log_or_linear, [5] peak_grouping, [6] n_active, [7] mag_mode,
+    [8] scaler_q, [9] scaler_add, [10] algorithm, [11] rank_lagg,
+    [12] rank_lead."""
+    from .cfar_pallas import (
+        _oe_merge_lists,
+        _oe_merge_lists_batched,
+        _rank_select_tree,
+        _rank_select_tree_batched,
+        _roll_left,
+        _roll_right,
+    )
+
+    log2w = scal_ref[0]
+    guard = scal_ref[1]
+    div = scal_ref[2]
+    mode = scal_ref[3]
+    n_active = scal_ref[6]
+    algorithm = scal_ref[10]
+    rank_lagg = scal_ref[11]
+    rank_lead = scal_ref[12]
+
+    mag = _int_front(scal_ref, xr_ref, xi_ref, tw_ref, thr_ref,
+                     n=n, expand_logic=expand_logic, keep_msb=keep_msb)
+    f = mag.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (f, n), 1)
+    active = col < n_active
+    M = INT_GOS_MARGIN
+    slab_w = n + 2 * M
+    w = jnp.int32(1) << log2w
+
+    slab_scr[:, :] = jnp.zeros((f, slab_w), jnp.int32)
+    slab_scr[:, M : M + n] = jnp.where(active, mag, 0)
+    use_gos = algorithm == 1
+
+    # ---- CA statistic rows (register-gated: dead under GOS registers) ----
+    @pl.when(jnp.logical_not(use_gos))
+    def _ca_rows():
+        row = slab_scr[:, :]
+        sel = row
+        box = row
+        for k in range(max_log2_w):
+            box = box + pltpu.roll(box, 1 << k, axis=1)
+            sel = jnp.where(log2w == k + 1, box, sel)
+        # exact adds then the truncating ``>> divSum`` shifter, as
+        # ca_cfar_int; side alignment as the float _gos_rows_init
+        stat_scr[0] = _roll_right(sel, guard + 1)[:, M : M + n] >> div
+        stat_scr[1] = _roll_left(sel, guard + w)[:, M : M + n] >> div
+
+    # ---- GOS sorted windows (the float ladder on int32 values) ----
+    jg = jax.lax.broadcasted_iota(jnp.int32, (f, slab_w), 1) - M
+
+    @pl.when(use_gos)
+    def _sorted_windows():
+        base = jnp.where((jg >= 0) & (jg < n_active), slab_scr[:, :],
+                         jnp.int32(2**31 - 1))       # _INT_BIG sentinel
+
+        for L in range(1, max_log2_w + 1):
+            wl = 1 << L
+            if wl > wmax:
+                break
+
+            @pl.when(log2w == L)
+            def _level(L=L, wl=wl):
+                rows = [base]
+                for lev in range(L):
+                    m = 1 << lev
+                    if roll_impl == "batch" and len(rows) > 1:
+                        fr = rows[0].shape[0]
+                        rolled = pltpu.roll(jnp.concatenate(rows, axis=0),
+                                            slab_w - m, axis=1)
+                        shifted = [rolled[i * fr:(i + 1) * fr]
+                                   for i in range(len(rows))]
+                    else:
+                        shifted = [pltpu.roll(r, slab_w - m, axis=1)
+                                   for r in rows]
+                    rows = (_oe_merge_lists_batched(rows, shifted)
+                            if merge_impl == "oe_batch"
+                            else _oe_merge_lists(rows, shifted))
+                nv = (jnp.clip(jg + wl, 0, n_active)
+                      - jnp.clip(jg, 0, n_active))
+                nv = jnp.maximum(nv, 0)
+                tree = (_rank_select_tree_batched if select_impl == "batch"
+                        else _rank_select_tree)
+                idx_g = jnp.clip(jnp.minimum(rank_lagg, nv - 1), 0, wl - 1)
+                val_g = jnp.where(nv > 0, tree(rows, idx_g), 0)
+                stat_scr[0] = _roll_right(val_g, guard + wl)[:, M : M + n]
+
+                @pl.when(rank_lead == rank_lagg)
+                def _lead_shared(val_g=val_g):
+                    stat_scr[1] = _roll_left(val_g, guard + 1)[:, M : M + n]
+
+                @pl.when(rank_lead != rank_lagg)
+                def _lead_tree(rows=rows, nv=nv, wl=wl):
+                    idx_l = jnp.clip(jnp.minimum(rank_lead, nv - 1),
+                                     0, wl - 1)
+                    val_l = jnp.where(nv > 0, tree(rows, idx_l), 0)
+                    stat_scr[1] = _roll_left(val_l, guard + 1)[:, M : M + n]
+
+    # ---- mode combine (integer: truncating mean shift) + shared tail ----
+    s_lag = stat_scr[0]
+    s_lead = stat_scr[1]
+
+    @pl.when((mode != 1) & (mode != 2))
     def _():
-        # raw-magnitude neighbors with frame-edge / active-edge sentinels,
-        # exactly _int_thr_peaks' concat semantics
-        big = jnp.int32(-(1 << 30))
-        left = jnp.where(col == 0, big, pltpu.roll(mag, 1, axis=1))
-        right = jnp.where(col + 1 < n_active,
-                          pltpu.roll(mag, n - 1, axis=1), big)
-        pk_ref[:, :] = (pk & (mag >= left)
-                        & (mag >= right)).astype(pk_ref.dtype)
+        thr_ref[:, :] = (s_lag + s_lead) >> 1
+
+    @pl.when(mode == 1)
+    def _():
+        thr_ref[:, :] = jnp.maximum(s_lag, s_lead)
+
+    @pl.when(mode == 2)
+    def _():
+        thr_ref[:, :] = jnp.minimum(s_lag, s_lead)
+
+    noise = thr_ref[:, :]
+    _int_thr_peaks_tail(scal_ref, mag, noise, thr_ref, pk_ref, col, active)
 
 
 def fused_chain_int(
@@ -374,13 +545,126 @@ def fused_chain_int(
     return CfarOutput(threshold=thr, peaks=pk)
 
 
+INT_GOS_BLOCK_FRAMES = 32   # the float GOS kernel's r3 pick (VMEM-bound by
+#                             the w<=wmax sorted-row value stack)
+
+
+def fused_chain_int_gos(
+    x,
+    rt: RuntimeConfig,
+    fft_cfg: FftConfig,
+    cfar_cfg: CfarConfig,
+    interpret: bool = False,
+    *,
+    block_frames: int | None = None,
+) -> CfarOutput:
+    """Bit-true integer FFT + mag + GOSCA CFAR in ONE kernel (r5): the
+    reference's SHIPPED top is the integer GOSCA elaboration
+    (``RspChain.scala:118,130-140``); this is its order-statistic datapath at
+    speed, runtime CA/GOS algorithm register muxed in-kernel, BIT-EXACT vs
+    ``ops.bit_true.cfar_int``. Modes CA/GO/SO; the CASH mode register and the
+    LUT-log2 magnitude dispatch to the XLA integer path
+    (``fused_chain_int_op``)."""
+    from ..cplx import as_pair
+
+    xp = as_pair(x)
+    n = xp.shape[-1]
+    assert n == fft_cfg.max_size and n % 128 == 0 and n & (n - 1) == 0, n
+    wmax = cfar_cfg.max_ref_window
+    assert wmax <= 1 << MAX_LOG2_W
+    assert wmax + cfar_cfg.max_guard_window + 1 <= INT_GOS_MARGIN
+    el = fft_cfg.expand_logic
+    if el is not None and sum(1 for e in el if e) > 7:
+        raise ValueError("bit-true FFT supports at most 7 expanding stages")
+    bf = block_frames or INT_GOS_BLOCK_FRAMES
+
+    batch_shape = xp.shape[:-1]
+    flat = int(np.prod(batch_shape)) if batch_shape else 1
+    re = xp.re.astype(jnp.int32).reshape(flat, n)
+    im = xp.im.astype(jnp.int32).reshape(flat, n)
+    f_pad = (-flat) % bf
+    if f_pad:
+        re = jnp.pad(re, ((0, f_pad), (0, 0)))
+        im = jnp.pad(im, ((0, f_pad), (0, 0)))
+    f_tot = flat + f_pad
+
+    log2w = jnp.round(jnp.log2(jnp.maximum(jnp.minimum(
+        rt.ref_window_size, wmax), 1).astype(jnp.float32))).astype(jnp.int32)
+    scalars = jnp.stack([
+        log2w,
+        jnp.clip(rt.guard_window_size, 0,
+                 cfar_cfg.max_guard_window).astype(jnp.int32),
+        rt.div_sum.astype(jnp.int32),
+        rt.cfar_mode.astype(jnp.int32),
+        rt.log_or_linear.astype(jnp.int32),
+        rt.peak_grouping.astype(jnp.int32),
+        jnp.minimum(rt.cfar_fft_size, n).astype(jnp.int32),
+        rt.mag_mode.astype(jnp.int32),
+        jnp.round(rt.threshold_scaler * 64.0).astype(jnp.int32),
+        jnp.round(rt.threshold_scaler).astype(jnp.int32),
+        rt.cfar_algorithm.astype(jnp.int32),
+        rt.index_lagg.astype(jnp.int32),
+        rt.index_lead.astype(jnp.int32),
+    ])
+
+    stages, _ = stage_twiddles(n)
+    tw = np.stack([np.stack([wr, wi]) for wr, wi in stages])  # [p, 2, n]
+
+    km = fft_cfg.keep_msb_or_lsb
+    kernel = functools.partial(
+        _int_gos_kernel, n=n,
+        expand_logic=None if el is None else tuple(el),
+        keep_msb=None if km is None else tuple(km),
+        wmax=wmax,
+        max_log2_w=max(int(np.log2(wmax)), 1))
+
+    M = INT_GOS_MARGIN
+    thr, pk = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f_tot // bf,),
+            in_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tw.shape, lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, n), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bf, n + 2 * M), jnp.int32),
+                pltpu.VMEM((2, bf, n), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f_tot, n), jnp.int32),
+            jax.ShapeDtypeStruct((f_tot, n), jnp.uint8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, re, im, jnp.asarray(tw))
+
+    thr = thr[:flat].reshape(batch_shape + (n,))
+    pk = pk[:flat].reshape(batch_shape + (n,)).astype(jnp.bool_)
+    return CfarOutput(threshold=thr, peaks=pk)
+
+
 def int_chain_fusable(cfg) -> bool:
     """Whether a bit-true elaboration can route through the integer chain
     kernel (the ``fused_tail_kind`` analog for the integer datapath): PARTIAL
     edges, plain outputs, natural output order, power-of-two frame >= 256,
-    kernel-sized windows, <= 7 expanding stages. GOSCA elaborations still
-    qualify — the runtime GOS/CASH registers dispatch to the XLA integer path
-    inside ``fused_chain_int_op``."""
+    kernel-sized windows, <= 7 expanding stages. GOSCA elaborations qualify:
+    runtime CA registers run the CA kernel, GOS registers the r5 integer GOS
+    kernel, and the CASH mode / LUT-log2 / shrunken-size registers dispatch
+    to the XLA integer path — all inside ``fused_chain_int_op``."""
     from ..configs import CfarVariant, EdgePolicy
 
     cfar = cfg.cfar
@@ -439,7 +723,28 @@ def fused_chain_int_op(
         ca_like = rt.cfar_algorithm == 0
     if cfar_cfg.include_cash:
         ca_like = ca_like & (rt.cfar_mode != 3)
-    use_kernel = ca_like & (rt.mag_mode < 3)   # 3+ clips to the LUT-log menu
+    full_size = jnp.asarray(True)
     if fft_cfg.runtime_size:
-        use_kernel = use_kernel & (rt.log2_fft_size >= fft_cfg.log2_max)
-    return jax.lax.cond(use_kernel, kernel_branch, xla_branch, xp)
+        full_size = rt.log2_fft_size >= fft_cfg.log2_max
+    in_menu = rt.mag_mode < 3                  # 3+ clips to the LUT-log menu
+    use_kernel = ca_like & in_menu & full_size
+
+    # GOS registers of a GOSCA elaboration run the r5 integer GOS kernel —
+    # the reference's SHIPPED configuration (integer GOSCA,
+    # RspChain.scala:118,130-140) at speed; the CASH mode register still
+    # dispatches to the XLA integer path (see _int_gos_kernel)
+    gos_ok = jnp.asarray(False)
+    if (cfar_cfg.variant is CfarVariant.GOSCA
+            and cfar_cfg.max_ref_window + cfar_cfg.max_guard_window + 1
+            <= INT_GOS_MARGIN):
+        gos_ok = (rt.cfar_algorithm == 1) & in_menu & full_size
+        if cfar_cfg.include_cash:
+            gos_ok = gos_ok & (rt.cfar_mode != 3)
+
+    def gos_branch(xi):
+        return fused_chain_int_gos(xi, rt, fft_cfg, cfar_cfg,
+                                   interpret=interpret)
+
+    return jax.lax.cond(
+        use_kernel, kernel_branch,
+        lambda xi: jax.lax.cond(gos_ok, gos_branch, xla_branch, xi), xp)

@@ -169,3 +169,68 @@ def test_int_chain_fusable_gates():
         fft=FftConfig(max_size=N, use_bit_reverse=False),
         cfar=CfarConfig(max_ref_window=32),
         fixed_point=FixedPointConfig(enabled=True, bit_true=True)))
+
+
+# ---------------------------------------------------------------------------
+# r5: integer GOS kernel (the reference's shipped GOSCA elaboration at speed)
+# ---------------------------------------------------------------------------
+
+GOSCA = CfarConfig(max_ref_window=16, max_guard_window=4,
+                   variant=CfarVariant.GOSCA, include_cash=True,
+                   max_fft_size=N)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("regs", [
+    dict(cfar_algorithm=1, cfar_mode=0, mag_mode=2, ref_window_size=8,
+         guard_window_size=2, index_lagg=4, index_lead=4, peak_grouping=0),
+    dict(cfar_algorithm=1, cfar_mode=0, mag_mode=2, ref_window_size=8,
+         guard_window_size=2, index_lagg=4, index_lead=5, peak_grouping=1),
+    dict(cfar_algorithm=1, cfar_mode=1, mag_mode=0, ref_window_size=16,
+         guard_window_size=4, index_lagg=7, index_lead=2, peak_grouping=0),
+    dict(cfar_algorithm=1, cfar_mode=2, mag_mode=1, ref_window_size=4,
+         guard_window_size=1, index_lagg=1, index_lead=3, peak_grouping=1),
+    dict(cfar_algorithm=0, cfar_mode=0, mag_mode=2, ref_window_size=8,
+         guard_window_size=2, index_lagg=4, index_lead=4, peak_grouping=1),
+])
+def test_int_gos_kernel_bit_exact(regs, rng):
+    """The r5 integer GOS kernel (sliding-merge ladder on int32 values) must
+    be BIT-equal to ops.bit_true.cfar_int across GOS/CA registers, modes,
+    magnitudes, unequal ranks, and grouping."""
+    from rsp_chains_tpu.kernels.int_chain_pallas import fused_chain_int_gos
+
+    fft_cfg = FftConfig(max_size=N)
+    x = _iq(rng)
+    rt = RuntimeConfig.make(fft_size=N, threshold_scaler=3.5,
+                            div_sum=int(np.log2(regs["ref_window_size"])),
+                            sub_window_size=2, **regs)
+    got = fused_chain_int_gos(x, rt, fft_cfg, GOSCA, interpret=True)
+    want = _xla_int_chain(x, rt, fft_cfg, GOSCA)
+    _assert_bit_equal(got, want)
+
+
+@pytest.mark.slow
+def test_int_gos_dispatch_routes_all_register_surfaces(rng):
+    """fused_chain_int_op on a GOSCA elaboration: CA registers -> CA kernel,
+    GOS registers -> the r5 GOS kernel, CASH mode / LUT-log2 / shrunken-size
+    registers -> the XLA integer path — all bit-equal, ONE executable."""
+    cfg = ChainConfig(fft=FftConfig(max_size=N), cfar=GOSCA)
+    x = _iq(rng)
+    jf = jax.jit(lambda a, r: fused_chain_int_op(a, r, cfg, interpret=True))
+    cases = [
+        dict(cfar_algorithm=1, cfar_mode=0, mag_mode=2,
+             index_lagg=4, index_lead=4),
+        dict(cfar_algorithm=1, cfar_mode=3, mag_mode=2,
+             index_lagg=4, index_lead=4),                      # CASH -> XLA
+        dict(cfar_algorithm=0, cfar_mode=0, mag_mode=2),       # CA kernel
+        dict(cfar_algorithm=1, cfar_mode=1, mag_mode=3,
+             index_lagg=2, index_lead=6),                      # LUT -> XLA
+    ]
+    for kw in cases:
+        rt = RuntimeConfig.make(fft_size=N, ref_window_size=8,
+                                guard_window_size=2, threshold_scaler=3.5,
+                                div_sum=3, sub_window_size=2,
+                                peak_grouping=1, **kw)
+        _assert_bit_equal(jf(x, rt),
+                          _xla_int_chain(x, rt, cfg.fft, cfg.cfar, cfg.mag))
+    assert jf._cache_size() == 1   # register flips never recompile
