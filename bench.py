@@ -731,7 +731,10 @@ def main():
             import jax.lax as lax
 
             o2 = f_int_gos(a, r)
-            cs = 8
+            # 2-channel chunks: the INTEGER reference materializes lag+lead
+            # window stacks AND the CASH sub-window cumsums — at 8 channels
+            # one jit instance peaked 35 GB HBM (r5h OOM)
+            cs = 2
             xr = a.re.reshape(64 // cs, cs, 256, n)
             xi = a.im.reshape(64 // cs, cs, 256, n)
             t2 = o2.threshold.reshape(64 // cs, cs, 256, n)

@@ -708,8 +708,37 @@ def fused_chain_int_op(
     fft_cfg, cfar_cfg = cfg.fft, cfg.cfar
 
     def xla_branch(xi):
-        spec = fft_int_op(xi, rt.log2_fft_size, fft_cfg)
-        return cfar_int(mag_int_op(spec, rt.mag_mode, cfg.mag), rt, cfar_cfg)
+        # frame-chunked under lax.map: cfar_int's GOS window stacks and CASH
+        # cumsums scale with the frame count (~2 MB/frame at wmax=64), so an
+        # unchunked branch inside the lax.cond makes the WHOLE dispatch
+        # executable's peak scale with batch — 35 GB HBM at a 2048-frame
+        # measurement batch (r5h OOM). 512-frame chunks bound the branch at
+        # ~1 GB regardless of batch; this is the slow dispatch path, so the
+        # sequential map costs nothing that matters.
+        n = fft_cfg.max_size
+        shape = xi.re.shape
+        re = xi.re.reshape(-1, n)
+        im = xi.im.reshape(-1, n)
+        frames = re.shape[0]
+        ch = 512
+        pad = (-frames) % ch
+        if pad:
+            re = jnp.pad(re, ((0, pad), (0, 0)))
+            im = jnp.pad(im, ((0, pad), (0, 0)))
+
+        def body(args):
+            r, i = args
+            from ..cplx import C
+
+            spec = fft_int_op(C(r, i), rt.log2_fft_size, fft_cfg)
+            o = cfar_int(mag_int_op(spec, rt.mag_mode, cfg.mag), rt, cfar_cfg)
+            return o.threshold, o.peaks
+
+        thr, pk = jax.lax.map(
+            body, (re.reshape(-1, ch, n), im.reshape(-1, ch, n)))
+        thr = thr.reshape(frames + pad, n)[:frames].reshape(shape)
+        pk = pk.reshape(frames + pad, n)[:frames].reshape(shape)
+        return CfarOutput(threshold=thr, peaks=pk)
 
     def kernel_branch(xi):
         return fused_chain_int(xi, rt, fft_cfg, cfar_cfg, interpret=interpret)
