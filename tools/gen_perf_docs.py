@@ -110,6 +110,8 @@ def build_table():
     bench_row("Wire-format chain (packed words)",
               "wire_chain_fused_64x256x1024")
     bench_row("Bit-true integer chain (exact)", "bit_true_chain_64x256x1024")
+    bench_row("Bit-true integer GOSCA chain (exact)",
+              "bit_true_gos_chain_64x256x1024")
     bench_row("Fused 2-D map detector", "rd_2d_fused_64x256x1024",
               "ms_per_16ch_cpi", "16-ch CPI")
 
