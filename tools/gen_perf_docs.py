@@ -56,6 +56,7 @@ def build_table():
     r5c = load_results("results_r5c.json") or {}
     r5e = load_results("results_r5e.json") or {}
     r5g = load_results("results_r5g.json") or {}
+    r5h = load_results("results_r5h.json") or {}
     med_a = r5a.get("median_ms", {})
     med_b = r5b.get("median_ms", {})
     # per-metric source names so every row cites the session it came from
@@ -112,6 +113,17 @@ def build_table():
     bench_row("Bit-true integer chain (exact)", "bit_true_chain_64x256x1024")
     bench_row("Bit-true integer GOSCA chain (exact)",
               "bit_true_gos_chain_64x256x1024")
+    if ("bit_true_gos_chain_64x256x1024" not in bench
+            and r5h.get("median_ms", {}).get("int_gos") is not None):
+        # the integer-GOSCA kernel postdates the r5e full-ladder session;
+        # until a BENCH artifact carries the ladder line, publish the r5h
+        # interleaved session's median (bit-exact: digests 0/0, r5h)
+        rows.append((
+            "Bit-true integer GOSCA chain (exact)",
+            "bit_true_gos_chain_64x256x1024",
+            fmt(r5h["median_ms"]["int_gos"], 3), "—",
+            "bit-exact vs XLA integer model (0/0 digests, all register "
+            "surfaces); headline CPI 64x256x1024", "results_r5h.json"))
     bench_row("Fused 2-D map detector", "rd_2d_fused_64x256x1024",
               "ms_per_16ch_cpi", "16-ch CPI")
 
