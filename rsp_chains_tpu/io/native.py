@@ -26,7 +26,7 @@ def _build() -> bool:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              str(_SRC), "-o", str(_LIB)],
-            check=True, capture_output=True, timeout=120,
+            check=True, capture_output=True, timeout=300,
         )
         return True
     except Exception:
