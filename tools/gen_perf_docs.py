@@ -57,6 +57,7 @@ def build_table():
     r5e = load_results("results_r5e.json") or {}
     r5g = load_results("results_r5g.json") or {}
     r5h = load_results("results_r5h.json") or {}
+    r5i = load_results("results_r5i.json") or {}
     med_a = r5a.get("median_ms", {})
     med_b = r5b.get("median_ms", {})
     # per-metric source names so every row cites the session it came from
@@ -72,6 +73,17 @@ def build_table():
             if m.startswith(("streaming_", "pod_")):
                 bench[m] = d
                 src[m] = "results_r5g.json"
+        # r5i (the builder's end-to-end bench.py run, newest code) fills
+        # lines no healthier session carries — the integer-GOSCA ladder
+        # line's first full-ladder on-chip validation — and supersedes r5g's
+        # streaming/pod lines (the pod-drain hardening landed between the
+        # two sessions and measurably improved the device-fed stack). Lines
+        # r5e already has keep r5e's cleaner readings: r5i's session floor
+        # was contended at 2.14 ms.
+        for m, d in (r5i.get("lines") or {}).items():
+            if m not in bench or m.startswith(("streaming_", "pod_")):
+                bench[m] = d
+                src[m] = "results_r5i.json"
 
     rows = []
 
@@ -141,12 +153,15 @@ def build_table():
                          fmt(d.get("msamples_per_s"), 1), note,
                          src.get(metric, bench_name)))
             if d.get("devicefed_ms_per_cpi"):
+                dev_msps = d.get("devicefed_msamples_per_s") or 0
+                note2 = "same stack minus the relay transport (block_every=8)"
+                if dev_msps >= 250:
+                    note2 += (" — SUSTAINS the reference's 250 Msps deployed"
+                              " line rate end-to-end")
                 rows.append((
                     "Streaming serving stack (device-fed)", metric,
-                    fmt(d["devicefed_ms_per_cpi"], 1),
-                    fmt(d.get("devicefed_msamples_per_s"), 1),
-                    "same stack minus the relay transport (block_every=8)",
-                    src.get(metric, bench_name)))
+                    fmt(d["devicefed_ms_per_cpi"], 1), fmt(dev_msps, 1),
+                    note2, src.get(metric, bench_name)))
     for metric, d in bench.items():
         if metric.startswith("pod_streaming") and "batches_per_s" in d:
             rows.append((
